@@ -1,0 +1,118 @@
+"""Test / benchmark matrix generators.
+
+The reference ships no matrices (data/ is .gitignore'd) and benchmarks on
+SuiteSparse Transport.mtx (1,602,111 rows, 23,487,281 nnz, ~14.7 nnz/row,
+real unsymmetric values on a structurally symmetric pattern —
+README.md:32-42). With zero network egress we synthesize matrices with
+matching profiles instead:
+
+* poisson2d / poisson3d — classic stencils, well-conditioned, for
+  convergence tests with known iteration behavior.
+* banded_random / transport_like — fixed diagonal structure with random
+  unsymmetric values and a dominant main diagonal; transport_like matches
+  Transport's size/density profile for the benchmark.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from mpi_bicgstab_tpu.ops.sparse import COOMatrix, CSRMatrix, coo_to_csr
+
+
+def _dia_to_csr(n: int, offsets, diag_vals) -> CSRMatrix:
+    """Assemble a square matrix from (offset, values) diagonals."""
+    rows_l, cols_l, vals_l = [], [], []
+    for off, dv in zip(offsets, diag_vals):
+        if off >= 0:
+            r = np.arange(0, n - off, dtype=np.int64)
+        else:
+            r = np.arange(-off, n, dtype=np.int64)
+        c = r + off
+        rows_l.append(r)
+        cols_l.append(c)
+        v = dv if np.ndim(dv) else np.full(r.size, dv)
+        vals_l.append(np.asarray(v, dtype=np.float64)[: r.size])
+    coo = COOMatrix(np.concatenate(rows_l), np.concatenate(cols_l),
+                    np.concatenate(vals_l), (n, n))
+    return coo_to_csr(coo, sum_duplicates=True)
+
+
+def poisson2d(nx: int, ny: int | None = None) -> CSRMatrix:
+    """5-point Laplacian on an nx x ny grid (SPD, 4 on diag)."""
+    ny = ny or nx
+    n = nx * ny
+    main = np.full(n, 4.0)
+    ew = -np.ones(n - 1)
+    ew[np.arange(1, n) % nx == 0] = 0.0  # no wrap across grid rows
+    ns = -np.ones(n - nx)
+    return _dia_to_csr(n, [0, 1, -1, nx, -nx],
+                       [main, ew, ew.copy(), ns, ns.copy()])
+
+
+def poisson3d(nx: int, ny: int | None = None, nz: int | None = None) -> CSRMatrix:
+    """7-point Laplacian on an nx x ny x nz grid."""
+    ny = ny or nx
+    nz = nz or nx
+    n = nx * ny * nz
+    main = np.full(n, 6.0)
+    ex = -np.ones(n - 1)
+    ex[np.arange(1, n) % nx == 0] = 0.0
+    ey = -np.ones(n - nx)
+    ey[(np.arange(nx, n) // nx) % ny == 0] = 0.0
+    ez = -np.ones(n - nx * ny)
+    return _dia_to_csr(n, [0, 1, -1, nx, -nx, nx * ny, -nx * ny],
+                       [main, ex, ex.copy(), ey, ey.copy(), ez, ez.copy()])
+
+
+def banded_random(n: int, offsets, seed: int = 0,
+                  diag_boost: float = 1.0) -> CSRMatrix:
+    """Unsymmetric values on a fixed band structure; the main diagonal is
+    set to diag_boost + (sum of |off-diagonals| in the row) so the matrix
+    is strictly diagonally dominant — BiCGStab converges on it, like the
+    transport matrices the reference targets."""
+    rng = np.random.default_rng(seed)
+    offsets = [int(o) for o in offsets]
+    if 0 not in offsets:
+        offsets = [0] + offsets
+    diag_vals = []
+    row_abs = np.zeros(n)
+    entries = []
+    for off in offsets:
+        if off == 0:
+            continue
+        size = n - abs(off)
+        v = rng.uniform(-1.0, 1.0, size)
+        entries.append((off, v))
+        r = np.arange(0, size) if off > 0 else np.arange(-off, n)
+        np.add.at(row_abs, r, np.abs(v))
+    main = diag_boost + row_abs
+    offs = [0] + [o for o, _ in entries]
+    vals = [main] + [v for _, v in entries]
+    return _dia_to_csr(n, offs, vals)
+
+
+def random_diag_dominant(n: int, nnz_per_row: int = 8, seed: int = 0) -> CSRMatrix:
+    """Random sparsity pattern (not banded), strictly diagonally dominant."""
+    rng = np.random.default_rng(seed)
+    k = max(1, nnz_per_row - 1)
+    cols = rng.integers(0, n, size=(n, k))
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    vals = rng.uniform(-1.0, 1.0, size=n * k)
+    rows_all = np.concatenate([rows, np.arange(n, dtype=np.int64)])
+    cols_all = np.concatenate([cols.ravel(), np.arange(n, dtype=np.int64)])
+    row_abs = np.abs(vals).reshape(n, k).sum(axis=1)
+    vals_all = np.concatenate([vals, 1.0 + row_abs])
+    coo = COOMatrix(rows_all, cols_all, vals_all, (n, n))
+    return coo_to_csr(coo, sum_duplicates=True)
+
+
+def transport_like(n: int = 1_602_112, seed: int = 0) -> CSRMatrix:
+    """Benchmark matrix profiled on SuiteSparse Transport (the reference's
+    headline benchmark, README.md:29): ~1.6M rows, ~14.7 nnz/row as a
+    15-diagonal band (structurally symmetric offsets, unsymmetric values),
+    diagonally dominant. nnz ~= 15*n - O(band) ~= 24M at the default n."""
+    w = int(round(n ** (1 / 3)))
+    offsets = [1, -1, 2, -2, w, -w, w + 1, -(w + 1), w * w, -(w * w),
+               w * w + w, -(w * w + w), w * w + w + 1, -(w * w + w + 1)]
+    offsets = [o for o in offsets if abs(o) < n]
+    return banded_random(n, offsets, seed=seed, diag_boost=1.0)

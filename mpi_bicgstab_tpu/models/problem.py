@@ -1,0 +1,73 @@
+"""Problem construction mirroring the reference drivers.
+
+Every reference driver builds the RHS so the exact solution is all-ones:
+b = A*1 (main.c:109-117) or b = (A + sigma_seed*I)*1 (main_shifted.c:109-114),
+with x0 = 0. That gives a free ground-truth check: ||x - 1|| at the end.
+
+Padding: TPU shapes want n divisible by the mesh size (and ideally by
+8*128 for Pallas tiles). pad_csr_identity extends A with identity rows
+(A_pad[i,i] = 1 for i >= n); padded RHS entries are 0 so the padded
+solution components are exactly 0 and never perturb dots or residuals.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpi_bicgstab_tpu.ops.ell import EllMatrix, csr_to_ell
+from mpi_bicgstab_tpu.ops.sparse import CSRMatrix
+
+
+def pad_csr_identity(csr: CSRMatrix, multiple: int) -> CSRMatrix:
+    """Pad a square CSR to ceil(n/multiple)*multiple rows/cols with 1.0
+    identity rows. Returns csr unchanged if already aligned."""
+    n = csr.nrows
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return csr
+    extra = n_pad - n
+    ptr = np.concatenate([csr.ptr,
+                          csr.ptr[-1] + 1 + np.arange(extra, dtype=np.int64)])
+    col = np.concatenate([csr.col, np.arange(n, n_pad, dtype=np.int64)])
+    val = np.concatenate([csr.val, np.ones(extra, dtype=csr.val.dtype)])
+    return CSRMatrix(ptr, col, val, (n_pad, n_pad))
+
+
+@dataclasses.dataclass
+class Problem:
+    """A ready-to-solve system: device operator + RHS with known solution."""
+
+    csr: CSRMatrix          # padded host CSR (oracle / repartition source)
+    A: EllMatrix            # single-device ELL operator
+    b: jax.Array            # RHS, [n_pad]
+    x0: jax.Array           # zeros, [n_pad]
+    n_logical: int          # rows before padding
+    sigma_seed: float = 0.0
+
+    @property
+    def n(self) -> int:
+        return self.csr.nrows
+
+    def exact_solution(self) -> np.ndarray:
+        e = np.zeros(self.n)
+        e[: self.n_logical] = 1.0
+        return e
+
+
+def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
+                  sigma_seed: float = 0.0, ell_width: int | None = None) -> Problem:
+    """b = (A + sigma_seed I) * ones (ones over the logical rows only);
+    computed on host in float64 for accuracy, then cast to dtype."""
+    n_logical = csr.nrows
+    csr_p = pad_csr_identity(csr, multiple)
+    ones = np.zeros(csr_p.nrows)
+    ones[:n_logical] = 1.0
+    b_host = csr_p.matvec(ones) + sigma_seed * ones
+    b_host[n_logical:] = 0.0  # identity-row RHS: padded solution is 0
+    A = csr_to_ell(csr_p, width=ell_width, dtype=np.dtype(dtype))
+    b = jnp.asarray(b_host, dtype=dtype)
+    x0 = jnp.zeros_like(b)
+    return Problem(csr_p, A, b, x0, n_logical, sigma_seed)

@@ -1,0 +1,136 @@
+"""Host-side COO / CSR containers and conversions (NumPy).
+
+Rebuilds the reference's L2 data layer: the COO/CSR structs
+(matrix.h:10-26), COO row sort (coo_reorder_by_rows / coo_merge_sort,
+matrix.c:125-183 — here a vectorized stable np.lexsort), COO->CSR
+(coo2csr, matrix.c:206-232), and the diagonal-shift utility
+(csr_shift_diagonal, matrix.c:536-552).
+
+These are load-time host structures; device compute uses the padded ELL
+layout in ops/ell.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class COOMatrix:
+    """COO triplet container (reference COO_Matrix, matrix.h:10-17)."""
+
+    row: np.ndarray  # int64 [nnz]
+    col: np.ndarray  # int64 [nnz]
+    val: np.ndarray  # float [nnz]
+    shape: tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.val.size)
+
+    def sorted_by_rows(self) -> "COOMatrix":
+        """Stable sort by (row, col) — reference coo_reorder_by_rows
+        (matrix.c:125-133) sorts by row only with a stable merge sort;
+        sorting by col within a row additionally is compatible and gives
+        deterministic CSR column order."""
+        order = np.lexsort((self.col, self.row))
+        return COOMatrix(self.row[order], self.col[order], self.val[order],
+                         self.shape)
+
+    def to_dense(self) -> np.ndarray:
+        d = np.zeros(self.shape, dtype=self.val.dtype)
+        # duplicate entries accumulate, matching CSR mult semantics
+        np.add.at(d, (self.row, self.col), self.val)
+        return d
+
+
+@dataclasses.dataclass
+class CSRMatrix:
+    """CSR container (reference CSR_Matrix, matrix.h:19-26)."""
+
+    ptr: np.ndarray  # int64 [nrows+1]
+    col: np.ndarray  # int64 [nnz]
+    val: np.ndarray  # float [nnz]
+    shape: tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.val.size)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.ptr)
+
+    def to_dense(self) -> np.ndarray:
+        d = np.zeros(self.shape, dtype=self.val.dtype)
+        rows = np.repeat(np.arange(self.nrows), self.row_lengths)
+        np.add.at(d, (rows, self.col), self.val)
+        return d
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """Host oracle SpMV (reference mult, matrix.c:498-516). Note the
+        reference kernel *accumulates* into y; this returns a fresh y."""
+        rows = np.repeat(np.arange(self.nrows), self.row_lengths)
+        y = np.zeros(self.nrows, dtype=np.result_type(self.val, x))
+        np.add.at(y, rows, self.val * x[self.col])
+        return y
+
+    def shift_diagonal(self, sigma: float) -> "CSRMatrix":
+        """A_diag += sigma (reference csr_shift_diagonal, matrix.c:536-552).
+        Like the reference, hard-errors if a structural diagonal entry is
+        missing (matrix.c:547-550)."""
+        val = self.val.copy()
+        rows = np.repeat(np.arange(self.nrows), self.row_lengths)
+        is_diag = rows == self.col
+        hit_rows = np.zeros(self.nrows, dtype=bool)
+        hit_rows[rows[is_diag]] = True
+        if not hit_rows.all():
+            missing = int(np.flatnonzero(~hit_rows)[0])
+            raise ValueError(
+                f"csr_shift_diagonal: row {missing} has no structural "
+                f"diagonal entry (reference matrix.c:547-550)")
+        val[is_diag] += sigma
+        return CSRMatrix(self.ptr, self.col, val, self.shape)
+
+
+def coo_to_csr(coo: COOMatrix, sum_duplicates: bool = False) -> CSRMatrix:
+    """COO -> CSR (reference coo2csr, matrix.c:206-232: copy, merge sort,
+    row-pointer scan). The reference keeps duplicates as stored;
+    sum_duplicates=True collapses them (useful for generated matrices)."""
+    c = coo.sorted_by_rows()
+    row, col, val = c.row, c.col, c.val
+    if sum_duplicates and val.size:
+        key_same = (row[1:] == row[:-1]) & (col[1:] == col[:-1])
+        if key_same.any():
+            group = np.concatenate([[0], np.cumsum(~key_same)])
+            ngroups = group[-1] + 1
+            out_val = np.zeros(ngroups, dtype=val.dtype)
+            np.add.at(out_val, group, val)
+            first = np.concatenate([[True], ~key_same])
+            row, col, val = row[first], col[first], out_val
+    nrows = coo.shape[0]
+    counts = np.bincount(row, minlength=nrows)
+    ptr = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=ptr[1:])
+    return CSRMatrix(ptr, col.astype(np.int64), val, coo.shape)
+
+
+def csr_from_scipy(sp) -> CSRMatrix:
+    """Adopt a scipy.sparse matrix (test-oracle convenience)."""
+    m = sp.tocsr()
+    return CSRMatrix(m.indptr.astype(np.int64), m.indices.astype(np.int64),
+                     m.data, m.shape)
+
+
+def load_csr(path_or_file, dtype=np.float64, sum_duplicates: bool = False) -> CSRMatrix:
+    """.mtx -> CSR (reference csr_load_matrix, matrix.c:234-242)."""
+    from mpi_bicgstab_tpu.io.mmio import read_matrix_market
+
+    rows, cols, vals, shape = read_matrix_market(path_or_file, dtype=dtype)
+    return coo_to_csr(COOMatrix(rows, cols, vals, shape),
+                      sum_duplicates=sum_duplicates)

@@ -1,0 +1,68 @@
+"""Communicator abstraction: the TPU stand-in for the reference's MPI calls.
+
+The reference's entire communication surface is (SURVEY §2):
+  * MPI_Iallgatherv + Wait  — assemble the full iterate for the offd SpMV
+  * MPI_Iallreduce(SUM)     — global dot products
+Here those map to lax.all_gather / lax.psum over one mesh axis inside
+shard_map. A Comm with axis=None degrades every collective to the
+identity, so the *same solver code* runs single-device and distributed —
+the reference needed no such trick because mpirun -np 1 gave it the
+degenerate case for free.
+
+Overlap note: the reference hand-schedules overlap via Iallreduce/Wait
+placement (e.g. solver.c:363-385). Under XLA the psum/all_gather are
+async collectives; the latency-hiding scheduler overlaps them with
+adjacent compute, so the pipelined variants express *dependency* order
+only and leave the scheduling to the compiler.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mpi_bicgstab_tpu.ops import blas
+
+
+class Comm:
+    """Collectives over one named mesh axis (or none, single device)."""
+
+    def __init__(self, axis: str | None = None):
+        self.axis = axis
+
+    # -- reductions -----------------------------------------------------
+    def allreduce(self, x):
+        """MPI_Iallreduce(SUM) equivalent (reference solver.c:79 etc.)."""
+        if self.axis is None:
+            return x
+        return lax.psum(x, self.axis)
+
+    def dot(self, u, v):
+        """One global dot product."""
+        return self.allreduce(blas.dot(u, v))
+
+    def dots(self, *pairs):
+        """Several global dot products as ONE stacked reduction — the
+        batched-Iallreduce trick of CA-BiCGStab (solver.c:240-247)."""
+        return self.allreduce(blas.dots(*pairs))
+
+    def max(self, x):
+        if self.axis is None:
+            return x
+        return lax.pmax(x, self.axis)
+
+    # -- gathers ---------------------------------------------------------
+    def allgather(self, x_loc):
+        """MPI_Iallgatherv equivalent (reference matrix.c:432): assemble
+        the full vector from per-shard slices. tiled=True concatenates
+        along axis 0 — shards must be equal-sized (we pad to guarantee
+        this; the reference instead gave the remainder rows to the first
+        ranks, matrix.c:295-298)."""
+        if self.axis is None:
+            return x_loc
+        return lax.all_gather(x_loc, self.axis, tiled=True)
+
+    def axis_index(self):
+        if self.axis is None:
+            return jnp.int32(0)
+        return lax.axis_index(self.axis)

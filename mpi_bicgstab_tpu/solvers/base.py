@@ -1,0 +1,55 @@
+"""Result containers shared by all solver families."""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["x", "n_iter", "final_relres", "history", "converged"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    """Result of a classic-family solve.
+
+    x:            solution vector (local shard when distributed)
+    n_iter:       iterations executed (reference return value, solver.c:145)
+    final_relres: sqrt(dot_r / dot_zero) — the reference's "Final r"
+                  print (solver.c:136). This is the *recursive* residual,
+                  not the true residual (SURVEY quirk #4).
+    history:      [max_iter] per-iteration relative residuals (NaN beyond
+                  n_iter) — the data behind doc/residual_result.png.
+    converged:    dot_r <= tol^2 * dot_zero at exit.
+    """
+
+    x: jax.Array
+    n_iter: jax.Array
+    final_relres: jax.Array
+    history: jax.Array
+    converged: jax.Array
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["x_set", "n_iter", "final_relres", "history",
+                      "stop_flags", "final_seed"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class ShiftedResult:
+    """Result of a shifted-family solve.
+
+    x_set:        [n_sigma, n] solutions of (A + sigma_j I) x_j = b
+    final_relres: seed-system recursive relative residual at exit
+    history:      [max_iter] seed relative-residual history
+    stop_flags:   [n_sigma] per-shift converged flags (switching family;
+                  all-True <=> every shift hit tolerance)
+    final_seed:   seed index at exit (changes under seed switching)
+    """
+
+    x_set: jax.Array
+    n_iter: jax.Array
+    final_relres: jax.Array
+    history: jax.Array
+    stop_flags: jax.Array
+    final_seed: jax.Array

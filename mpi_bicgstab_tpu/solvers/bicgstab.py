@@ -1,0 +1,307 @@
+"""The classic BiCGStab family as jit-compiled lax.while_loop bodies.
+
+Four algorithms, mathematically identical in update order to the
+reference (so convergence trajectories match to rounding):
+
+  bicgstab          — reference src/solver.c:35-146
+  ca_bicgstab       — reference src/solver.c:160-278 (Cools-style
+                      communication-avoiding rearrangement)
+  pipe_bicgstab     — reference src/solver.c:292-417 (communication-hiding
+                      pipelined BiCGStab, Cools & Vanroose 2017,
+                      doi:10.1016/j.parco.2017.04.005)
+  pipe_bicgstab_rr  — reference src/solver.c:433-576 (+ periodic residual
+                      replacement)
+
+Each takes:
+  spmv: callable x -> A@x over the *local* shard (single-device: full A)
+  comm: parallel.comm.Comm — psum-based global dots (axis=None single-dev)
+  b, x0: RHS / initial guess (local shards when distributed)
+  cfg:  utils.config.SolverConfig
+
+Communication mapping (vs the reference's hand-scheduled MPI):
+  * dot rendezvous that the reference waits together become ONE stacked
+    psum (comm.dots) — e.g. (q,y),(y,y) at solver.c:97-102.
+  * the reference's Iallreduce-overlapping-SpMV placements (solver.c:
+    363-367, 377-385) become dependency-order only; XLA's async
+    collectives + latency-hiding scheduler provide the overlap.
+  * the first-iteration reads of uninitialized omega/s/z/v/p
+    (solver.c:217-222,352-360 — SURVEY quirk #3) are replaced by explicit
+    zero init, which produces the identical p=r, s=w, z=t first step
+    because beta=0.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from mpi_bicgstab_tpu.solvers.base import SolveResult
+from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+
+def _zeros_like(v):
+    return jnp.zeros_like(v)
+
+
+def _finish(x, k, dot_r, dot_zero, tol2, hist):
+    relres = jnp.sqrt(dot_r / dot_zero)
+    history = jnp.sqrt(hist / dot_zero)
+    return SolveResult(x=x, n_iter=k, final_relres=relres, history=history,
+                       converged=dot_r <= tol2 * dot_zero)
+
+
+def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
+    """Classic BiCGStab (reference solver.c:35-146).
+
+    Per iteration: 2 SpMV, 4 reduction points — (r#,s) alone, then
+    (q,y)+(y,y) batched, then (r,r)+(r#,r) batched, exactly the
+    reference's Wait structure (solver.c:89-114)."""
+    dtype = b.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+
+    r0 = b - spmv(x0)                      # solver.c:74-75
+    r_hat = r0                             # solver.c:76
+    p0 = r0                                # solver.c:77
+    rTr0 = comm.dot(r0, r0)                # solver.c:78-80
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        k, x, r, p, rTr, dot_r, hist = c
+        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:86
+
+    def body(c):
+        k, x, r, p, rTr, dot_r, hist = c
+        s = spmv(p)                                     # solver.c:88
+        rTs = comm.dot(r_hat, s)                        # solver.c:89-91
+        alpha = rTr / rTs                               # solver.c:93
+        q = r - alpha * s                               # solver.c:94
+        y = spmv(q)                                     # solver.c:96
+        qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:97-102
+        omega = qTy / yTy                               # solver.c:104
+        x = x + alpha * p + omega * q                   # solver.c:105-106
+        r_new = q - omega * y                           # solver.c:107
+        dot_r, rTr_new = comm.dots((r_new, r_new),
+                                   (r_hat, r_new))      # solver.c:108-114
+        beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:116
+        p = r_new + beta * (p - omega * s)              # solver.c:117-119
+        hist = hist.at[k].set(dot_r)
+        return (k + 1, x, r_new, p, rTr_new, dot_r, hist)
+
+    k0 = jnp.int32(0)
+    out = lax.while_loop(cond, body, (k0, x0, r0, p0, rTr0, rTr0, hist0))
+    k, x, _r, _p, _rTr, dot_r, hist = out
+    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+
+
+def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
+    """Communication-avoiding BiCGStab (reference solver.c:160-278).
+
+    Still 2 SpMV/iter but only 2 reduction points: (q,y)+(y,y) batched
+    (solver.c:227-230) and one length-5 batch of (r,r),(r#,r),(r#,w),
+    (r#,s),(r#,z) (the reference batches the last four at solver.c:
+    240-247 and lets (r,r) ride until the loop end, solver.c:253)."""
+    dtype = b.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+
+    r0 = b - spmv(x0)                      # solver.c:200-201
+    r_hat = r0                             # solver.c:202
+    w0 = spmv(r0)                          # solver.c:205
+    rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))   # solver.c:203-208
+    alpha0 = rTr0 / rTw0                   # solver.c:210
+    beta0 = jnp.asarray(0.0, dtype)        # solver.c:211
+    omega0 = jnp.asarray(0.0, dtype)       # zero-init replaces quirk #3
+    z = _zeros_like(b)
+    s = _zeros_like(b)
+    p = _zeros_like(b)
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist = c
+        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:216
+
+    def body(c):
+        k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist = c
+        p = r + beta * (p - omega * s)                  # solver.c:217-219
+        s = w + beta * (s - omega * z)                  # solver.c:220-222
+        z = spmv(s)                                     # solver.c:224
+        q = r - alpha * s                               # solver.c:225
+        y = w - alpha * z                               # solver.c:226
+        qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:227-230
+        omega = qTy / yTy                               # solver.c:232
+        x = x + alpha * p + omega * q                   # solver.c:233-234
+        r = q - omega * y                               # solver.c:235
+        w = spmv(r)                                     # solver.c:238
+        dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
+            (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
+        )                                               # solver.c:236,240-247
+        beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:248
+        alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:249
+        hist = hist.at[k].set(dot_r)
+        return (k + 1, x, r, w, p, s, z, alpha, beta, omega, rTr_new,
+                dot_r, hist)
+
+    k0 = jnp.int32(0)
+    out = lax.while_loop(cond, body, (k0, x0, r0, w0, p, s, z, alpha0,
+                                      beta0, omega0, rTr0, rTr0, hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[11], out[12]
+    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+
+
+def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
+    """Pipelined BiCGStab (reference solver.c:292-417).
+
+    Each SpMV is issued *between* a dot batch and its consumers so the
+    reduction latency hides behind nnz-proportional compute: v <- A z
+    rides the (q,y),(y,y) batch (solver.c:363-367), t <- A w rides the
+    4-dot batch (solver.c:377-385). Extra recurrence vectors v, t."""
+    dtype = b.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+
+    r0 = b - spmv(x0)                      # solver.c:333-334
+    r_hat = r0                             # solver.c:335
+    w0 = spmv(r0)                          # solver.c:338
+    t0 = spmv(w0)                          # solver.c:341
+    rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))   # solver.c:336-343
+    alpha0 = rTr0 / rTw0                   # solver.c:345
+    beta0 = jnp.asarray(0.0, dtype)
+    omega0 = jnp.asarray(0.0, dtype)
+    p = s = z = v = _zeros_like(b)
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:351
+
+    def body(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        p = r + beta * (p - omega * s)                  # solver.c:352-354
+        s = w + beta * (s - omega * z)                  # solver.c:355-357
+        z = t + beta * (z - omega * v)                  # solver.c:358-360
+        q = r - alpha * s                               # solver.c:361
+        y = w - alpha * z                               # solver.c:362
+        qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:363-364
+        v = spmv(z)                      # overlaps the dots, solver.c:365
+        omega = qTy / yTy                               # solver.c:369
+        x = x + alpha * p + omega * q                   # solver.c:370-371
+        r = q - omega * y                               # solver.c:372
+        w = y - omega * (t - alpha * v)                 # solver.c:374-375
+        dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
+            (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
+        )                                               # solver.c:373,377-380
+        t = spmv(w)                      # overlaps the dots, solver.c:381
+        beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:387
+        alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:388
+        hist = hist.at[k].set(dot_r)
+        return (k + 1, x, r, w, t, p, s, z, v, alpha, beta, omega,
+                rTr_new, dot_r, hist)
+
+    k0 = jnp.int32(0)
+    out = lax.while_loop(cond, body, (k0, x0, r0, w0, t0, p, s, z, v,
+                                      alpha0, beta0, omega0, rTr0, rTr0,
+                                      hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[13], out[14]
+    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+
+
+def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
+    """Pipelined BiCGStab with residual replacement (solver.c:433-576).
+
+    Every cfg.krr iterations (at most cfg.nrr times) the recurrence
+    vectors are re-anchored: s <- A p, z <- A s (solver.c:498-500) and the
+    TRUE residual r <- b - A x, w <- A r (solver.c:522-526). This repairs
+    the pipelined variant's rounding-error stagnation floor
+    (doc/residual_result.png: pipe stalls at ~1e-11, RR recovers 1e-15)."""
+    dtype = b.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+    krr, nrr = cfg.krr, cfg.nrr
+
+    r0 = b - spmv(x0)                      # solver.c:475-477 (b saved)
+    r_hat = r0
+    w0 = spmv(r0)
+    t0 = spmv(w0)
+    rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))
+    alpha0 = rTr0 / rTw0
+    beta0 = jnp.asarray(0.0, dtype)
+    omega0 = jnp.asarray(0.0, dtype)
+    p = s = z = v = _zeros_like(b)
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:493
+
+    def body(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        is_rr = (k % krr == 0) & (k > 0) & (k <= krr * nrr)  # solver.c:498
+
+        p = r + beta * (p - omega * s)                  # solver.c:494-496
+
+        def sz_replace(_):
+            s2 = spmv(p)                                # solver.c:499
+            z2 = spmv(s2)                               # solver.c:500
+            return s2, z2
+
+        def sz_recur(_):
+            s2 = w + beta * (s - omega * z)             # solver.c:502-504
+            z2 = t + beta * (z - omega * v)             # solver.c:505-507
+            return s2, z2
+
+        s, z = lax.cond(is_rr, sz_replace, sz_recur, None)
+
+        q = r - alpha * s                               # solver.c:510
+        y = w - alpha * z                               # solver.c:511
+        qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:512-513
+        v = spmv(z)                                     # solver.c:514
+        omega = qTy / yTy                               # solver.c:518
+        x = x + alpha * p + omega * q                   # solver.c:519-520
+
+        def rw_replace(_):
+            r2 = b - spmv(x)                            # solver.c:523-525
+            w2 = spmv(r2)                               # solver.c:526
+            return r2, w2
+
+        def rw_recur(_):
+            r2 = q - omega * y                          # solver.c:528
+            w2 = y - omega * (t - alpha * v)            # solver.c:529-530
+            return r2, w2
+
+        r, w = lax.cond(is_rr, rw_replace, rw_recur, None)
+
+        dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
+            (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
+        )                                               # solver.c:533-538
+        t = spmv(w)                                     # solver.c:539
+        beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:545
+        alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:546
+        hist = hist.at[k].set(dot_r)
+        return (k + 1, x, r, w, t, p, s, z, v, alpha, beta, omega,
+                rTr_new, dot_r, hist)
+
+    k0 = jnp.int32(0)
+    out = lax.while_loop(cond, body, (k0, x0, r0, w0, t0, p, s, z, v,
+                                      alpha0, beta0, omega0, rTr0, rTr0,
+                                      hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[13], out[14]
+    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+
+
+CLASSIC_SOLVERS = {
+    "bicgstab": bicgstab,
+    "ca_bicgstab": ca_bicgstab,
+    "pipe_bicgstab": pipe_bicgstab,
+    "pipe_bicgstab_rr": pipe_bicgstab_rr,
+}

@@ -1,0 +1,61 @@
+"""Solver configuration.
+
+Replaces the reference's compile-time ``#define`` farm (EPS / MAX_ITER at
+solver.c:3-4, shifted_solver.c:5-6; OUT_ITER solver.c:9; SIGMA_LENGTH /
+SEED main_shifted.c:13-14) with a runtime dataclass. Defaults mirror the
+reference's constants.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Configuration for the classic BiCGStab family.
+
+    tol:       relative-residual stopping tolerance. The loop stops when
+               (r,r) <= tol^2 * (r0,r0)  (reference solver.c:86).
+               Reference default 1e-15 (solver.c:3); note that at float32
+               the attainable floor is ~1e-7, so pass a looser tol there.
+    max_iter:  static iteration cap (solver.c:4). Static because jit needs
+               fixed-size residual-history buffers.
+    krr, nrr:  residual-replacement period / count for pipe_bicgstab_rr
+               (solver.c:433, main.c:134-135).
+    dtype:     vector/matrix element type. float64 requires
+               jax.config.update("jax_enable_x64", True) (slow on TPU —
+               f64 is software-emulated; use float32 on TPU benches).
+    record_history: if True, the per-iteration relative residual is written
+               into a [max_iter] device buffer returned in the result.
+    """
+
+    tol: float = 1.0e-15
+    max_iter: int = 1000
+    krr: int = 100
+    nrr: int = 4
+    dtype: jnp.dtype = jnp.float64
+    record_history: bool = True
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShiftedConfig:
+    """Configuration for the shifted (multi-sigma) solver family.
+
+    Reference defaults: EPS 1e-12 (shifted_solver.c:5,
+    shifted_switching_solver.c:5), MAX_ITER 1000; the sigma ladder and the
+    seed index are runtime inputs of the drivers (main_shifted.c:95-100).
+    """
+
+    tol: float = 1.0e-12
+    max_iter: int = 1000
+    dtype: jnp.dtype = jnp.float64
+    record_history: bool = True
+
+    def replace(self, **kw) -> "ShiftedConfig":
+        return dataclasses.replace(self, **kw)

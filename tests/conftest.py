@@ -1,0 +1,17 @@
+"""Test environment: 8 virtual CPU devices + float64.
+
+The TPU analogue of the reference's laptop `mpirun -np 1..4` testing
+(main.c:2-5 comments): a fake 8-device mesh on the host CPU so the
+shard_map distributed path is exercised without hardware, and x64 so
+convergence tests can reach the reference's 1e-12..1e-15 tolerances.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,99 @@
+"""Convergence tests for the classic BiCGStab family, single device.
+
+The minimum end-to-end slice (SURVEY §7 step 3): b = A*ones so the exact
+solution is all-ones (reference main.c:109-117); assert convergence to
+tolerance, agreement with the all-ones truth, and trajectory agreement
+with the NumPy oracle.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpi_bicgstab_tpu.api import solve
+from mpi_bicgstab_tpu.models.generators import (banded_random, poisson2d,
+                                                random_diag_dominant)
+from mpi_bicgstab_tpu.models.problem import build_problem
+from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+from oracles import bicgstab_oracle
+
+METHODS = ["bicgstab", "ca_bicgstab", "pipe_bicgstab", "pipe_bicgstab_rr"]
+
+
+def _problem(gen):
+    csr = gen()
+    return build_problem(csr, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("method", METHODS)
+@pytest.mark.parametrize("gen", [
+    lambda: poisson2d(16),                                 # SPD, 256 rows
+    lambda: banded_random(240, [1, -1, 16, -16], seed=1),  # unsymmetric
+    lambda: random_diag_dominant(200, 8, seed=2),
+])
+def test_converges_to_all_ones(method, gen):
+    prob = _problem(gen)
+    cfg = SolverConfig(tol=1e-10, max_iter=800)
+    res = solve(prob.A, prob.b, method=method, cfg=cfg)
+    assert bool(res.converged), f"{method} did not converge"
+    err = np.abs(np.asarray(res.x) - prob.exact_solution()).max()
+    assert err < 1e-7, f"{method}: max err {err}"
+    # true residual check, not just the recursive one
+    true_r = np.asarray(prob.b) - prob.csr.matvec(np.asarray(res.x))
+    rel = np.linalg.norm(true_r) / np.linalg.norm(np.asarray(prob.b))
+    assert rel < 1e-8
+
+
+def test_matches_numpy_oracle_trajectory():
+    prob = _problem(lambda: banded_random(150, [1, -1, 12, -12], seed=5))
+    cfg = SolverConfig(tol=1e-10, max_iter=500)
+    res = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+    x_o, k_o, hist_o = bicgstab_oracle(prob.csr.to_dense(),
+                                       np.asarray(prob.b), tol=1e-10)
+    assert abs(int(res.n_iter) - k_o) <= 2
+    n = min(int(res.n_iter), k_o, 10)
+    # early-trajectory agreement before rounding paths diverge
+    np.testing.assert_allclose(np.asarray(res.history[:n]), hist_o[:n],
+                               rtol=1e-6)
+
+
+def test_history_shape_and_nan_padding():
+    prob = _problem(lambda: poisson2d(8))
+    cfg = SolverConfig(tol=1e-10, max_iter=300)
+    res = solve(prob.A, prob.b, cfg=cfg)
+    h = np.asarray(res.history)
+    k = int(res.n_iter)
+    assert h.shape == (300,)
+    assert np.isfinite(h[:k]).all() and np.isnan(h[k:]).all()
+    assert (np.diff(np.log10(h[:k]))[-3:] < 1).all()  # roughly decreasing
+
+
+def test_zero_rhs_returns_immediately():
+    prob = _problem(lambda: poisson2d(8))
+    res = solve(prob.A, jnp.zeros_like(prob.b))
+    assert int(res.n_iter) == 0
+
+
+def test_rr_replacement_happens():
+    # with krr small, RR iterations recompute the true residual; the
+    # solve must still converge and agree with the truth
+    prob = _problem(lambda: banded_random(220, [1, -1, 14, -14], seed=9))
+    cfg = SolverConfig(tol=1e-11, max_iter=800, krr=10, nrr=5)
+    res = solve(prob.A, prob.b, method="pipe_bicgstab_rr", cfg=cfg)
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.x) - prob.exact_solution()).max()
+    assert err < 1e-7
+
+
+def test_float32_path_runs():
+    prob0 = _problem(lambda: poisson2d(12))
+    b32 = prob0.b.astype(jnp.float32)
+    from mpi_bicgstab_tpu.ops.ell import EllMatrix
+    A = prob0.A
+    A32 = EllMatrix(A.cols, A.vals.astype(jnp.float32), A.tail_rows,
+                    A.tail_cols, A.tail_vals.astype(jnp.float32),
+                    A.n_rows, A.n_cols)
+    cfg = SolverConfig(tol=1e-5, max_iter=400, dtype=jnp.float32)
+    res = solve(A32, b32, cfg=cfg)
+    assert bool(res.converged)
+    assert np.abs(np.asarray(res.x) - 1.0).max() < 1e-3

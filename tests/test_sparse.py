@@ -1,0 +1,111 @@
+"""Unit tests: COO/CSR containers, conversions, ELL layout, SpMV.
+
+Covers reference components C2-C4, C6, C20 against dense NumPy truth.
+"""
+import numpy as np
+import pytest
+
+from mpi_bicgstab_tpu.models.generators import (banded_random, poisson2d,
+                                                poisson3d,
+                                                random_diag_dominant)
+from mpi_bicgstab_tpu.ops.ell import csr_to_ell, ell_to_dense
+from mpi_bicgstab_tpu.ops.sparse import COOMatrix, CSRMatrix, coo_to_csr
+from mpi_bicgstab_tpu.ops.spmv import ell_spmv, ell_spmv_shifted
+
+
+def _rand_coo(n, m, nnz, seed=0, dup=False):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, m, nnz)
+    vals = rng.standard_normal(nnz)
+    if dup:
+        rows[: nnz // 4] = rows[nnz // 4: nnz // 2]
+        cols[: nnz // 4] = cols[nnz // 4: nnz // 2]
+    return COOMatrix(rows.astype(np.int64), cols.astype(np.int64), vals, (n, m))
+
+
+def test_coo_to_csr_matches_dense():
+    coo = _rand_coo(37, 23, 300)
+    csr = coo_to_csr(coo)
+    np.testing.assert_allclose(csr.to_dense(), coo.to_dense(), atol=1e-14)
+    assert csr.ptr[-1] == coo.nnz
+
+
+def test_coo_to_csr_sum_duplicates():
+    coo = _rand_coo(20, 20, 200, dup=True)
+    csr = coo_to_csr(coo, sum_duplicates=True)
+    np.testing.assert_allclose(csr.to_dense(), coo.to_dense(), atol=1e-14)
+    # sorted, unique (row, col) pairs
+    rows = np.repeat(np.arange(20), csr.row_lengths)
+    keys = rows * 20 + csr.col
+    assert (np.diff(keys) > 0).all()
+
+
+def test_csr_matvec_matches_dense():
+    coo = _rand_coo(50, 50, 400, seed=3)
+    csr = coo_to_csr(coo)
+    x = np.random.default_rng(1).standard_normal(50)
+    np.testing.assert_allclose(csr.matvec(x), csr.to_dense() @ x, rtol=1e-12)
+
+
+def test_shift_diagonal():
+    csr = poisson2d(6)
+    shifted = csr.shift_diagonal(0.25)
+    np.testing.assert_allclose(shifted.to_dense(),
+                               csr.to_dense() + 0.25 * np.eye(36), atol=0)
+
+
+def test_shift_diagonal_missing_entry_raises():
+    # matrix with an empty diagonal slot must hard-error (matrix.c:547-550)
+    coo = COOMatrix(np.array([0, 1]), np.array([1, 0]),
+                    np.array([1.0, 2.0]), (2, 2))
+    csr = coo_to_csr(coo)
+    with pytest.raises(ValueError, match="diagonal"):
+        csr.shift_diagonal(1.0)
+
+
+@pytest.mark.parametrize("gen", [
+    lambda: poisson2d(7),
+    lambda: poisson3d(4),
+    lambda: banded_random(64, [1, -1, 5, -5], seed=2),
+    lambda: random_diag_dominant(60, nnz_per_row=6, seed=4),
+])
+def test_ell_roundtrip(gen):
+    csr = gen()
+    A = csr_to_ell(csr)
+    np.testing.assert_allclose(ell_to_dense(A), csr.to_dense(), atol=1e-14)
+    assert A.tail_size == 0 or np.asarray(A.tail_vals).any() == False  # noqa: E712
+
+
+def test_ell_width_cap_spills_to_tail():
+    csr = random_diag_dominant(40, nnz_per_row=9, seed=7)
+    A = csr_to_ell(csr, width=3)
+    assert A.width == 3 and A.tail_size > 0
+    np.testing.assert_allclose(ell_to_dense(A), csr.to_dense(), atol=1e-14)
+
+
+@pytest.mark.parametrize("width", [None, 3])
+def test_ell_spmv_matches_dense(width):
+    csr = random_diag_dominant(48, nnz_per_row=7, seed=5)
+    A = csr_to_ell(csr, width=width)
+    x = np.random.default_rng(2).standard_normal(48)
+    y = np.asarray(ell_spmv(A, x))
+    np.testing.assert_allclose(y, csr.to_dense() @ x, rtol=1e-12)
+
+
+def test_ell_spmv_shifted():
+    csr = poisson2d(5)
+    A = csr_to_ell(csr)
+    x = np.random.default_rng(0).standard_normal(25)
+    y = np.asarray(ell_spmv_shifted(A, x, 0.7))
+    np.testing.assert_allclose(y, (csr.to_dense() + 0.7 * np.eye(25)) @ x,
+                               rtol=1e-12)
+
+
+def test_generators_are_diag_dominant():
+    for csr in [banded_random(50, [1, -1, 7, -7], seed=1),
+                random_diag_dominant(50, 8, seed=1)]:
+        d = csr.to_dense()
+        diag = np.abs(np.diag(d))
+        off = np.abs(d).sum(axis=1) - diag
+        assert (diag > off).all()
