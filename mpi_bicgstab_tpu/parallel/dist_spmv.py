@@ -1,0 +1,72 @@
+"""Distributed SpMV bodies (called inside shard_map).
+
+Two variants, mirroring the reference's two halo-exchange strategies:
+
+* allgather (default) — MPI_csr_spmv_ovlap (matrix.c:428-441): gather the
+  full iterate, diagonal-block multiply while the gather is in flight
+  (XLA's async collectives + latency-hiding scheduler take the role of
+  the Iallgatherv/Wait placement), then off-diagonal multiply.
+
+* ring — MPI_csr_spmv_async (matrix.c:450-492), the point-to-point
+  Isend/Irecv/Waitsome path ("slower than Allgatherv, unused"
+  matrix.c:448). Here: lax.ppermute rotates each shard's slice around
+  the ring; at every step the off-diagonal columns owned by the current
+  source shard are multiplied. Kept for parity and for topologies where
+  neighbor-limited sparsity makes a ring cheaper than a full gather.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from mpi_bicgstab_tpu.ops.ell import EllMatrix
+from mpi_bicgstab_tpu.ops.spmv import ell_spmv
+from mpi_bicgstab_tpu.parallel.comm import Comm
+
+
+def spmv_allgather(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc):
+    """y_loc = A_loc_diag @ x_loc + A_loc_offd @ allgather(x)."""
+    x_full = comm.allgather(x_loc)
+    y = ell_spmv(diag, x_loc)          # overlaps the gather (matrix.c:437)
+    return y + ell_spmv(offd, x_full)  # needs gathered x (matrix.c:440)
+
+
+def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
+              n_devices: int):
+    """Ring-permute halo exchange: P-1 ppermute hops; at hop h each shard
+    holds the slice of the shard h positions up the ring and multiplies
+    the offd columns that fall in that source's range."""
+    axis = comm.axis
+    n_loc = x_loc.shape[0]
+    me = lax.axis_index(axis)
+    y = ell_spmv(diag, x_loc)
+
+    offd_block = offd.cols // n_loc   # source shard of each offd column
+    local_col = offd.cols % n_loc
+
+    def hop(h, carry):
+        y, buf = carry
+        # after h hops the buffer holds the slice of shard (me + h) % P
+        src = (me + h) % n_devices
+        vals = jnp.where(offd_block == src, offd.vals,
+                         jnp.zeros_like(offd.vals))
+        acc = jnp.zeros_like(y)
+        for w in range(offd.width):
+            acc = acc + vals[w] * buf[local_col[w]]
+        y = y + acc
+        perm = [(i, (i - 1) % n_devices) for i in range(n_devices)]
+        buf = lax.ppermute(buf, axis, perm)
+        return y, buf
+
+    buf = x_loc
+    # hop 0 multiplies our own slice's offd columns (normally none, but
+    # width-capped tails can leave local columns in the offd block)
+    y, buf = lax.fori_loop(1, n_devices, hop, hop(0, (y, buf)))
+    if offd.tail_size:
+        # tails are rare; fall back to one gather for them
+        x_full = comm.allgather(x_loc)
+        tail = offd.tail_vals * x_full[offd.tail_cols]
+        import jax
+        y = y + jax.ops.segment_sum(tail, offd.tail_rows,
+                                    num_segments=offd.n_rows)
+    return y

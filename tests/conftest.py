@@ -14,4 +14,8 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel) via a
+# sitecustomize hook; override after import so tests run on the fake
+# 8-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,120 @@
+"""Distributed-path tests on the 8-virtual-CPU-device mesh (the TPU
+analogue of the reference's multi-rank runs; SURVEY §7 step 4)."""
+import jax
+import numpy as np
+import pytest
+
+from mpi_bicgstab_tpu.api import solve
+from mpi_bicgstab_tpu.models.generators import (banded_random, poisson2d,
+                                                random_diag_dominant)
+from mpi_bicgstab_tpu.models.problem import build_problem
+from mpi_bicgstab_tpu.ops.ell import csr_to_ell
+from mpi_bicgstab_tpu.parallel.driver import (make_dist_spmv, put_partitioned,
+                                              put_vector, solve_distributed)
+from mpi_bicgstab_tpu.parallel.mesh import make_row_mesh
+from mpi_bicgstab_tpu.parallel.partition import partition_csr
+from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def test_partition_reassembles_to_original():
+    csr = banded_random(100, [1, -1, 9, -9], seed=3)
+    part = partition_csr(csr, 4)
+    dense = np.zeros((part.n_global, part.n_global))
+    n_loc = part.n_loc
+    # diag blocks: local cols -> global offset
+    from mpi_bicgstab_tpu.ops.ell import EllMatrix, ell_to_dense
+    for d in range(4):
+        s = d * n_loc
+        sl = slice(s, s + n_loc)
+        diag = EllMatrix(part.diag_cols[:, sl], part.diag_vals[:, sl],
+                         part.diag_tail_rows.reshape(4, -1)[d],
+                         part.diag_tail_cols.reshape(4, -1)[d],
+                         part.diag_tail_vals.reshape(4, -1)[d],
+                         n_loc, n_loc)
+        offd = EllMatrix(part.offd_cols[:, sl], part.offd_vals[:, sl],
+                         part.offd_tail_rows.reshape(4, -1)[d],
+                         part.offd_tail_cols.reshape(4, -1)[d],
+                         part.offd_tail_vals.reshape(4, -1)[d],
+                         n_loc, part.n_global)
+        dense[sl, s:s + n_loc] += ell_to_dense(diag)
+        dense[sl, :] += ell_to_dense(offd)
+    from mpi_bicgstab_tpu.models.problem import pad_csr_identity
+    expect = pad_csr_identity(csr, 8 * 4).to_dense()
+    np.testing.assert_allclose(dense, expect, atol=1e-14)
+
+
+@requires_8
+@pytest.mark.parametrize("halo", ["allgather", "ring"])
+def test_dist_spmv_matches_host(halo):
+    csr = banded_random(200, [1, -1, 17, -17], seed=1)
+    part = partition_csr(csr, 8)
+    mesh = make_row_mesh(8)
+    part_d = put_partitioned(part, mesh)
+    rng = np.random.default_rng(0)
+    x_host = rng.standard_normal(part.n_global)
+    x = put_vector(x_host, part, mesh)
+    y = np.asarray(make_dist_spmv(part_d, mesh, halo=halo)(x))
+    from mpi_bicgstab_tpu.models.problem import pad_csr_identity
+    expect = pad_csr_identity(csr, 64).matvec(x_host)
+    np.testing.assert_allclose(y, expect, rtol=1e-12)
+
+
+@requires_8
+@pytest.mark.parametrize("method", ["bicgstab", "ca_bicgstab",
+                                    "pipe_bicgstab", "pipe_bicgstab_rr"])
+def test_distributed_solve_matches_single_device(method):
+    csr = banded_random(264, [1, -1, 12, -12], seed=6)
+    cfg = SolverConfig(tol=1e-10, max_iter=600)
+
+    prob = build_problem(csr)
+    res1 = solve(prob.A, prob.b, method=method, cfg=cfg)
+
+    part = partition_csr(csr, 8)
+    b = np.asarray(prob.b)[: csr.nrows]
+    res8 = solve_distributed(part, b, method=method, cfg=cfg)
+
+    assert bool(res8.converged)
+    # same algorithm, different reduction order: iteration counts must
+    # agree closely, solutions must agree to the tolerance scale
+    assert abs(int(res8.n_iter) - int(res1.n_iter)) <= 3
+    x8 = np.asarray(res8.x)[: csr.nrows]
+    assert np.abs(x8 - 1.0).max() < 1e-7
+
+
+@requires_8
+def test_distributed_solve_ring_halo():
+    csr = random_diag_dominant(160, 7, seed=2)
+    part = partition_csr(csr, 8)
+    b = csr.matvec(np.ones(csr.nrows))
+    res = solve_distributed(part, b, method="bicgstab",
+                            cfg=SolverConfig(tol=1e-10, max_iter=400),
+                            halo="ring")
+    assert bool(res.converged)
+    assert np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max() < 1e-7
+
+
+@requires_8
+def test_uneven_size_padding():
+    # 123 rows over 8 devices: padding with identity rows must be
+    # invisible in the logical solution
+    csr = poisson2d(11)  # 121 rows
+    part = partition_csr(csr, 8)
+    assert part.n_global % 8 == 0 and part.n_global >= 121
+    b = csr.matvec(np.ones(121))
+    res = solve_distributed(part, b, cfg=SolverConfig(tol=1e-11,
+                                                      max_iter=400))
+    x = np.asarray(res.x)
+    assert np.abs(x[:121] - 1.0).max() < 1e-8
+    np.testing.assert_allclose(x[121:], 0.0, atol=1e-12)
+
+
+@requires_8
+def test_mesh_size_mismatch_raises():
+    csr = poisson2d(8)
+    part = partition_csr(csr, 4)
+    mesh = make_row_mesh(8)
+    with pytest.raises(ValueError, match="partitioned for"):
+        solve_distributed(part, csr.matvec(np.ones(64)), mesh=mesh)
