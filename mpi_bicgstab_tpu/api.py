@@ -23,6 +23,43 @@ def _solve_jit(A: EllMatrix, b, x0, method: str, cfg: SolverConfig):
     return CLASSIC_SOLVERS[method](lambda v: ell_spmv(A, v), comm, b, x0, cfg)
 
 
+def _all_shifted_solvers():
+    from mpi_bicgstab_tpu.solvers.shifted import SHIFTED_SOLVERS
+    from mpi_bicgstab_tpu.solvers.switching import SWITCHING_SOLVERS
+    return {**SHIFTED_SOLVERS, **SWITCHING_SOLVERS}
+
+
+@partial(jax.jit, static_argnames=("method", "seed", "cfg"))
+def _solve_shifted_jit(A: EllMatrix, b, sigma, method: str, seed: int,
+                       cfg):
+    comm = Comm(None)
+    spmv = lambda v: ell_spmv(A, v)  # noqa: E731
+    fn = _all_shifted_solvers()[method]
+    if method == "shifted_bicgstab":
+        return fn(spmv, comm, b, sigma, cfg)
+    return fn(spmv, comm, b, sigma, seed, cfg)
+
+
+def solve_shifted(A: EllMatrix, b, sigma, seed: int = 0,
+                  method: str = "shifted_lopbicgstab", cfg=None):
+    """Solve (A + sigma_j I) x_j = b for every shift in the ladder from
+    one Krylov sequence (x0 = 0, as in every reference driver). For
+    method='shifted_bicgstab' the seed is the unshifted system and the
+    seed argument is ignored (reference shifted_solver.c:90)."""
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+    solvers = _all_shifted_solvers()
+    if method not in solvers:
+        raise ValueError(f"unknown method {method!r}; "
+                         f"choose from {sorted(solvers)}")
+    b = jnp.asarray(b)
+    sigma = jnp.asarray(sigma, b.dtype)
+    if not (0 <= seed < sigma.shape[0]):
+        raise ValueError(f"seed {seed} out of range for {sigma.shape[0]} shifts")
+    if cfg is None:
+        cfg = ShiftedConfig(dtype=b.dtype)
+    return _solve_shifted_jit(A, b, sigma, method, int(seed), cfg)
+
+
 def solve(A: EllMatrix, b, x0=None, method: str = "bicgstab",
           cfg: SolverConfig | None = None):
     """Solve A x = b with one of the classic BiCGStab family on the

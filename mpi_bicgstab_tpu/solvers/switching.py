@@ -1,0 +1,287 @@
+"""Shifted LOP-BiCG with per-shift stopping and seed switching — the
+reference's flagship solver (what its root Makefile builds).
+
+  shifted_lopbicg           — reference shifted_switching_solver.c:20-257.
+      LOP-BiCG shifted solve where each converged shift freezes its
+      vector updates (stop_flag, :75,:136-149) — on TPU a boolean mask
+      over the shift axis instead of ragged control flow.
+
+  shifted_lopbicg_switching — reference shifted_switching_solver.c:260-608.
+      Additionally archives the per-iteration seed scalars alpha/beta/
+      omega and the full pi history [sigma, iter] (:320-323). When the
+      seed system converges while shifts remain, it picks the WORST
+      remaining shift (max |1/(zeta pi)|, :470-473), REBASES the entire
+      scalar history onto that shift as the new seed (alpha/beta/omega
+      remap :494-498, residual rescale :499, pi/zeta recompute over all
+      past iterations :509-517), sets seed = max_sigma (:525) and keeps
+      iterating — so late-converging shifts get fresh dot-product
+      information instead of drifting on stale recurrences.
+
+TPU design notes:
+  * the seed index is a TRACED int32 in the while_loop carry — dynamic
+    row gathers (p_set[seed]) and scatters (.at[seed].add) handle it;
+    no recompilation on switch.
+  * the alpha/beta/omega history rebase is elementwise over the
+    iteration axis -> one masked vector op, not a loop.
+  * the pi/zeta history recompute is sequential in i -> lax.fori_loop
+    with a traced upper bound k+1, executed only inside the lax.cond
+    switch branch (rare event, O(max_iter * sigma_len) scalar work).
+  * faithfulness: like the reference, rTr is NOT rescaled with r at a
+    switch (:499 scales r only); the next seed alpha therefore matches
+    the reference's trajectory exactly.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from mpi_bicgstab_tpu.solvers.base import ShiftedResult
+from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+
+def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
+                    cfg: ShiftedConfig) -> ShiftedResult:
+    """Per-shift-stopping LOP-BiCG (shifted_switching_solver.c:20-257).
+
+    Converged shifts keep their x/p frozen via the active mask; the loop
+    runs until every shift (including the seed system itself) meets
+    |1/(zeta_j pi_j)|^2 (r,r) <= tol^2 (r0,r0)   (:199, seed scale 1 :192).
+    """
+    dtype = b.dtype
+    sigma = jnp.asarray(sigma, dtype)
+    S = sigma.shape[0]
+    n = b.shape[0]
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+    not_seed = (jnp.arange(S) != seed)
+    sig_seed = sigma[seed]
+
+    r_hat = b
+    rTr0 = comm.dot(b, b)                       # :83-84
+    dot_zero = rTr0
+    x_set0 = jnp.zeros((S, n), dtype)
+    p_set0 = jnp.broadcast_to(b, (S, n)).astype(dtype) + 0.0  # :87 p[j]=b
+    alpha0 = jnp.ones((S,), dtype)
+    beta0 = jnp.zeros((S,), dtype)
+    eta0 = jnp.zeros((S,), dtype)
+    zeta0 = jnp.ones((S,), dtype)
+    pi_new0 = jnp.ones((S,), dtype)
+    stop0 = jnp.zeros((S,), bool)               # :75
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        (k, x_set, p_set, r, alpha, beta, eta, zeta, pi_new, stop,
+         rTr, dot_r, hist) = c
+        return (jnp.sum(stop) < S) & (k < max_iter)        # :106
+
+    def body(c):
+        (k, x_set, p_set, r, alpha, beta, eta, zeta, pi_new, stop,
+         rTr, dot_r, hist) = c
+        active = not_seed & ~stop               # :137-138
+        r_old = r                               # :108
+        pi_old = pi_new                         # :109
+        alpha_old = alpha[seed]                 # :110
+        beta_old = beta[seed]                   # :111
+        p_seed = p_set[seed]
+        s = spmv(p_seed) + sig_seed * p_seed    # :113-114
+        rTs = comm.dot(r_hat, s)                # :116
+        a_s = rTr / rTs                         # :119
+        q = r - a_s * s                         # :120
+        y = spmv(q) + sig_seed * q              # :121-122
+        qTq, qTy = comm.dots((q, q), (q, y))    # :123-124
+        w_s = qTq / qTy                         # :128
+        x_set = x_set.at[seed].add(a_s * p_seed + w_s * q)  # :129-130
+        # fused shift update (:136-149)
+        eta2 = (beta_old / alpha_old) * a_s * eta \
+            - (sig_seed - sigma) * a_s * pi_old
+        pi_new2 = eta2 + pi_old
+        alpha_sh = (pi_old / pi_new2) * a_s
+        omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))
+        x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
+            + alpha_sh[:, None] * p_set
+        x_set = x_set + jnp.where(active[:, None], x_upd, 0.0)
+        p_upd = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
+            - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
+        p_set = p_set + jnp.where(active[:, None], p_upd, 0.0)
+        zeta2 = (1.0 - w_s * (sig_seed - sigma)) * zeta
+        eta = jnp.where(active, eta2, eta)
+        pi_new = jnp.where(active, pi_new2, pi_new)
+        zeta = jnp.where(active, zeta2, zeta)
+        alpha = jnp.where(active, alpha_sh, alpha).at[seed].set(a_s)
+        r_new = q - w_s * y                     # :156
+        dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :157-159
+        b_s = (a_s / w_s) * (rTr_new / rTr)     # :163
+        p_set = p_set.at[seed].set(
+            r_new + b_s * (p_set[seed] - w_s * s))      # :164-166
+        # shift p part (:168-174) — uses the UPDATED zeta
+        beta_sh = (pi_old / pi_new) ** 2 * b_s
+        p_upd2 = beta_sh[:, None] * p_set \
+            + (1.0 / (pi_new * zeta))[:, None] * r_new[None, :]
+        p_set = jnp.where(active[:, None], p_upd2, p_set)
+        beta = jnp.where(active, beta_sh, beta).at[seed].set(b_s)
+        # per-shift convergence (:184-203)
+        abs_zp = jnp.where(not_seed, jnp.abs(1.0 / (zeta * pi_new)), 1.0)
+        stop = stop | (~stop & (abs_zp * abs_zp * dot_r <= tol2 * dot_zero))
+        hist = hist.at[k].set(dot_r)
+        return (k + 1, x_set, p_set, r_new, alpha, beta, eta, zeta,
+                pi_new, stop, rTr_new, dot_r, hist)
+
+    carry0 = (jnp.int32(0), x_set0, p_set0, b, alpha0, beta0, eta0,
+              zeta0, pi_new0, stop0, rTr0, rTr0, hist0)
+    out = lax.while_loop(cond, body, carry0)
+    (k, x_set, _p, _r, _al, _be, _eta, _zeta, _pi, stop, _rTr, dot_r,
+     hist) = out
+    return ShiftedResult(x_set=x_set, n_iter=k,
+                         final_relres=jnp.sqrt(dot_r / dot_zero),
+                         history=jnp.sqrt(hist / dot_zero),
+                         stop_flags=stop, final_seed=jnp.int32(seed))
+
+
+def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
+                              cfg: ShiftedConfig) -> ShiftedResult:
+    """Seed-switching shifted solver (shifted_switching_solver.c:260-608)."""
+    dtype = b.dtype
+    sigma = jnp.asarray(sigma, dtype)
+    S = sigma.shape[0]
+    n = b.shape[0]
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    M = cfg.max_iter                   # archives sized M+1 (:297-299)
+    idxS = jnp.arange(S)
+    idxM = jnp.arange(M + 1)
+
+    r_hat = b                                    # :346
+    rTr0 = comm.dot(b, b)                        # :344-345
+    dot_zero = rTr0
+    x_set0 = jnp.zeros((S, n), dtype)
+    p_set0 = jnp.broadcast_to(b, (S, n)).astype(dtype) + 0.0   # :348
+    eta0 = jnp.zeros((S,), dtype)                # :351
+    zeta0 = jnp.ones((S,), dtype)                # :354
+    pi_arc0 = jnp.ones((M + 1, S), dtype)        # :352-353 (rows 0,1 = 1)
+    alpha_arc0 = jnp.ones((M + 1,), dtype)       # :363 alpha_arc[0]=1
+    beta_arc0 = jnp.zeros((M + 1,), dtype)       # :364 beta_arc[0]=0
+    omega_arc0 = jnp.ones((M + 1,), dtype)       # [0] never read
+    stop0 = jnp.zeros((S,), bool)
+    hist0 = jnp.full((M,), jnp.nan, dtype)
+    seed0 = jnp.int32(seed)
+
+    def cond(c):
+        (k, seed_i, x_set, p_set, r, eta, zeta, pi_arc, a_arc, b_arc,
+         w_arc, stop, rTr, dot_r, hist) = c
+        return (jnp.sum(stop) < S) & (k < M + 1)           # :374
+
+    def body(c):
+        (k, seed_i, x_set, p_set, r, eta, zeta, pi_arc, a_arc, b_arc,
+         w_arc, stop, rTr, dot_r, hist) = c
+        sig_seed = sigma[seed_i]
+        not_seed = idxS != seed_i
+        active = not_seed & ~stop
+        r_old = r                                # :376
+        p_seed = p_set[seed_i]
+        # --- seed iteration (one LOP-BiCGStab step on A + sig_seed I) ---
+        s = spmv(p_seed) + sig_seed * p_seed     # :379-387
+        rTs = comm.dot(r_hat, s)                 # :388
+        a_k = rTr / rTs                          # :391
+        a_arc = a_arc.at[k].set(a_k)
+        q = r - a_k * s                          # :392 (q_loc_copy :393)
+        y = spmv(q) + sig_seed * q               # :396-404
+        qTq, qTy = comm.dots((q, q), (q, y))     # :405-406
+        w_k = qTq / qTy                          # :410
+        w_arc = w_arc.at[k].set(w_k)
+        x_set = x_set.at[seed_i].add(a_k * p_seed + w_k * q)  # :411-412
+        r_new = q - w_k * y                      # :413
+        dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :414-416
+        b_k = (a_k / w_k) * (rTr_new / rTr)      # :420
+        b_arc = b_arc.at[k].set(b_k)
+        p_set = p_set.at[seed_i].set(
+            r_new + b_k * (p_set[seed_i] - w_k * s))       # :421-423
+        # --- fused shift update (:429-445) ---
+        pi_prev = pi_arc[k - 1]                  # pi_archive[j, k-1]
+        a_km1 = a_arc[k - 1]
+        b_km1 = b_arc[k - 1]
+        eta2 = (b_km1 / a_km1) * a_k * eta \
+            - (sig_seed - sigma) * a_k * pi_prev            # :432
+        pi_k = eta2 + pi_prev                               # :434
+        alpha_sh = (pi_prev / pi_k) * a_k                   # :435
+        omega_sh = w_k / (1.0 - w_k * (sig_seed - sigma))   # :436
+        x_upd = (omega_sh / (pi_k * zeta))[:, None] * q[None, :] \
+            + alpha_sh[:, None] * p_set                     # :437-438
+        x_set = x_set + jnp.where(active[:, None], x_upd, 0.0)
+        p_upd = (omega_sh / (alpha_sh * zeta * pi_k))[:, None] * q[None, :] \
+            - (omega_sh / (alpha_sh * zeta * pi_prev))[:, None] * r_old[None, :]
+        p_set = p_set + jnp.where(active[:, None], p_upd, 0.0)  # :439-440
+        zeta2 = (1.0 - w_k * (sig_seed - sigma)) * zeta     # :441
+        beta_sh = (pi_prev / pi_k) ** 2 * b_k               # :442
+        p_upd2 = beta_sh[:, None] * p_set \
+            + (1.0 / (pi_k * zeta2))[:, None] * r_new[None, :]  # :443-444
+        p_set = jnp.where(active[:, None], p_upd2, p_set)
+        eta = jnp.where(active, eta2, eta)
+        zeta = jnp.where(active, zeta2, zeta)
+        pi_arc = pi_arc.at[k].set(jnp.where(active, pi_k, pi_arc[k]))
+        # --- per-shift convergence + worst remaining shift (:450-475) ---
+        abs_zp = jnp.where(not_seed, jnp.abs(1.0 / (zeta * pi_arc[k])),
+                           1.0)
+        newly = ~stop & (abs_zp * abs_zp * dot_r <= tol2 * dot_zero)
+        stop = stop | newly
+        remaining = ~stop
+        ms = jnp.argmax(jnp.where(remaining & not_seed, abs_zp,
+                                  -jnp.inf)).astype(jnp.int32)  # :470-473
+
+        # --- seed switching (:490-527) ---
+        def do_switch(args):
+            (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc) = args
+            dsig = sigma[seed_i] - sigma[ms]
+            ratio = jnp.concatenate(
+                [jnp.ones((1,), dtype), pi_arc[:-1, ms] / pi_arc[1:, ms]])
+            mask_i = (idxM >= 1) & (idxM <= k)
+            a2 = jnp.where(mask_i, a_arc * ratio, a_arc)        # :495
+            b2 = jnp.where(mask_i, b_arc * ratio * ratio, b_arc)  # :496
+            w2 = jnp.where(mask_i, w_arc / (1.0 - w_arc * dsig),
+                           w_arc)                               # :497
+            r2 = r_new / (zeta[ms] * pi_arc[k, ms])             # :499
+            eta2 = jnp.zeros_like(eta)                          # :502
+            zeta2 = jnp.ones_like(zeta)                         # :504
+            recompute = ~stop & (idxS != ms)                    # :511-512
+
+            def hist_step(i, st):
+                eta_i, zeta_i, pi_a = st
+                e = (b2[i - 1] / a2[i - 1]) * a2[i] * eta_i \
+                    - (sigma[ms] - sigma) * a2[i] * pi_a[i - 1]   # :513
+                p_i = e + pi_a[i - 1]                             # :514
+                z = (1.0 - w2[i] * (sigma[ms] - sigma)) * zeta_i  # :515
+                eta_i = jnp.where(recompute, e, eta_i)
+                zeta_i = jnp.where(recompute, z, zeta_i)
+                pi_a = pi_a.at[i].set(jnp.where(recompute, p_i, pi_a[i]))
+                return (eta_i, zeta_i, pi_a)
+
+            eta2, zeta2, pi_arc2 = lax.fori_loop(
+                1, k + 1, hist_step, (eta2, zeta2, pi_arc))     # :509-517
+            return (ms, r2, eta2, zeta2, pi_arc2, a2, b2, w2)
+
+        def no_switch(args):
+            return args
+
+        switch_now = stop[seed_i] & (jnp.sum(stop) < S)         # :490
+        (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc) = lax.cond(
+            switch_now, do_switch, no_switch,
+            (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc))
+
+        hist = hist.at[k - 1].set(dot_r)
+        return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, pi_arc,
+                a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
+
+    carry0 = (jnp.int32(1), seed0, x_set0, p_set0, b, eta0, zeta0,
+              pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0, rTr0,
+              rTr0, hist0)
+    out = lax.while_loop(cond, body, carry0)
+    (k, seed_i, x_set, _p, _r, _eta, _zeta, _pi, _aa, _ba, _wa, stop,
+     _rTr, dot_r, hist) = out
+    return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
+                         final_relres=jnp.sqrt(dot_r / dot_zero),
+                         history=jnp.sqrt(hist / dot_zero),
+                         stop_flags=stop, final_seed=seed_i)
+
+
+SWITCHING_SOLVERS = {
+    "shifted_lopbicg": shifted_lopbicg,
+    "shifted_lopbicg_switching": shifted_lopbicg_switching,
+}

@@ -1,0 +1,105 @@
+"""Shifted-family tests: every (A + sigma_j I) x_j = b solution is checked
+against a dense LU ground truth — the automated version of the reference's
+DISPLAY_ERROR check (test_shifted.c:129-154)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpi_bicgstab_tpu.api import solve_shifted
+from mpi_bicgstab_tpu.models.generators import banded_random, poisson2d
+from mpi_bicgstab_tpu.models.problem import build_problem
+from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+from oracles import shifted_bicgstab_oracle
+
+# test_shifted.c:13-14: 5 shifts sigma_i = 0.01*(i+1), seed 0; we prepend
+# sigma=0 for the unshifted-seed variant's ladder
+SIGMA5 = np.array([0.0, 0.01, 0.02, 0.03, 0.04])
+
+
+def _problem(sigma_seed=0.0):
+    csr = banded_random(120, [1, -1, 10, -10], seed=11)
+    prob = build_problem(csr, sigma_seed=sigma_seed)
+    return csr, prob
+
+
+def _true_errors(csr, sigma, x_set, b):
+    """relative error ||(A+sI)x - b|| / ||b|| per shift (test_shifted.c:142-151)."""
+    errs = []
+    for j, s in enumerate(sigma):
+        r = csr.matvec(np.asarray(x_set[j])) + s * np.asarray(x_set[j]) - b
+        errs.append(np.linalg.norm(r) / np.linalg.norm(b))
+    return np.array(errs)
+
+
+@pytest.mark.parametrize("method,seed", [
+    ("shifted_bicgstab", 0),
+    ("shifted_lopbicgstab", 0),
+    ("shifted_lopbicgstab", 2),
+    ("shifted_lopbicgstab_v2", 1),
+    ("shifted_pipe_lopbicgstab", 0),
+    ("shifted_pipe_lopbicgstab", 3),
+])
+def test_all_shifts_solve_true_systems(method, seed):
+    csr, prob = _problem()
+    b = np.asarray(prob.b)
+    cfg = ShiftedConfig(tol=1e-12, max_iter=600)
+    res = solve_shifted(prob.A, prob.b, SIGMA5, seed=seed, method=method,
+                        cfg=cfg)
+    errs = _true_errors(prob.csr, SIGMA5, np.asarray(res.x_set), b)
+    assert errs.max() < 1e-9, f"{method} seed={seed}: errors {errs}"
+    # against the dense LU oracle
+    x_lu = shifted_bicgstab_oracle(prob.csr.to_dense(), b, SIGMA5)
+    np.testing.assert_allclose(np.asarray(res.x_set), x_lu, atol=1e-7)
+
+
+def test_unshifted_system_matches_plain_bicgstab():
+    csr, prob = _problem()
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    res_plain = solve(prob.A, prob.b, cfg=SolverConfig(tol=1e-12))
+    res_shift = solve_shifted(prob.A, prob.b, SIGMA5, seed=0,
+                              method="shifted_bicgstab",
+                              cfg=ShiftedConfig(tol=1e-12))
+    np.testing.assert_allclose(np.asarray(res_shift.x_set[0]),
+                               np.asarray(res_plain.x), atol=1e-8)
+
+
+def test_communication_count_independent_of_sigma_len():
+    # the whole point of the shifted family: the jaxpr must contain the
+    # same number of SpMV-sized operations regardless of sigma_len
+    import jax
+    csr, prob = _problem()
+    from mpi_bicgstab_tpu.ops.spmv import ell_spmv
+    from mpi_bicgstab_tpu.parallel.comm import Comm
+    from mpi_bicgstab_tpu.solvers.shifted import shifted_lopbicgstab
+
+    def count_dots(S):
+        sig = jnp.linspace(0.0, 0.05, S)
+        jaxpr = jax.make_jaxpr(
+            lambda b: shifted_lopbicgstab(
+                lambda v: ell_spmv(prob.A, v), Comm(None), b, sig, 0,
+                ShiftedConfig(max_iter=10)))(prob.b)
+        txt = str(jaxpr)
+        return txt.count("dot_general")
+
+    assert count_dots(4) == count_dots(64)
+
+
+def test_wide_ladder_512():
+    # the flagship driver scale: 512 shifts (main_shifted.c:13)
+    csr = banded_random(96, [1, -1, 8, -8], seed=3)
+    prob = build_problem(csr)
+    sigma = (np.arange(1, 513) * (0.01 / 512))
+    cfg = ShiftedConfig(tol=1e-10, max_iter=400)
+    res = solve_shifted(prob.A, prob.b, sigma, seed=255,
+                        method="shifted_lopbicgstab", cfg=cfg)
+    b = np.asarray(prob.b)
+    errs = _true_errors(prob.csr, sigma, np.asarray(res.x_set), b)
+    assert errs.max() < 1e-7, errs.max()
+
+
+def test_seed_out_of_range():
+    csr, prob = _problem()
+    with pytest.raises(ValueError, match="seed"):
+        solve_shifted(prob.A, prob.b, SIGMA5, seed=9)

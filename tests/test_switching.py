@@ -1,0 +1,108 @@
+"""Per-shift stopping + seed-switching solver tests (reference flagship,
+shifted_switching_solver.c). Ground truth: dense LU of every shifted
+system."""
+import numpy as np
+import pytest
+
+from mpi_bicgstab_tpu.api import solve_shifted
+from mpi_bicgstab_tpu.models.generators import banded_random
+from mpi_bicgstab_tpu.models.problem import build_problem
+from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+from oracles import shifted_bicgstab_oracle
+
+
+def _problem(n=120, seed_val=11, sigma_seed=0.0):
+    csr = banded_random(n, [1, -1, 10, -10], seed=seed_val)
+    return csr, build_problem(csr, sigma_seed=sigma_seed)
+
+
+def _true_errors(csr, sigma, x_set, b):
+    errs = []
+    for j, s in enumerate(sigma):
+        xj = np.asarray(x_set[j])
+        r = csr.matvec(xj) + s * xj - b
+        errs.append(np.linalg.norm(r) / np.linalg.norm(b))
+    return np.array(errs)
+
+
+SIGMA = np.array([0.0, 0.02, 0.05, 0.1, 0.3])
+
+
+@pytest.mark.parametrize("seed", [0, 2, 4])
+def test_lopbicg_per_shift_stopping(seed):
+    csr, prob = _problem()
+    cfg = ShiftedConfig(tol=1e-11, max_iter=800)
+    res = solve_shifted(prob.A, prob.b, SIGMA, seed=seed,
+                        method="shifted_lopbicg", cfg=cfg)
+    assert bool(np.asarray(res.stop_flags).all()), "not all shifts converged"
+    errs = _true_errors(prob.csr, SIGMA, np.asarray(res.x_set),
+                        np.asarray(prob.b))
+    assert errs.max() < 1e-8, errs
+
+
+def test_lopbicg_matches_unstopped_variant():
+    # with per-shift stopping, solutions must still match the LU truth
+    # as well as the non-stopping variant does
+    csr, prob = _problem()
+    cfg = ShiftedConfig(tol=1e-11, max_iter=800)
+    r1 = solve_shifted(prob.A, prob.b, SIGMA, seed=0,
+                       method="shifted_lopbicg", cfg=cfg)
+    x_lu = shifted_bicgstab_oracle(prob.csr.to_dense(),
+                                   np.asarray(prob.b), SIGMA)
+    np.testing.assert_allclose(np.asarray(r1.x_set), x_lu, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [4, 2])
+def test_switching_solves_all_systems(seed):
+    # wide ladder: large sigma systems converge much faster, so a seed at
+    # the top of the ladder converges first and triggers switching
+    csr, prob = _problem()
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    cfg = ShiftedConfig(tol=1e-11, max_iter=1000)
+    res = solve_shifted(prob.A, prob.b, sigma, seed=seed,
+                        method="shifted_lopbicg_switching", cfg=cfg)
+    assert bool(np.asarray(res.stop_flags).all())
+    errs = _true_errors(prob.csr, sigma, np.asarray(res.x_set),
+                        np.asarray(prob.b))
+    assert errs.max() < 1e-8, errs
+
+
+def test_switching_actually_switches():
+    csr, prob = _problem()
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    cfg = ShiftedConfig(tol=1e-11, max_iter=1000)
+    res = solve_shifted(prob.A, prob.b, sigma, seed=4,
+                        method="shifted_lopbicg_switching", cfg=cfg)
+    assert int(res.final_seed) != 4, "expected at least one seed switch"
+    assert bool(np.asarray(res.stop_flags).all())
+
+
+def test_switching_beats_fixed_seed_iterations():
+    # the reason switching exists: a fixed easy seed stalls the hard
+    # shifts; switching re-seeds and should need no MORE iterations
+    csr, prob = _problem()
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    cfg = ShiftedConfig(tol=1e-11, max_iter=1000)
+    res_fix = solve_shifted(prob.A, prob.b, sigma, seed=4,
+                            method="shifted_lopbicg", cfg=cfg)
+    res_sw = solve_shifted(prob.A, prob.b, sigma, seed=4,
+                           method="shifted_lopbicg_switching", cfg=cfg)
+    assert bool(np.asarray(res_sw.stop_flags).all())
+    if bool(np.asarray(res_fix.stop_flags).all()):
+        assert int(res_sw.n_iter) <= int(res_fix.n_iter) + 50
+
+
+def test_switching_512_ladder_driver_config():
+    # the main_shifted.c driver config (:13-14,:95-100): 512 shifts
+    # sigma_i=(i+1)*0.01/512, seed 255, b=(A+sigma_seed I)*ones
+    csr = banded_random(96, [1, -1, 8, -8], seed=3)
+    sigma = (np.arange(1, 513)) * (0.01 / 512)
+    prob = build_problem(csr, sigma_seed=sigma[255])
+    cfg = ShiftedConfig(tol=1e-10, max_iter=500)
+    res = solve_shifted(prob.A, prob.b, sigma, seed=255,
+                        method="shifted_lopbicg_switching", cfg=cfg)
+    assert bool(np.asarray(res.stop_flags).all())
+    errs = _true_errors(prob.csr, sigma, np.asarray(res.x_set),
+                        np.asarray(prob.b))
+    assert errs.max() < 1e-7
