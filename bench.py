@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Headline benchmark: SpMV throughput (nnz/s) on a Transport.mtx-profile
+matrix, single chip — the north-star metric from BASELINE.md ("SpMV
+nnz/s/chip and time-per-iteration on Transport.mtx").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+vs_baseline anchors to an estimated 4.0e9 nnz/s per A64FX process-domain
+for the reference's f64 CSR SpMV (see benchmarks/runner.py for the
+derivation; the reference publishes plots, not numbers).
+
+The matrix is models.generators.transport_like: 1.6M rows, ~15-diagonal
+band, ~24M nnz, unsymmetric values, diagonally dominant — the same
+size/density profile as SuiteSparse Transport (reference README.md:32-42),
+generated locally because this environment has no network egress and the
+reference .gitignores its data/.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    small = "--small" in sys.argv  # quick mode for CPU smoke runs
+    n = 200_000 if small else 1_602_112
+    dtype_name = "float32"
+
+    import jax
+    import jax.numpy as jnp
+    dtype = jnp.float32
+
+    from mpi_bicgstab_tpu.benchmarks.runner import (REF_SPMV_NNZ_PER_S,
+                                                    bench_iteration,
+                                                    bench_spmv)
+    from mpi_bicgstab_tpu.models.generators import transport_like
+
+    t0 = time.perf_counter()
+    csr = transport_like(n)
+    gen_time = time.perf_counter() - t0
+
+    spmv = bench_spmv(csr, dtype, devices=1, iters=30)
+    it = bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
+                         iters=30)
+
+    out = {
+        "metric": "spmv_nnz_per_s",
+        "value": round(spmv["spmv_nnz_per_s"], 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(spmv["spmv_nnz_per_s"] / REF_SPMV_NNZ_PER_S, 3),
+        "n": csr.nrows,
+        "nnz": csr.nnz,
+        "dtype": dtype_name,
+        "backend": jax.default_backend(),
+        "spmv_time_s": round(spmv["spmv_s"], 6),
+        "pipe_bicgstab_time_per_iter_s": round(it["time_per_iter_s"], 6),
+        "matrix_gen_time_s": round(gen_time, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

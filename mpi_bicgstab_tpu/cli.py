@@ -1,0 +1,298 @@
+"""Command-line drivers — the rebuild of the reference's main()s.
+
+  solve          <- src/main.c        (method dispatch main.c:122-141)
+  solve-shifted  <- src/main_shifted.c (512-sigma ladder :13-14,:95-100)
+                    + main_repeat.c via --repeat (:109-132)
+                    + main_seed_diff.c via --sigma-len-sweep (:15-18,:94)
+                    + test_shifted.c via --check-error (:129-154)
+  bench          <- the timing prints (IO time main.c:90-93; total/avg
+                    solver.c:129-140) as a machine-readable JSON line
+  info           <- the node/process census (main.c:22-60)
+
+Matrices: a .mtx path, or a generator spec 'poisson2d:N', 'poisson3d:N',
+'transport-like:N', 'banded:N' (the reference ships no data; data/ is
+.gitignore'd upstream).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_matrix(spec: str, dtype):
+    from mpi_bicgstab_tpu.models import generators as G
+    from mpi_bicgstab_tpu.ops.sparse import load_csr
+
+    t0 = time.perf_counter()
+    if ":" in spec and not spec.lower().endswith((".mtx", ".mtx.gz")):
+        kind, _, arg = spec.partition(":")
+        n = int(arg)
+        if kind == "poisson2d":
+            csr = G.poisson2d(int(round(n ** 0.5)))
+        elif kind == "poisson3d":
+            csr = G.poisson3d(int(round(n ** (1 / 3))))
+        elif kind == "transport-like":
+            csr = G.transport_like(n)
+        elif kind == "banded":
+            w = max(2, int(round(n ** (1 / 3))))
+            csr = G.banded_random(n, [1, -1, w, -w, w * w, -w * w], seed=0)
+        else:
+            raise SystemExit(f"unknown generator {kind!r}")
+    else:
+        csr = load_csr(spec, dtype=np.float64)
+    io_time = time.perf_counter() - t0
+    return csr, io_time
+
+
+def _dtype(name):
+    import jax.numpy as jnp
+    return {"float32": jnp.float32, "float64": jnp.float64}[name]
+
+
+def _maybe_enable_x64(dtype_name, platform):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+
+def _common(p):
+    p.add_argument("--matrix", required=True,
+                   help=".mtx path or generator spec (poisson2d:N, "
+                        "poisson3d:N, transport-like:N, banded:N)")
+    p.add_argument("--tol", type=float, default=None)
+    p.add_argument("--max-iter", type=int, default=1000)
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float64")
+    p.add_argument("--devices", type=int, default=1,
+                   help="row-mesh size; >1 uses the distributed path")
+    p.add_argument("--halo", choices=["allgather", "ring"],
+                   default="allgather")
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (cpu / tpu / axon)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="repeat the solve N times for timing stability "
+                        "(main_repeat.c:109-132)")
+    p.add_argument("--json", action="store_true",
+                   help="emit one machine-readable JSON line")
+
+
+def _report(args, payload):
+    if args.json:
+        print(json.dumps(payload))
+    else:
+        for k, v in payload.items():
+            print(f"{k:>16s}: {v}")
+
+
+def cmd_solve(args):
+    _maybe_enable_x64(args.dtype, args.platform)
+    import jax
+    import jax.numpy as jnp
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+    dtype = _dtype(args.dtype)
+    csr, io_time = _load_matrix(args.matrix, dtype)
+    tol = args.tol if args.tol is not None else 1e-15
+    cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
+                       nrr=args.nrr, dtype=dtype)
+
+    if args.devices > 1:
+        from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+        from mpi_bicgstab_tpu.parallel.partition import partition_csr
+        part = partition_csr(csr, args.devices, dtype=np.dtype(dtype))
+        b = csr.matvec(np.ones(csr.nrows))      # b = A*1 (main.c:109-117)
+        runner = lambda: solve_distributed(      # noqa: E731
+            part, b, method=args.method, cfg=cfg, halo=args.halo)
+    else:
+        from mpi_bicgstab_tpu.api import solve
+        prob = build_problem(csr, dtype=dtype)
+        runner = lambda: solve(prob.A, prob.b, method=args.method, cfg=cfg)  # noqa: E731
+
+    res = runner()                      # compile + first run
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    for _ in range(args.repeat):
+        res = runner()
+        jax.block_until_ready(res.x)
+    total = (time.perf_counter() - t0) / args.repeat
+    iters = max(int(res.n_iter), 1)
+    _report(args, {
+        "method": args.method,
+        "matrix": args.matrix,
+        "n": csr.nrows,
+        "nnz": csr.nnz,
+        "devices": args.devices,
+        "io_time_s": round(io_time, 6),
+        "total_iter": int(res.n_iter),
+        "final_relres": float(res.final_relres),
+        "converged": bool(res.converged),
+        "total_time_s": round(total, 6),
+        "avg_time_per_iter_s": round(total / iters, 9),
+    })
+    return 0 if bool(res.converged) else 2
+
+
+def cmd_solve_shifted(args):
+    _maybe_enable_x64(args.dtype, args.platform)
+    import jax
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    dtype = _dtype(args.dtype)
+    csr, io_time = _load_matrix(args.matrix, dtype)
+
+    sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
+             if args.sigma_len_sweep else [args.sigma_len])
+    rows = []
+    for S in sweep:
+        if args.sigma_len_sweep:
+            # main_seed_diff.c:15-17: sigma_i = 0.01 + i*(0.01/len), seed 1
+            sigma = 0.01 + np.arange(S) * (args.sigma_max / S)
+            seed = min(args.seed, S - 1)
+        else:
+            # main_shifted.c:95-100: sigma_i = (i+1)*(sigma_max/len)
+            sigma = (np.arange(S) + 1) * (args.sigma_max / S)
+            seed = args.seed
+        tol = args.tol if args.tol is not None else 1e-12
+        cfg = ShiftedConfig(tol=tol, max_iter=args.max_iter, dtype=dtype)
+        b = csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows)
+
+        if args.devices > 1:
+            from mpi_bicgstab_tpu.parallel.driver import (
+                partition_csr, solve_shifted_distributed)
+            part = partition_csr(csr, args.devices, dtype=np.dtype(dtype))
+            runner = lambda: solve_shifted_distributed(  # noqa: E731
+                part, b, sigma, seed=seed, method=args.method, cfg=cfg,
+                halo=args.halo)
+        else:
+            from mpi_bicgstab_tpu.api import solve_shifted
+            prob = build_problem(csr, dtype=dtype, sigma_seed=float(sigma[seed]))
+            runner = lambda: solve_shifted(              # noqa: E731
+                prob.A, prob.b, sigma, seed=seed, method=args.method,
+                cfg=cfg)
+
+        res = runner()
+        jax.block_until_ready(res.x_set)
+        t0 = time.perf_counter()
+        for _ in range(args.repeat):
+            res = runner()
+            jax.block_until_ready(res.x_set)
+        total = (time.perf_counter() - t0) / args.repeat
+        iters = max(int(res.n_iter), 1)
+        payload = {
+            "method": args.method,
+            "matrix": args.matrix,
+            "n": csr.nrows,
+            "sigma_len": S,
+            "seed": seed,
+            "final_seed": int(res.final_seed),
+            "devices": args.devices,
+            "io_time_s": round(io_time, 6),
+            "total_iter": int(res.n_iter),
+            "final_relres": float(res.final_relres),
+            "all_converged": bool(np.asarray(res.stop_flags).all()),
+            "total_time_s": round(total, 6),
+            "avg_time_per_iter_s": round(total / iters, 9),
+        }
+        if args.check_error:
+            # test_shifted.c:129-154: true relative error per shift
+            x_set = np.asarray(res.x_set)
+            errs = []
+            for j in range(S):
+                xj = x_set[j][: csr.nrows]
+                r = csr.matvec(xj) + sigma[j] * xj - b
+                errs.append(float(np.linalg.norm(r) / np.linalg.norm(b)))
+            payload["max_true_rel_error"] = max(errs)
+        rows.append(payload)
+        _report(args, payload)
+    ok = all(r["all_converged"] for r in rows)
+    return 0 if ok else 2
+
+
+def cmd_info(args):
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    devs = jax.devices()
+    payload = {
+        "process_count": jax.process_count(),
+        "device_count": len(devs),
+        "devices": [str(d) for d in devs],
+        "default_backend": jax.default_backend(),
+    }
+    print(json.dumps(payload, indent=2))
+    return 0
+
+
+def cmd_bench(args):
+    from mpi_bicgstab_tpu.benchmarks.runner import run_bench
+    return run_bench(args)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="bicgstab-tpu",
+        description="TPU-native BiCGStab / shifted-BiCGStab solver framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("solve", help="classic family (main.c)")
+    _common(p)
+    p.add_argument("--method", default="bicgstab",
+                   choices=["bicgstab", "ca_bicgstab", "pipe_bicgstab",
+                            "pipe_bicgstab_rr"])
+    p.add_argument("--krr", type=int, default=100)
+    p.add_argument("--nrr", type=int, default=4)
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser("solve-shifted", help="shifted family (main_shifted.c)")
+    _common(p)
+    p.add_argument("--method", default="shifted_lopbicg_switching",
+                   choices=["shifted_bicgstab", "shifted_lopbicgstab",
+                            "shifted_lopbicgstab_v2",
+                            "shifted_lopbicgstab_nooverlap",
+                            "shifted_pipe_lopbicgstab",
+                            "shifted_pipe_lopbicgstab_nooverlap",
+                            "shifted_lopbicg",
+                            "shifted_lopbicg_switching"])
+    p.add_argument("--sigma-len", type=int, default=512)
+    p.add_argument("--sigma-max", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=255)
+    p.add_argument("--sigma-len-sweep", default=None,
+                   help="comma list, e.g. 8,32,128,512 (main_seed_diff.c)")
+    p.add_argument("--check-error", action="store_true",
+                   help="compute true per-shift relative errors "
+                        "(test_shifted.c DISPLAY_ERROR)")
+    p.set_defaults(fn=cmd_solve_shifted)
+
+    p = sub.add_parser("info", help="device census (main.c:22-60)")
+    p.add_argument("--platform", default=None)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="SpMV + solver benchmarks")
+    p.add_argument("--matrix", default="transport-like:1602112")
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--devices", type=int, default=1)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--what", default="spmv,iter",
+                   help="comma list: spmv, iter, solve")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,6 +113,76 @@ def _solve_dist_jit(mat_arrays, b, x0, method, cfg, mesh, halo, n_devices,
     return sm(*mat_arrays, b, x0)
 
 
+@partial(jax.jit,
+         static_argnames=("method", "seed", "cfg", "mesh", "halo",
+                          "n_devices", "part_meta"))
+def _solve_shifted_dist_jit(mat_arrays, b, sigma, method, seed, cfg, mesh,
+                            halo, n_devices, part_meta):
+    from mpi_bicgstab_tpu.ops.ell import EllMatrix
+    from mpi_bicgstab_tpu.solvers.base import ShiftedResult
+    from mpi_bicgstab_tpu.solvers.shifted import SHIFTED_SOLVERS
+    from mpi_bicgstab_tpu.solvers.switching import SWITCHING_SOLVERS
+
+    n_loc, n_global = part_meta
+    solvers = {**SHIFTED_SOLVERS, **SWITCHING_SOLVERS}
+
+    def run(*args):
+        *mat, b_loc, sig = args
+        dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv = mat
+        diag = EllMatrix(dc, dv, dtr, dtc, dtv, n_loc, n_loc)
+        offd = EllMatrix(oc, ov, otr, otc, otv, n_loc, n_global)
+        comm = Comm(ROWS)
+        if halo == "ring":
+            spmv = lambda x: spmv_ring(diag, offd, comm, x, n_devices)  # noqa: E731
+        else:
+            spmv = lambda x: spmv_allgather(diag, offd, comm, x)        # noqa: E731
+        fn = solvers[method]
+        if method == "shifted_bicgstab":
+            return fn(spmv, comm, b_loc, sig, cfg)
+        return fn(spmv, comm, b_loc, sig, seed, cfg)
+
+    x_set_spec = P(None, ROWS)
+    out_specs = ShiftedResult(x_set=x_set_spec, n_iter=_REP,
+                              final_relres=_REP, history=_REP,
+                              stop_flags=_REP, final_seed=_REP)
+    sm = jax.shard_map(run, mesh=mesh,
+                       in_specs=_MATRIX_SPECS + (_VEC, _REP),
+                       out_specs=out_specs, check_vma=False)
+    return sm(*mat_arrays, b, sigma)
+
+
+def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
+                              seed: int = 0,
+                              method: str = "shifted_lopbicg_switching",
+                              cfg=None, mesh=None,
+                              halo: str = "allgather"):
+    """Distributed multi-shift solve: (A + sigma_j I) x_j = b for the
+    whole ladder, seed system only on the wire (the distributed analogue
+    of main_shifted.c / main_repeat.c driving shifted_lopbicg_switching).
+    x_set in the result is [n_sigma, n_global] sharded on the row axis."""
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    mesh = mesh or make_row_mesh(part.n_devices)
+    if mesh.devices.size != part.n_devices:
+        raise ValueError(
+            f"mesh has {mesh.devices.size} devices but the matrix was "
+            f"partitioned for {part.n_devices}")
+    if not isinstance(part.diag_cols, jax.Array):
+        part = put_partitioned(part, mesh)
+    dtype = part.diag_vals.dtype
+    if cfg is None:
+        cfg = ShiftedConfig(dtype=dtype)
+    sigma = np.asarray(sigma, dtype=dtype)
+    if not (0 <= seed < sigma.shape[0]):
+        raise ValueError(f"seed {seed} out of range for {sigma.shape[0]} shifts")
+    b_d = put_vector(b, part, mesh, dtype)
+    sig_d = jax.device_put(sigma, NamedSharding(mesh, _REP))
+    return _solve_shifted_dist_jit(part.arrays, b_d, sig_d, method,
+                                   int(seed), cfg, mesh, halo,
+                                   part.n_devices,
+                                   (part.n_loc, part.n_global))
+
+
 def solve_distributed(part: PartitionedMatrix, b, x0=None,
                       method: str = "bicgstab",
                       cfg: SolverConfig | None = None, mesh=None,
