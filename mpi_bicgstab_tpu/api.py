@@ -10,17 +10,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from mpi_bicgstab_tpu.ops.ell import EllMatrix
-from mpi_bicgstab_tpu.ops.spmv import ell_spmv
+from mpi_bicgstab_tpu.ops.layout import spmv as generic_spmv
 from mpi_bicgstab_tpu.parallel.comm import Comm
 from mpi_bicgstab_tpu.solvers.bicgstab import CLASSIC_SOLVERS
 from mpi_bicgstab_tpu.utils.config import SolverConfig
 
 
 @partial(jax.jit, static_argnames=("method", "cfg"))
-def _solve_jit(A: EllMatrix, b, x0, method: str, cfg: SolverConfig):
+def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
     comm = Comm(None)
-    return CLASSIC_SOLVERS[method](lambda v: ell_spmv(A, v), comm, b, x0, cfg)
+    return CLASSIC_SOLVERS[method](lambda v: generic_spmv(A, v), comm, b,
+                                   x0, cfg)
 
 
 def _all_shifted_solvers():
@@ -30,17 +30,16 @@ def _all_shifted_solvers():
 
 
 @partial(jax.jit, static_argnames=("method", "seed", "cfg"))
-def _solve_shifted_jit(A: EllMatrix, b, sigma, method: str, seed: int,
-                       cfg):
+def _solve_shifted_jit(A, b, sigma, method: str, seed: int, cfg):
     comm = Comm(None)
-    spmv = lambda v: ell_spmv(A, v)  # noqa: E731
+    spmv = lambda v: generic_spmv(A, v)  # noqa: E731
     fn = _all_shifted_solvers()[method]
     if method == "shifted_bicgstab":
         return fn(spmv, comm, b, sigma, cfg)
     return fn(spmv, comm, b, sigma, seed, cfg)
 
 
-def solve_shifted(A: EllMatrix, b, sigma, seed: int = 0,
+def solve_shifted(A, b, sigma, seed: int = 0,
                   method: str = "shifted_lopbicgstab", cfg=None):
     """Solve (A + sigma_j I) x_j = b for every shift in the ladder from
     one Krylov sequence (x0 = 0, as in every reference driver). For
@@ -60,7 +59,7 @@ def solve_shifted(A: EllMatrix, b, sigma, seed: int = 0,
     return _solve_shifted_jit(A, b, sigma, method, int(seed), cfg)
 
 
-def solve(A: EllMatrix, b, x0=None, method: str = "bicgstab",
+def solve(A, b, x0=None, method: str = "bicgstab",
           cfg: SolverConfig | None = None):
     """Solve A x = b with one of the classic BiCGStab family on the
     current default device. Method names match the reference driver's

@@ -6,12 +6,19 @@ time, avg time/iter (solver.c:129-140), on a Transport.mtx-profile matrix
 models.generators.transport_like, which matches Transport's size/density/
 bandedness profile (README.md:32-42).
 
+Timing methodology: this environment reaches the TPU through a relay
+where device-future fencing and host transfers are unreliable for
+microbenchmarks, so every measurement is SLOPE-BASED: the benched op is
+chained K times inside one jitted lax.fori_loop (a data dependency links
+iterations), reduced to one scalar, and cost/op = (t(K2) - t(K1)) /
+(K2 - K1). Constant dispatch/transfer overhead cancels exactly.
+
 Baseline normalization (the reference publishes plots, not numbers —
-BASELINE.json "published": {}): we anchor vs_baseline to an estimated
-reference SpMV throughput of 4.0e9 nnz/s per A64FX process-domain (one
-CMG: ~256 GB/s HBM2 feeding a ~12.7 B/nnz f64 CSR kernel at the ~20%
-efficiency typical of unstructured SpMV on that machine). That is the
-per-device unit the reference's strong-scaling plots normalize against.
+BASELINE.json "published": {}): vs_baseline anchors to an estimated
+4.0e9 nnz/s per A64FX process-domain (one CMG: ~256 GB/s HBM2 feeding a
+~12.7 B/nnz f64 CSR kernel at the ~20% efficiency typical of
+unstructured SpMV there) — the per-device unit of the reference's
+strong-scaling plots.
 """
 from __future__ import annotations
 
@@ -23,81 +30,124 @@ import numpy as np
 REF_SPMV_NNZ_PER_S = 4.0e9  # estimated reference per-device SpMV rate
 
 
-def _timeit(fn, sync, warmup=3, iters=20):
-    for _ in range(warmup):
-        sync(fn())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+def _slope_time(make_chain, K1=10, K2=60, reps=3):
+    """cost per op via two chain lengths; constant overhead cancels."""
+    c1, c2 = make_chain(K1), make_chain(K2)
+    float(c1())
+    float(c2())
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(c1())
+        t1 = time.perf_counter()
+        float(c2())
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (K2 - K1))
+    return float(np.median(slopes))
 
 
-def bench_spmv(csr, dtype, devices=1, iters=20):
+def bench_spmv(csr, dtype, devices=1, iters=60):
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     nnz = csr.nnz
+    rng = np.random.default_rng(0)
+
     if devices > 1:
-        from mpi_bicgstab_tpu.parallel.driver import (make_dist_spmv,
+        from mpi_bicgstab_tpu.parallel.comm import Comm
+        from mpi_bicgstab_tpu.parallel.driver import (_SLAB, _VEC,
+                                                      make_local_spmv,
                                                       put_partitioned,
                                                       put_vector)
-        from mpi_bicgstab_tpu.parallel.mesh import make_row_mesh
+        from mpi_bicgstab_tpu.parallel.mesh import ROWS, make_row_mesh
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
         part = partition_csr(csr, devices, dtype=np.dtype(dtype))
         mesh = make_row_mesh(devices)
         part_d = put_partitioned(part, mesh)
-        spmv = make_dist_spmv(part_d, mesh)
-        x = put_vector(np.random.default_rng(0).standard_normal(
-            part.n_global), part, mesh, dtype)
-        sec = _timeit(lambda: spmv(x), jax.block_until_ready, iters=iters)
+        x0 = put_vector(rng.standard_normal(part.n_global), part, mesh,
+                        dtype)
+
+        def make_chain(K):
+            def run(*args):
+                *mat, v = args
+                comm = Comm(ROWS)
+                spmv = make_local_spmv(part, mat, comm)
+
+                def body(i, v):
+                    y = spmv(v)
+                    return y / (1.0 + comm.allreduce(jnp.sum(jnp.abs(y))))
+
+                v = lax.fori_loop(0, K, body, v)
+                return comm.allreduce(jnp.sum(v))
+
+            from jax.sharding import PartitionSpec as P
+            sm = jax.shard_map(run, mesh=mesh,
+                               in_specs=part.specs(_SLAB, _VEC) + (_VEC,),
+                               out_specs=P(), check_vma=False)
+            jitted = jax.jit(sm)
+            return lambda: jitted(*part_d.arrays(), x0)
     else:
         from mpi_bicgstab_tpu.models.problem import build_problem
-        from mpi_bicgstab_tpu.ops.spmv import ell_spmv
+        from mpi_bicgstab_tpu.ops.layout import spmv as generic_spmv
         prob = build_problem(csr, dtype=dtype, multiple=1024)
         A = prob.A
-        spmv = jax.jit(lambda v: ell_spmv(A, v))
-        x = jnp.asarray(np.random.default_rng(0).standard_normal(prob.n),
-                        dtype=dtype)
-        sec = _timeit(lambda: spmv(x), jax.block_until_ready, iters=iters)
+        x0 = jnp.asarray(rng.standard_normal(prob.n), dtype=dtype)
+
+        def make_chain(K):
+            @jax.jit
+            def chain(v):
+                def body(i, v):
+                    y = generic_spmv(A, v)
+                    return y / (1.0 + jnp.sum(jnp.abs(y)))
+
+                return jnp.sum(lax.fori_loop(0, K, body, v))
+
+            return lambda: chain(x0)
+
+    sec = _slope_time(make_chain, K1=max(2, iters // 6), K2=iters)
+    layout = type(_single_op(csr, dtype)).__name__ if devices == 1 else None
     return {"spmv_s": sec, "spmv_nnz_per_s": nnz / sec,
-            "spmv_gbytes_per_s": nnz * (np.dtype(dtype).itemsize + 4) / sec / 1e9}
+            "spmv_layout": layout}
+
+
+def _single_op(csr, dtype):
+    from mpi_bicgstab_tpu.ops.layout import build_operator
+    return build_operator(csr, dtype=np.dtype(dtype))
 
 
 def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
-                    iters=50):
-    """Time per solver iteration: run with tol=0 so exactly max_iter
-    iterations execute, fenced, minus nothing — the avg time/iter the
-    reference prints (solver.c:139)."""
-    import jax
+                    iters=60):
+    """Time per solver iteration: two runs with tol=0 (so exactly
+    max_iter iterations execute) at different max_iter; the slope is the
+    avg time/iter the reference prints (solver.c:139)."""
     from mpi_bicgstab_tpu.utils.config import SolverConfig
 
-    cfg = SolverConfig(tol=0.0, max_iter=iters, dtype=dtype)
     b_host = csr.matvec(np.ones(csr.nrows))
+    K1, K2 = max(2, iters // 6), iters
+
     if devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
         part = partition_csr(csr, devices, dtype=np.dtype(dtype))
-        runner = lambda: solve_distributed(part, b_host, method=method,  # noqa: E731
-                                           cfg=cfg)
+
+        def make_chain(K):
+            cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype)
+            return lambda: solve_distributed(part, b_host, method=method,
+                                             cfg=cfg).final_relres
     else:
         from mpi_bicgstab_tpu.api import solve
         from mpi_bicgstab_tpu.models.problem import build_problem
         prob = build_problem(csr, dtype=dtype, multiple=1024)
-        runner = lambda: solve(prob.A, prob.b, method=method, cfg=cfg)  # noqa: E731
 
-    res = runner()
-    jax.block_until_ready(res.x)     # compile
-    t0 = time.perf_counter()
-    res = runner()
-    jax.block_until_ready(res.x)
-    total = time.perf_counter() - t0
-    k = max(int(res.n_iter), 1)
-    return {"iter_method": method, "iters_run": k,
-            "time_per_iter_s": total / k,
-            "nnz": csr.nnz,
-            "spmv_equiv_nnz_per_s": 2 * csr.nnz * k / total}
+        def make_chain(K):
+            cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype)
+            return lambda: solve(prob.A, prob.b, method=method,
+                                 cfg=cfg).final_relres
+
+    sec = _slope_time(make_chain, K1=K1, K2=K2, reps=3)
+    return {"iter_method": method, "time_per_iter_s": sec,
+            "nnz": csr.nnz, "spmv_equiv_nnz_per_s": 2 * csr.nnz / sec}
 
 
 def run_bench(args):

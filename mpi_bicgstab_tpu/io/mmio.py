@@ -113,12 +113,14 @@ def read_banner(path_or_file) -> MMHeader:
 
 
 def read_matrix_market(path_or_file, expand_symmetric: bool = True,
-                       dtype=np.float64):
+                       dtype=np.float64, use_native: bool = True):
     """Read a .mtx file into COO arrays (rows, cols, vals, (nrows, ncols)).
 
     Equivalent of coo_load_matrix (matrix.c:26-94) with the behavioral
     fixes documented in the module docstring. Complex matrices are
-    rejected (the reference is real-only).
+    rejected (the reference is real-only). The body is parsed by the
+    multithreaded C++ parser (io/native.py) when available, else the
+    NumPy bulk path.
     """
     f, close = _open(path_or_file)
     try:
@@ -128,40 +130,54 @@ def read_matrix_market(path_or_file, expand_symmetric: bool = True,
     finally:
         if close:
             f.close()
-    if isinstance(body, bytes):
-        body = body.decode("latin-1")
 
     if hdr.field == "complex":
         raise ValueError("complex Matrix Market files are not supported "
                          "(reference is real-only, matrix.c:26)")
     if hdr.format != "coordinate":
+        if isinstance(body, bytes):
+            body = body.decode("latin-1")
         return _read_array_body(hdr, body, dtype)
 
-    # Strip comment lines if any appear mid-body (rare but legal).
-    if "%" in body:
-        body = "\n".join(ln for ln in body.splitlines()
-                         if not ln.lstrip().startswith("%"))
+    rows = cols = vals = None
+    if use_native and isinstance(body, bytes):
+        from mpi_bicgstab_tpu.io.native import parse_body_native
+        try:
+            out = parse_body_native(body, hdr.nnz, hdr.is_pattern)
+        except ValueError:
+            out = None  # count mismatch etc.: retry with Python path
+        if out is not None:
+            rows, cols, vals = out
+            vals = vals.astype(dtype, copy=False)
 
-    if _fromstring_ok():
-        import warnings
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            flat = np.fromstring(body, sep=" ")
-    else:
-        flat = np.array(body.split(), dtype=np.float64)
+    if rows is None:
+        if isinstance(body, bytes):
+            body = body.decode("latin-1")
+        # Strip comment lines if any appear mid-body (rare but legal).
+        if "%" in body:
+            body = "\n".join(ln for ln in body.splitlines()
+                             if not ln.lstrip().startswith("%"))
 
-    per = 2 if hdr.is_pattern else 3
-    if flat.size != hdr.nnz * per:
-        raise ValueError(
-            f"MM body has {flat.size} numbers, expected {hdr.nnz * per} "
-            f"({hdr.nnz} entries x {per})")
-    flat = flat.reshape(hdr.nnz, per)
-    rows = flat[:, 0].astype(np.int64) - 1  # 1-based fixup (matrix.c:76-77)
-    cols = flat[:, 1].astype(np.int64) - 1
-    if hdr.is_pattern:
-        vals = np.ones(hdr.nnz, dtype=dtype)  # matrix.c:68-73
-    else:
-        vals = flat[:, 2].astype(dtype)
+        if _fromstring_ok():
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                flat = np.fromstring(body, sep=" ")
+        else:
+            flat = np.array(body.split(), dtype=np.float64)
+
+        per = 2 if hdr.is_pattern else 3
+        if flat.size != hdr.nnz * per:
+            raise ValueError(
+                f"MM body has {flat.size} numbers, expected {hdr.nnz * per} "
+                f"({hdr.nnz} entries x {per})")
+        flat = flat.reshape(hdr.nnz, per)
+        rows = flat[:, 0].astype(np.int64) - 1  # 1-based fixup (matrix.c:76-77)
+        cols = flat[:, 1].astype(np.int64) - 1
+        if hdr.is_pattern:
+            vals = np.ones(hdr.nnz, dtype=dtype)  # matrix.c:68-73
+        else:
+            vals = flat[:, 2].astype(dtype)
 
     if (rows < 0).any() or (rows >= hdr.nrows).any() \
             or (cols < 0).any() or (cols >= hdr.ncols).any():

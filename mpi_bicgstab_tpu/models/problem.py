@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpi_bicgstab_tpu.ops.ell import EllMatrix, csr_to_ell
 from mpi_bicgstab_tpu.ops.sparse import CSRMatrix
 
 
@@ -41,7 +40,7 @@ class Problem:
     """A ready-to-solve system: device operator + RHS with known solution."""
 
     csr: CSRMatrix          # padded host CSR (oracle / repartition source)
-    A: EllMatrix            # single-device ELL operator
+    A: object               # device operator (DiaMatrix / EllMatrix / HybridMatrix)
     b: jax.Array            # RHS, [n_pad]
     x0: jax.Array           # zeros, [n_pad]
     n_logical: int          # rows before padding
@@ -58,16 +57,22 @@ class Problem:
 
 
 def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
-                  sigma_seed: float = 0.0, ell_width: int | None = None) -> Problem:
+                  sigma_seed: float = 0.0, ell_width: int | None = None,
+                  format: str = "auto") -> Problem:
     """b = (A + sigma_seed I) * ones (ones over the logical rows only);
-    computed on host in float64 for accuracy, then cast to dtype."""
+    computed on host in float64 for accuracy, then cast to dtype.
+    format selects the device layout (ops/layout.py): 'auto' routes to
+    DIA / hybrid / ELL by diagonal-structure analysis."""
+    from mpi_bicgstab_tpu.ops.layout import build_operator
+
     n_logical = csr.nrows
     csr_p = pad_csr_identity(csr, multiple)
     ones = np.zeros(csr_p.nrows)
     ones[:n_logical] = 1.0
     b_host = csr_p.matvec(ones) + sigma_seed * ones
     b_host[n_logical:] = 0.0  # identity-row RHS: padded solution is 0
-    A = csr_to_ell(csr_p, width=ell_width, dtype=np.dtype(dtype))
+    A = build_operator(csr_p, format=format, dtype=np.dtype(dtype),
+                       ell_width=ell_width)
     b = jnp.asarray(b_host, dtype=dtype)
     x0 = jnp.zeros_like(b)
     return Problem(csr_p, A, b, x0, n_logical, sigma_seed)

@@ -1,0 +1,88 @@
+"""Device-operator builder: picks the TPU layout for a host CSR matrix.
+
+    build_operator(csr, format='auto') ->
+        DiaMatrix            (fully diagonal-structured)
+        HybridMatrix         (DIA majority + ELL stragglers)
+        EllMatrix            (unstructured)
+
+and the generic `spmv(op, x)` each solver uses. See ops/dia.py for the
+measured performance rationale.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mpi_bicgstab_tpu.ops.dia import (DiaMatrix, analyze_diagonals,
+                                      csr_to_dia, dia_spmv)
+from mpi_bicgstab_tpu.ops.ell import EllMatrix, csr_to_ell
+from mpi_bicgstab_tpu.ops.spmv import ell_spmv
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["dia", "ell"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class HybridMatrix:
+    """DIA part + ELL remainder; A = dia + ell."""
+
+    dia: DiaMatrix
+    ell: EllMatrix
+
+    @property
+    def shape(self):
+        return self.dia.shape
+
+    @property
+    def n_rows(self):
+        return self.dia.n_rows
+
+    @property
+    def n_cols(self):
+        return self.dia.n_cols
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+
+def build_operator(csr, format: str = "auto", dtype=None,
+                   max_diags: int = 64, dia_min_fill: float = 0.02,
+                   ell_width: int | None = None):
+    """Pick and build the device layout for a square CSR matrix.
+
+    format:
+      'auto'   — DIA if the top diagonals cover everything, hybrid if
+                 they cover >= 50%, else pure ELL
+      'dia'    — force DIA (+ ELL tail if any remainder)
+      'ell'    — force gather-ELL (the faithful-to-reference layout;
+                 slow on TPU, useful for A/B benchmarking)
+    """
+    if format not in ("auto", "dia", "ell", "hybrid"):
+        raise ValueError(f"unknown format {format!r}")
+    if format == "ell":
+        return csr_to_ell(csr, width=ell_width, dtype=dtype)
+
+    offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
+                                          min_fill=dia_min_fill)
+    if format == "auto" and (not offsets or coverage < 0.5):
+        return csr_to_ell(csr, width=ell_width, dtype=dtype)
+
+    dia, remainder = csr_to_dia(csr, offsets, dtype=dtype)
+    if remainder is None:
+        return dia
+    ell = csr_to_ell(remainder, width=ell_width, dtype=dtype)
+    return HybridMatrix(dia, ell)
+
+
+def spmv(op, x):
+    """Generic y = op @ x over any device layout."""
+    if isinstance(op, DiaMatrix):
+        return dia_spmv(op, x)
+    if isinstance(op, EllMatrix):
+        return ell_spmv(op, x)
+    if isinstance(op, HybridMatrix):
+        return dia_spmv(op.dia, x) + ell_spmv(op.ell, x)
+    raise TypeError(f"not a device sparse operator: {type(op)}")

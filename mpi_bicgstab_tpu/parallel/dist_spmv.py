@@ -24,6 +24,49 @@ from mpi_bicgstab_tpu.ops.spmv import ell_spmv
 from mpi_bicgstab_tpu.parallel.comm import Comm
 
 
+def spmv_dia_halo(vals_loc, offsets: tuple, halo: int, comm: Comm, x_loc,
+                  n_devices: int):
+    """Distributed DIA SpMV with neighbor halo exchange.
+
+    Two lax.ppermute edge transfers of `halo` elements replace the
+    reference's full-vector Iallgatherv (matrix.c:432): per-shard comm
+    volume drops from O(n_global) to O(band width). Non-circular ring —
+    edge shards receive zeros, matching the zero vals beyond the matrix
+    boundary."""
+    n_loc = x_loc.shape[0]
+    if halo > 0 and n_devices > 1 and comm.axis is not None:
+        fwd = [(i, i + 1) for i in range(n_devices - 1)]
+        bwd = [(i + 1, i) for i in range(n_devices - 1)]
+        prev_tail = lax.ppermute(x_loc[n_loc - halo:], comm.axis, fwd)
+        next_head = lax.ppermute(x_loc[:halo], comm.axis, bwd)
+        xh = jnp.concatenate([prev_tail, x_loc, next_head])
+    elif halo > 0:
+        xh = jnp.pad(x_loc, (halo, halo))
+    else:
+        xh = x_loc
+    acc = jnp.zeros_like(x_loc)
+    for w, o in enumerate(offsets):
+        acc = acc + vals_loc[w] * lax.slice_in_dim(xh, halo + o,
+                                                   halo + o + n_loc)
+    return acc
+
+
+def spmv_dia_gather(vals_loc, offsets: tuple, comm: Comm, x_loc):
+    """Fallback for bands wider than a shard: all_gather the iterate and
+    take dynamic slices at row_start + offset."""
+    x_full = comm.allgather(x_loc)
+    n_loc = x_loc.shape[0]
+    lo = -min(0, min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    xp = jnp.pad(x_full, (lo, hi))
+    row_start = comm.axis_index() * n_loc
+    acc = jnp.zeros_like(x_loc)
+    for w, o in enumerate(offsets):
+        sl = lax.dynamic_slice(xp, (lo + row_start + o,), (n_loc,))
+        acc = acc + vals_loc[w] * sl
+    return acc
+
+
 def spmv_allgather(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc):
     """y_loc = A_loc_diag @ x_loc + A_loc_offd @ allgather(x)."""
     x_full = comm.allgather(x_loc)

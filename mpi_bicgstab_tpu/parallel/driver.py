@@ -2,13 +2,12 @@
 
 The TPU equivalent of the reference's main()s: partition the matrix
 (parallel/partition.py), lay the shards on the mesh, and run a solver
-from solvers/ inside jax.shard_map with psum dots and all_gather SpMV.
-The same solver code runs here and single-device (api.py) — only the
-Comm axis differs.
+from solvers/ inside jax.shard_map with psum dots and halo/all_gather
+SpMV. The same solver code runs here and single-device (api.py) — only
+the Comm axis differs.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -17,10 +16,12 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mpi_bicgstab_tpu.parallel.comm import Comm
-from mpi_bicgstab_tpu.parallel.dist_spmv import spmv_allgather, spmv_ring
+from mpi_bicgstab_tpu.parallel.dist_spmv import (spmv_allgather,
+                                                 spmv_dia_gather,
+                                                 spmv_dia_halo, spmv_ring)
 from mpi_bicgstab_tpu.parallel.mesh import ROWS, make_row_mesh
 from mpi_bicgstab_tpu.parallel.partition import PartitionedMatrix
-from mpi_bicgstab_tpu.solvers.base import SolveResult
+from mpi_bicgstab_tpu.solvers.base import ShiftedResult, SolveResult
 from mpi_bicgstab_tpu.solvers.bicgstab import CLASSIC_SOLVERS
 from mpi_bicgstab_tpu.utils.config import SolverConfig
 
@@ -28,30 +29,52 @@ _SLAB = P(None, ROWS)
 _VEC = P(ROWS)
 _REP = P()
 
-# in_specs for PartitionedMatrix.arrays order
-_MATRIX_SPECS = (_SLAB, _SLAB, _VEC, _VEC, _VEC,
-                 _SLAB, _SLAB, _VEC, _VEC, _VEC)
+
+def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
+                    halo_strategy: str = "allgather"):
+    """Compose the per-shard SpMV from the present blocks (called inside
+    shard_map; mat_args are the local shard arrays)."""
+    dia_vals, blocks, rest = part.unpack(mat_args)
+    assert not rest
+
+    def spmv(x_loc):
+        y = None
+        if dia_vals is not None:
+            if part.dia_mode == "halo":
+                y = spmv_dia_halo(dia_vals, part.dia_offsets, part.halo,
+                                  comm, x_loc, part.n_devices)
+            else:
+                y = spmv_dia_gather(dia_vals, part.dia_offsets, comm, x_loc)
+        if blocks is not None:
+            diag, offd = blocks
+            if halo_strategy == "ring":
+                y2 = spmv_ring(diag, offd, comm, x_loc, part.n_devices)
+            else:
+                y2 = spmv_allgather(diag, offd, comm, x_loc)
+            y = y2 if y is None else y + y2
+        return y
+
+    return spmv
 
 
 def put_partitioned(part: PartitionedMatrix, mesh) -> PartitionedMatrix:
-    """Lay the stacked shard arrays onto the mesh (the jax.device_put
-    analogue of each rank holding its own blocks after loading)."""
+    """Lay the stacked shard arrays onto the mesh (each shard ends up
+    holding its own blocks, like each MPI rank after loading)."""
     slab = NamedSharding(mesh, _SLAB)
     vec = NamedSharding(mesh, _VEC)
-    shardings = dict(
-        diag_cols=slab, diag_vals=slab, diag_tail_rows=vec,
-        diag_tail_cols=vec, diag_tail_vals=vec,
-        offd_cols=slab, offd_vals=slab, offd_tail_rows=vec,
-        offd_tail_cols=vec, offd_tail_vals=vec,
-    )
-    kw = {k: jax.device_put(np.asarray(getattr(part, k)), s)
-          for k, s in shardings.items()}
-    return dataclasses.replace(part, **kw)
+    kw = {}
+    if part.has_dia:
+        kw["dia_vals"] = jax.device_put(np.asarray(part.dia_vals), slab)
+    if part.has_ell:
+        for f in ("diag_cols", "diag_vals", "offd_cols", "offd_vals"):
+            kw[f] = jax.device_put(np.asarray(getattr(part, f)), slab)
+        for f in ("diag_tail_rows", "diag_tail_cols", "diag_tail_vals",
+                  "offd_tail_rows", "offd_tail_cols", "offd_tail_vals"):
+            kw[f] = jax.device_put(np.asarray(getattr(part, f)), vec)
+    return part.replace(**kw)
 
 
 def pad_vector(v, n_global: int):
-    """Zero-pad a host vector of logical length to the padded global
-    size (padded components are exactly 0 throughout every solve)."""
     v = np.asarray(v)
     if v.shape[0] == n_global:
         return v
@@ -67,131 +90,104 @@ def put_vector(v, part: PartitionedMatrix, mesh, dtype=None):
     return jax.device_put(v, NamedSharding(mesh, _VEC))
 
 
+def _mat_dtype(part: PartitionedMatrix):
+    return (part.dia_vals if part.has_dia else part.diag_vals).dtype
+
+
 def make_dist_spmv(part: PartitionedMatrix, mesh, halo: str = "allgather"):
     """A jitted global-view distributed SpMV: f(x_global) -> y_global,
     for tests and the nnz/s benchmark."""
 
     def run(*args):
         *mat, x_loc = args
-        diag, offd = part.local_blocks(*mat)
         comm = Comm(ROWS)
-        if halo == "ring":
-            return spmv_ring(diag, offd, comm, x_loc, part.n_devices)
-        return spmv_allgather(diag, offd, comm, x_loc)
+        return make_local_spmv(part, mat, comm, halo)(x_loc)
 
-    sm = jax.shard_map(run, mesh=mesh, in_specs=_MATRIX_SPECS + (_VEC,),
+    sm = jax.shard_map(run, mesh=mesh,
+                       in_specs=part.specs(_SLAB, _VEC) + (_VEC,),
                        out_specs=_VEC, check_vma=False)
     jitted = jax.jit(sm)
-    return lambda x: jitted(*part.arrays, x)
+    return lambda x: jitted(*part.arrays(), x)
 
 
-@partial(jax.jit,
-         static_argnames=("method", "cfg", "mesh", "halo", "n_devices",
-                          "part_meta"))
-def _solve_dist_jit(mat_arrays, b, x0, method, cfg, mesh, halo, n_devices,
-                    part_meta):
-    n_loc, n_global = part_meta
-
-    def run(*args):
-        *mat, b_loc, x0_loc = args
-        from mpi_bicgstab_tpu.ops.ell import EllMatrix
-        dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv = mat
-        diag = EllMatrix(dc, dv, dtr, dtc, dtv, n_loc, n_loc)
-        offd = EllMatrix(oc, ov, otr, otc, otv, n_loc, n_global)
-        comm = Comm(ROWS)
-        if halo == "ring":
-            spmv = lambda x: spmv_ring(diag, offd, comm, x, n_devices)  # noqa: E731
-        else:
-            spmv = lambda x: spmv_allgather(diag, offd, comm, x)        # noqa: E731
-        return CLASSIC_SOLVERS[method](spmv, comm, b_loc, x0_loc, cfg)
-
-    out_specs = SolveResult(x=_VEC, n_iter=_REP, final_relres=_REP,
-                            history=_REP, converged=_REP)
-    sm = jax.shard_map(run, mesh=mesh,
-                       in_specs=_MATRIX_SPECS + (_VEC, _VEC),
-                       out_specs=out_specs, check_vma=False)
-    return sm(*mat_arrays, b, x0)
+def _skeleton(part: PartitionedMatrix) -> PartitionedMatrix:
+    """Arrays stripped to shapes-only sentinels? No — we pass the real
+    arrays separately and use the dataclass only for static metadata, so
+    replace every array field with None-or-flag placeholders that keep
+    has_dia/has_ell intact."""
+    kw = {f: (0 if getattr(part, f) is not None else None)
+          for f in ("dia_vals", "diag_cols", "diag_vals", "diag_tail_rows",
+                    "diag_tail_cols", "diag_tail_vals", "offd_cols",
+                    "offd_vals", "offd_tail_rows", "offd_tail_cols",
+                    "offd_tail_vals")}
+    return part.replace(**kw)
 
 
-@partial(jax.jit,
-         static_argnames=("method", "seed", "cfg", "mesh", "halo",
-                          "n_devices", "part_meta"))
-def _solve_shifted_dist_jit(mat_arrays, b, sigma, method, seed, cfg, mesh,
-                            halo, n_devices, part_meta):
-    from mpi_bicgstab_tpu.ops.ell import EllMatrix
-    from mpi_bicgstab_tpu.solvers.base import ShiftedResult
-    from mpi_bicgstab_tpu.solvers.shifted import SHIFTED_SOLVERS
-    from mpi_bicgstab_tpu.solvers.switching import SWITCHING_SOLVERS
+class _HashableSkeleton:
+    """Hashable wrapper for the static partition metadata."""
 
-    n_loc, n_global = part_meta
-    solvers = {**SHIFTED_SOLVERS, **SWITCHING_SOLVERS}
+    def __init__(self, part: PartitionedMatrix):
+        self.part = part
+        self._key = (part.dia_offsets, part.halo, part.dia_mode,
+                     part.n_devices, part.n_loc, part.n_global,
+                     part.n_logical, part.has_dia, part.has_ell)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableSkeleton) and self._key == other._key
+
+
+@partial(jax.jit, static_argnames=("skel", "method", "seed", "cfg",
+                                   "mesh", "halo", "shifted"))
+def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
+        shifted):
+    p = skel.part
 
     def run(*args):
-        *mat, b_loc, sig = args
-        dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv = mat
-        diag = EllMatrix(dc, dv, dtr, dtc, dtv, n_loc, n_loc)
-        offd = EllMatrix(oc, ov, otr, otc, otv, n_loc, n_global)
+        mat = args[:-3]
+        b_loc, x0_loc, sg = args[-3:]
         comm = Comm(ROWS)
-        if halo == "ring":
-            spmv = lambda x: spmv_ring(diag, offd, comm, x, n_devices)  # noqa: E731
-        else:
-            spmv = lambda x: spmv_allgather(diag, offd, comm, x)        # noqa: E731
+        spmv = make_local_spmv(p, mat, comm, halo)
+        if not shifted:
+            return CLASSIC_SOLVERS[method](spmv, comm, b_loc, x0_loc, cfg)
+        from mpi_bicgstab_tpu.solvers.shifted import SHIFTED_SOLVERS
+        from mpi_bicgstab_tpu.solvers.switching import SWITCHING_SOLVERS
+        solvers = {**SHIFTED_SOLVERS, **SWITCHING_SOLVERS}
         fn = solvers[method]
         if method == "shifted_bicgstab":
-            return fn(spmv, comm, b_loc, sig, cfg)
-        return fn(spmv, comm, b_loc, sig, seed, cfg)
+            return fn(spmv, comm, b_loc, sg, cfg)
+        return fn(spmv, comm, b_loc, sg, seed, cfg)
 
-    x_set_spec = P(None, ROWS)
-    out_specs = ShiftedResult(x_set=x_set_spec, n_iter=_REP,
-                              final_relres=_REP, history=_REP,
-                              stop_flags=_REP, final_seed=_REP)
+    if not shifted:
+        out_specs = SolveResult(x=_VEC, n_iter=_REP, final_relres=_REP,
+                                history=_REP, converged=_REP)
+    else:
+        out_specs = ShiftedResult(x_set=P(None, ROWS), n_iter=_REP,
+                                  final_relres=_REP, history=_REP,
+                                  stop_flags=_REP, final_seed=_REP)
     sm = jax.shard_map(run, mesh=mesh,
-                       in_specs=_MATRIX_SPECS + (_VEC, _REP),
+                       in_specs=p.specs(_SLAB, _VEC) + (_VEC, _VEC, _REP),
                        out_specs=out_specs, check_vma=False)
-    return sm(*mat_arrays, b, sigma)
+    return sm(*mat_arrays, b, x0, sig)
 
 
-def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
-                              seed: int = 0,
-                              method: str = "shifted_lopbicg_switching",
-                              cfg=None, mesh=None,
-                              halo: str = "allgather"):
-    """Distributed multi-shift solve: (A + sigma_j I) x_j = b for the
-    whole ladder, seed system only on the wire (the distributed analogue
-    of main_shifted.c / main_repeat.c driving shifted_lopbicg_switching).
-    x_set in the result is [n_sigma, n_global] sharded on the row axis."""
-    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
-
-    mesh = mesh or make_row_mesh(part.n_devices)
-    if mesh.devices.size != part.n_devices:
-        raise ValueError(
-            f"mesh has {mesh.devices.size} devices but the matrix was "
-            f"partitioned for {part.n_devices}")
-    if not isinstance(part.diag_cols, jax.Array):
-        part = put_partitioned(part, mesh)
-    dtype = part.diag_vals.dtype
-    if cfg is None:
-        cfg = ShiftedConfig(dtype=dtype)
-    sigma = np.asarray(sigma, dtype=dtype)
-    if not (0 <= seed < sigma.shape[0]):
-        raise ValueError(f"seed {seed} out of range for {sigma.shape[0]} shifts")
-    b_d = put_vector(b, part, mesh, dtype)
-    sig_d = jax.device_put(sigma, NamedSharding(mesh, _REP))
-    return _solve_shifted_dist_jit(part.arrays, b_d, sig_d, method,
-                                   int(seed), cfg, mesh, halo,
-                                   part.n_devices,
-                                   (part.n_loc, part.n_global))
+def _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo, shifted,
+                     sigma=None, seed=0):
+    skel = _HashableSkeleton(_skeleton(part))
+    if sigma is None:
+        sigma = jnp.zeros((1,), b_d.dtype)
+    return _go(part.arrays(), b_d, x0_d, sigma, skel=skel, method=method,
+               seed=int(seed), cfg=cfg, mesh=mesh, halo=halo,
+               shifted=shifted)
 
 
 def solve_distributed(part: PartitionedMatrix, b, x0=None,
                       method: str = "bicgstab",
                       cfg: SolverConfig | None = None, mesh=None,
                       halo: str = "allgather") -> SolveResult:
-    """Distributed solve of A x = b over a 1-D row mesh.
-
-    part: PartitionedMatrix (host arrays are laid out automatically).
-    b:    RHS of length n_logical or n_global.
-    """
+    """Distributed solve of A x = b over a 1-D row mesh."""
     if method not in CLASSIC_SOLVERS:
         raise ValueError(f"unknown method {method!r}")
     if halo not in ("allgather", "ring"):
@@ -201,14 +197,44 @@ def solve_distributed(part: PartitionedMatrix, b, x0=None,
         raise ValueError(
             f"mesh has {mesh.devices.size} devices but the matrix was "
             f"partitioned for {part.n_devices}")
-    if not isinstance(part.diag_cols, jax.Array):
+    if not isinstance(part.arrays()[0], jax.Array):
         part = put_partitioned(part, mesh)
-    dtype = part.diag_vals.dtype
+    dtype = _mat_dtype(part)
     if cfg is None:
         cfg = SolverConfig(dtype=dtype)
     b_d = put_vector(b, part, mesh, dtype)
     x0_d = (put_vector(x0, part, mesh, dtype) if x0 is not None
             else jnp.zeros_like(b_d))
-    return _solve_dist_jit(part.arrays, b_d, x0_d, method, cfg, mesh,
-                           halo, part.n_devices,
-                           (part.n_loc, part.n_global))
+    return _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
+                            shifted=False)
+
+
+def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
+                              seed: int = 0,
+                              method: str = "shifted_lopbicg_switching",
+                              cfg=None, mesh=None,
+                              halo: str = "allgather") -> ShiftedResult:
+    """Distributed multi-shift solve: (A + sigma_j I) x_j = b for the
+    whole ladder from one Krylov sequence (the distributed analogue of
+    main_shifted.c / main_repeat.c). x_set is [n_sigma, n_global]
+    sharded on the row axis."""
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    mesh = mesh or make_row_mesh(part.n_devices)
+    if mesh.devices.size != part.n_devices:
+        raise ValueError(
+            f"mesh has {mesh.devices.size} devices but the matrix was "
+            f"partitioned for {part.n_devices}")
+    if not isinstance(part.arrays()[0], jax.Array):
+        part = put_partitioned(part, mesh)
+    dtype = _mat_dtype(part)
+    if cfg is None:
+        cfg = ShiftedConfig(dtype=dtype)
+    sigma = np.asarray(sigma, dtype=dtype)
+    if not (0 <= seed < sigma.shape[0]):
+        raise ValueError(f"seed {seed} out of range for {sigma.shape[0]} shifts")
+    b_d = put_vector(b, part, mesh, dtype)
+    sig_d = jax.device_put(sigma, NamedSharding(mesh, _REP))
+    x0_d = jnp.zeros_like(b_d)
+    return _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
+                            shifted=True, sigma=sig_d, seed=seed)

@@ -1,27 +1,23 @@
-"""1-D row partitioning of a CSR matrix into diag / offd ELL blocks.
+"""1-D row partitioning of a CSR matrix for the `rows` mesh.
 
-Rebuilds the reference's distributed loader semantics
-(MPI_coo_load_matrix_block, matrix.c:268-396): each shard owns a
-contiguous row block; within its rows, entries whose column falls inside
-the shard's own row range form the square *diagonal block* (stored with
-LOCAL column indices, matrix.c:343-348) and the rest form the
-*off-diagonal block* (GLOBAL column indices, matrix.c:350-355):
+Layout strategy per shard mirrors ops/layout.py:
 
-        |----|--------------|
-        | d0 |     od0      | <- shard 0      (diagram matrix.c:248-257)
-        |----|----|---------|
-        |od1 | d1 |   od1   | <- shard 1
-        |----|----|----|----|
+* **DIA part** (dominant diagonals): per-shard vals are just row slices
+  of the global [n_diags, n] diagonal array. Distributed SpMV needs only
+  a HALO of width H = max|offset| from each neighbor shard —
+  two lax.ppermute edge exchanges of H elements instead of the
+  reference's full-vector MPI_Iallgatherv (matrix.c:432; its O(n)-per-
+  rank gather is SURVEY quirk #9). If H exceeds the shard size the
+  build falls back to gather mode (full all_gather + dynamic slices).
 
-Differences from the reference, by design:
-  * equal shard sizes — we pad the matrix with identity rows to a
-    multiple of n_devices instead of giving remainder rows to the first
-    ranks (matrix.c:295-298), because SPMD shards must be shape-identical.
-  * the file is parsed ONCE on the host and partitioned in memory; the
-    reference re-reads the entire .mtx twice per rank (matrix.c:315-393,
-    its documented IO hotspot).
-  * blocks are stored slab-major ELL (ops/ell.py), not CSR; all shards
-    share one ELL width / tail size so the stacked arrays are rectangular.
+* **ELL remainder** (off-diagonal stragglers / unstructured matrices):
+  the reference's diag/offd block split (matrix.c:248-257) — a square
+  local block with LOCAL column indices plus an off-diagonal block with
+  GLOBAL column indices multiplied against the all_gathered iterate.
+
+The reference gives remainder rows to the first ranks (matrix.c:295-298);
+SPMD shards must be shape-identical, so we pad with identity rows
+instead (padded RHS entries are 0 and stay 0).
 """
 from __future__ import annotations
 
@@ -32,65 +28,101 @@ import jax
 import numpy as np
 
 from mpi_bicgstab_tpu.models.problem import pad_csr_identity
+from mpi_bicgstab_tpu.ops.dia import analyze_diagonals, csr_to_dia
 from mpi_bicgstab_tpu.ops.ell import EllMatrix, csr_to_ell
 from mpi_bicgstab_tpu.ops.sparse import CSRMatrix
 
+_DIA_FIELDS = ("dia_vals",)
+_ELL_FIELDS = ("diag_cols", "diag_vals", "diag_tail_rows", "diag_tail_cols",
+               "diag_tail_vals", "offd_cols", "offd_vals", "offd_tail_rows",
+               "offd_tail_cols", "offd_tail_vals")
+
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["diag_cols", "diag_vals", "diag_tail_rows",
-                      "diag_tail_cols", "diag_tail_vals",
-                      "offd_cols", "offd_vals", "offd_tail_rows",
-                      "offd_tail_cols", "offd_tail_vals"],
-         meta_fields=["n_devices", "n_loc", "n_global", "n_logical"])
+         data_fields=list(_DIA_FIELDS + _ELL_FIELDS),
+         meta_fields=["dia_offsets", "halo", "dia_mode", "n_devices",
+                      "n_loc", "n_global", "n_logical"])
 @dataclasses.dataclass(frozen=True)
 class PartitionedMatrix:
-    """Stacked per-shard diag/offd ELL blocks.
+    """Stacked per-shard blocks; either part may be None.
 
-    Slab arrays are [width, n_devices * n_loc] (shard along dim 1,
-    spec P(None, 'rows')); tail arrays are [n_devices * tail_size]
-    (shard along dim 0, spec P('rows')). Tail row indices are LOCAL to
-    the shard. diag column indices are local; offd are global.
+    dia_vals:   [n_diags, n_global] (shard dim 1, spec P(None, 'rows'));
+                per-shard slice is the shard's own rows.
+    ELL fields: as before — slab arrays [width, n_global] (shard dim 1),
+                tail arrays [n_devices * tail] (shard dim 0, LOCAL rows);
+                diag_* use local columns, offd_* global columns.
     """
 
-    diag_cols: np.ndarray | jax.Array
-    diag_vals: np.ndarray | jax.Array
-    diag_tail_rows: np.ndarray | jax.Array
-    diag_tail_cols: np.ndarray | jax.Array
-    diag_tail_vals: np.ndarray | jax.Array
-    offd_cols: np.ndarray | jax.Array
-    offd_vals: np.ndarray | jax.Array
-    offd_tail_rows: np.ndarray | jax.Array
-    offd_tail_cols: np.ndarray | jax.Array
-    offd_tail_vals: np.ndarray | jax.Array
+    dia_vals: object
+    diag_cols: object
+    diag_vals: object
+    diag_tail_rows: object
+    diag_tail_cols: object
+    diag_tail_vals: object
+    offd_cols: object
+    offd_vals: object
+    offd_tail_rows: object
+    offd_tail_cols: object
+    offd_tail_vals: object
+    dia_offsets: tuple
+    halo: int
+    dia_mode: str        # 'halo' | 'gather' | 'none'
     n_devices: int
     n_loc: int
-    n_global: int   # padded global size = n_devices * n_loc
-    n_logical: int  # rows before padding
-
-    def local_blocks(self, diag_cols, diag_vals, dtr, dtc, dtv,
-                     offd_cols, offd_vals, otr, otc, otv):
-        """Wrap *local shard* arrays into EllMatrix blocks (called inside
-        shard_map where arrays have local shapes)."""
-        diag = EllMatrix(diag_cols, diag_vals, dtr, dtc, dtv,
-                         self.n_loc, self.n_loc)
-        offd = EllMatrix(offd_cols, offd_vals, otr, otc, otv,
-                         self.n_loc, self.n_global)
-        return diag, offd
+    n_global: int
+    n_logical: int
 
     @property
+    def has_dia(self) -> bool:
+        return self.dia_mode != "none"
+
+    @property
+    def has_ell(self) -> bool:
+        return self.diag_cols is not None
+
     def arrays(self):
-        return (self.diag_cols, self.diag_vals, self.diag_tail_rows,
-                self.diag_tail_cols, self.diag_tail_vals,
-                self.offd_cols, self.offd_vals, self.offd_tail_rows,
-                self.offd_tail_cols, self.offd_tail_vals)
+        """Flat tuple of the present device arrays (stable order)."""
+        out = []
+        if self.has_dia:
+            out.append(self.dia_vals)
+        if self.has_ell:
+            out.extend(getattr(self, f) for f in _ELL_FIELDS)
+        return tuple(out)
+
+    def specs(self, slab_spec, vec_spec):
+        out = []
+        if self.has_dia:
+            out.append(slab_spec)
+        if self.has_ell:
+            out.extend([slab_spec, slab_spec, vec_spec, vec_spec, vec_spec,
+                        slab_spec, slab_spec, vec_spec, vec_spec, vec_spec])
+        return tuple(out)
+
+    def unpack(self, args):
+        """Inverse of arrays() for the local shards inside shard_map:
+        returns (dia_vals_loc | None, (diag, offd) EllMatrix pair | None,
+        rest-of-args)."""
+        args = list(args)
+        dia_vals = args.pop(0) if self.has_dia else None
+        blocks = None
+        if self.has_ell:
+            dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv = args[:10]
+            args = args[10:]
+            diag = EllMatrix(dc, dv, dtr, dtc, dtv, self.n_loc, self.n_loc)
+            offd = EllMatrix(oc, ov, otr, otc, otv, self.n_loc,
+                             self.n_global)
+            blocks = (diag, offd)
+        return dia_vals, blocks, tuple(args)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def _csr_row_block(csr: CSRMatrix, start: int, end: int,
                    col_lo: int, col_hi: int, localize: bool,
                    n_cols: int) -> CSRMatrix:
-    """Extract rows [start, end), keeping only columns inside [col_lo,
-    col_hi) if localize else outside. Mirrors the count/fill split logic
-    at matrix.c:315-355."""
+    """Rows [start, end), columns inside [col_lo, col_hi) if localize
+    else outside (the reference's count/fill split, matrix.c:315-355)."""
     lo, hi = csr.ptr[start], csr.ptr[end]
     col = csr.col[lo:hi]
     val = csr.val[lo:hi]
@@ -99,20 +131,38 @@ def _csr_row_block(csr: CSRMatrix, start: int, end: int,
     inside = (col >= col_lo) & (col < col_hi)
     keep = inside if localize else ~inside
     col_k = col[keep] - (col_lo if localize else 0)
-    val_k = val[keep]
     rows_k = rows[keep]
     counts = np.bincount(rows_k, minlength=end - start)
     ptr = np.zeros(end - start + 1, dtype=np.int64)
     np.cumsum(counts, out=ptr[1:])
-    return CSRMatrix(ptr, col_k, val_k, (end - start, n_cols))
+    return CSRMatrix(ptr, col_k, val[keep], (end - start, n_cols))
+
+
+def _stack_ell_blocks(blocks, width):
+    w = max(1, max(int(b.row_lengths.max()) if b.nnz else 0
+                   for b in blocks))
+    if width is not None:
+        w = min(w, width)
+    tail = int(max(max((b.row_lengths - w).clip(min=0).sum()
+                       for b in blocks), 0))
+    ells = [csr_to_ell(b, width=w, tail_pad=tail, device_put=False)
+            for b in blocks]
+    return (np.concatenate([e.cols for e in ells], axis=1),
+            np.concatenate([e.vals for e in ells], axis=1),
+            np.concatenate([e.tail_rows for e in ells]),
+            np.concatenate([e.tail_cols for e in ells]),
+            np.concatenate([e.tail_vals for e in ells]))
 
 
 def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
-                  width: int | None = None) -> PartitionedMatrix:
-    """Partition a square CSR into n_devices stacked diag/offd ELL blocks.
+                  width: int | None = None, format: str = "auto",
+                  max_diags: int = 64,
+                  dia_min_fill: float = 0.02) -> PartitionedMatrix:
+    """Partition a square CSR into per-shard DIA + ELL blocks.
 
-    Pads to n_global = ceil(n / (8 * n_devices)) * 8 * n_devices with
-    identity rows (harmless: padded RHS entries are 0)."""
+    format: 'auto' (diagonal analysis routes between DIA/hybrid/ELL),
+    'dia' (force DIA + ELL remainder), 'ell' (pure gather-ELL — the
+    faithful-to-reference layout)."""
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("matrix must be square")
     n_logical = csr.nrows
@@ -120,29 +170,51 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
     n_global = csr.nrows
     n_loc = n_global // n_devices
 
-    diag_blocks, offd_blocks = [], []
-    for d in range(n_devices):
-        s, e = d * n_loc, (d + 1) * n_loc
-        diag_blocks.append(_csr_row_block(csr, s, e, s, e, True, n_loc))
-        offd_blocks.append(_csr_row_block(csr, s, e, s, e, False, n_global))
+    dia_vals = None
+    dia_offsets = ()
+    dia_mode = "none"
+    halo = 0
+    remainder = csr
 
-    def stack(blocks, n_cols):
-        w = max(1, max(int(b.row_lengths.max()) if b.nnz else 0
-                       for b in blocks))
-        if width is not None:
-            w = min(w, width)
-        tail = max((max((b.row_lengths - w).clip(min=0).sum()
-                        for b in blocks), 0))
-        ells = [csr_to_ell(b, width=w, tail_pad=int(tail), dtype=dtype,
-                           device_put=False) for b in blocks]
-        cols = np.concatenate([e.cols for e in ells], axis=1)
-        vals = np.concatenate([e.vals for e in ells], axis=1)
-        t_rows = np.concatenate([e.tail_rows for e in ells])
-        t_cols = np.concatenate([e.tail_cols for e in ells])
-        t_vals = np.concatenate([e.tail_vals for e in ells])
-        return cols, vals, t_rows, t_cols, t_vals
+    if format != "ell":
+        offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
+                                              min_fill=dia_min_fill)
+        if format == "dia" or (offsets and coverage >= 0.5):
+            dia, remainder = csr_to_dia(csr, offsets, dtype=dtype,
+                                        device_put=False)
+            dia_vals = dia.vals
+            dia_offsets = offsets
+            m = max((max(offsets), -min(offsets), 0)) if offsets else 0
+            if m <= n_loc:
+                dia_mode = "halo"
+                halo = min(-(-m // 128) * 128, n_loc) if m else 0
+            else:
+                # band wider than a shard: halo impossible, use the
+                # full all_gather + dynamic slices instead
+                dia_mode = "gather"
+                halo = 0
 
-    dc, dv, dtr, dtc, dtv = stack(diag_blocks, n_loc)
-    oc, ov, otr, otc, otv = stack(offd_blocks, n_global)
-    return PartitionedMatrix(dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv,
-                             n_devices, n_loc, n_global, n_logical)
+    ell_fields = dict.fromkeys(_ELL_FIELDS)
+    if remainder is not None and (remainder is csr or remainder.nnz > 0):
+        if dtype is not None:
+            remainder = CSRMatrix(remainder.ptr, remainder.col,
+                                  remainder.val.astype(dtype),
+                                  remainder.shape)
+        diag_blocks, offd_blocks = [], []
+        for d in range(n_devices):
+            s, e = d * n_loc, (d + 1) * n_loc
+            diag_blocks.append(_csr_row_block(remainder, s, e, s, e, True,
+                                              n_loc))
+            offd_blocks.append(_csr_row_block(remainder, s, e, s, e, False,
+                                              n_global))
+        dc, dv, dtr, dtc, dtv = _stack_ell_blocks(diag_blocks, width)
+        oc, ov, otr, otc, otv = _stack_ell_blocks(offd_blocks, width)
+        ell_fields = dict(zip(_ELL_FIELDS,
+                              (dc, dv, dtr, dtc, dtv, oc, ov, otr, otc,
+                               otv)))
+
+    return PartitionedMatrix(
+        dia_vals=dia_vals, **ell_fields,
+        dia_offsets=dia_offsets, halo=halo, dia_mode=dia_mode,
+        n_devices=n_devices, n_loc=n_loc, n_global=n_global,
+        n_logical=n_logical)

@@ -86,14 +86,9 @@ def test_rr_replacement_happens():
 
 
 def test_float32_path_runs():
-    prob0 = _problem(lambda: poisson2d(12))
-    b32 = prob0.b.astype(jnp.float32)
-    from mpi_bicgstab_tpu.ops.ell import EllMatrix
-    A = prob0.A
-    A32 = EllMatrix(A.cols, A.vals.astype(jnp.float32), A.tail_rows,
-                    A.tail_cols, A.tail_vals.astype(jnp.float32),
-                    A.n_rows, A.n_cols)
+    csr = poisson2d(12)
+    prob = build_problem(csr, dtype=jnp.float32)
     cfg = SolverConfig(tol=1e-5, max_iter=400, dtype=jnp.float32)
-    res = solve(A32, b32, cfg=cfg)
+    res = solve(prob.A, prob.b, cfg=cfg)
     assert bool(res.converged)
     assert np.abs(np.asarray(res.x) - 1.0).max() < 1e-3

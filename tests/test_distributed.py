@@ -21,7 +21,7 @@ requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 def test_partition_reassembles_to_original():
     csr = banded_random(100, [1, -1, 9, -9], seed=3)
-    part = partition_csr(csr, 4)
+    part = partition_csr(csr, 4, format="ell")
     dense = np.zeros((part.n_global, part.n_global))
     n_loc = part.n_loc
     # diag blocks: local cols -> global offset
@@ -47,10 +47,70 @@ def test_partition_reassembles_to_original():
 
 
 @requires_8
+@pytest.mark.parametrize("fmt", ["auto", "ell", "dia"])
+def test_dist_spmv_formats_match_host(fmt):
+    csr = banded_random(200, [1, -1, 17, -17], seed=1)
+    part = partition_csr(csr, 8, format=fmt)
+    if fmt == "auto":
+        assert part.has_dia and not part.has_ell   # fully banded
+        assert part.dia_mode == "halo"
+    mesh = make_row_mesh(8)
+    part_d = put_partitioned(part, mesh)
+    rng = np.random.default_rng(0)
+    x_host = rng.standard_normal(part.n_global)
+    x = put_vector(x_host, part, mesh)
+    y = np.asarray(make_dist_spmv(part_d, mesh)(x))
+    from mpi_bicgstab_tpu.models.problem import pad_csr_identity
+    expect = pad_csr_identity(csr, 64).matvec(x_host)
+    np.testing.assert_allclose(y, expect, rtol=1e-12)
+
+
+@requires_8
+def test_dist_spmv_dia_gather_fallback():
+    # band offset (40) wider than the shard (n_loc=16 for n=128/8):
+    # halo mode impossible -> gather fallback, still exact
+    csr = banded_random(128, [1, -1, 40, -40], seed=5)
+    part = partition_csr(csr, 8, format="dia")
+    assert part.dia_mode == "gather"
+    mesh = make_row_mesh(8)
+    part_d = put_partitioned(part, mesh)
+    x_host = np.random.default_rng(2).standard_normal(part.n_global)
+    x = put_vector(x_host, part, mesh)
+    y = np.asarray(make_dist_spmv(part_d, mesh)(x))
+    expect = csr.matvec(x_host[:128])
+    np.testing.assert_allclose(y[:128], expect, rtol=1e-12)
+
+
+@requires_8
+def test_dist_spmv_hybrid():
+    # banded + random stragglers: DIA halo + ELL allgather together
+    from mpi_bicgstab_tpu.ops.sparse import COOMatrix, coo_to_csr
+    band = banded_random(160, [1, -1, 12, -12], seed=7)
+    rng = np.random.default_rng(8)
+    extra_r = rng.integers(0, 160, 60)
+    extra_c = rng.integers(0, 160, 60)
+    rows = np.concatenate([np.repeat(np.arange(160), band.row_lengths),
+                           extra_r])
+    cols = np.concatenate([band.col, extra_c])
+    vals = np.concatenate([band.val, rng.standard_normal(60) * 0.05])
+    mix = coo_to_csr(COOMatrix(rows, cols, vals, (160, 160)),
+                     sum_duplicates=True)
+    part = partition_csr(mix, 8, format="dia")
+    assert part.has_dia and part.has_ell
+    mesh = make_row_mesh(8)
+    part_d = put_partitioned(part, mesh)
+    x_host = np.random.default_rng(3).standard_normal(part.n_global)
+    x = put_vector(x_host, part, mesh)
+    y = np.asarray(make_dist_spmv(part_d, mesh)(x))
+    expect = mix.matvec(x_host[:160])
+    np.testing.assert_allclose(y[:160], expect, rtol=1e-11)
+
+
+@requires_8
 @pytest.mark.parametrize("halo", ["allgather", "ring"])
 def test_dist_spmv_matches_host(halo):
     csr = banded_random(200, [1, -1, 17, -17], seed=1)
-    part = partition_csr(csr, 8)
+    part = partition_csr(csr, 8, format="ell")
     mesh = make_row_mesh(8)
     part_d = put_partitioned(part, mesh)
     rng = np.random.default_rng(0)

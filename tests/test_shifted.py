@@ -70,7 +70,7 @@ def test_communication_count_independent_of_sigma_len():
     # same number of SpMV-sized operations regardless of sigma_len
     import jax
     csr, prob = _problem()
-    from mpi_bicgstab_tpu.ops.spmv import ell_spmv
+    from mpi_bicgstab_tpu.ops.layout import spmv as gspmv
     from mpi_bicgstab_tpu.parallel.comm import Comm
     from mpi_bicgstab_tpu.solvers.shifted import shifted_lopbicgstab
 
@@ -78,7 +78,7 @@ def test_communication_count_independent_of_sigma_len():
         sig = jnp.linspace(0.0, 0.05, S)
         jaxpr = jax.make_jaxpr(
             lambda b: shifted_lopbicgstab(
-                lambda v: ell_spmv(prob.A, v), Comm(None), b, sig, 0,
+                lambda v: gspmv(prob.A, v), Comm(None), b, sig, 0,
                 ShiftedConfig(max_iter=10)))(prob.b)
         txt = str(jaxpr)
         return txt.count("dot_general")
