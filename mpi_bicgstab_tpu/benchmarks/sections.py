@@ -1,0 +1,167 @@
+"""Per-phase section timing — the rebuild of the reference's
+MEASURE_SECTION_TIME / DISPLAY_SECTION_TIME mode
+(shifted_switching_solver.c:9-10,678-695,884-892,994-1005), which timed
+allgather x2, diag-mult x2, offd-mult x2, allreduce and shift-update per
+iteration and printed a CSV.
+
+Inside one fused jit those phases don't exist as separate host-visible
+events (XLA fuses and overlaps them — that's the point), so this mode
+times each phase as its own slope-benchmarked chain on the same data.
+The numbers answer the same question the reference's CSV answered:
+where does an iteration's time go, and what does overlap buy.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from mpi_bicgstab_tpu.benchmarks.runner import _slope_time
+
+
+def profile_sections(csr, dtype, devices: int = 1, sigma_len: int = 0,
+                     iters: int = 60):
+    """Returns {phase: seconds} for the SpMV sub-phases, the reduction,
+    the BLAS-1 update, and (if sigma_len) the shift update."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    out = {}
+    K1, K2 = max(2, iters // 6), iters
+
+    if devices == 1:
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        from mpi_bicgstab_tpu.ops.layout import spmv as gspmv
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
+        A = prob.A
+        n = prob.n
+        x0 = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+
+        def chainer(body):
+            def make(K):
+                @jax.jit
+                def c(v):
+                    def f(i, v):
+                        y = body(v)
+                        return y / (1.0 + jnp.sum(jnp.abs(y)))
+                    return jnp.sum(lax.fori_loop(0, K, f, v))
+                return lambda: c(x0)
+            return make
+
+        out["spmv"] = _slope_time(chainer(lambda v: gspmv(A, v)), K1, K2)
+        out["axpy"] = _slope_time(chainer(lambda v: v + 0.5 * v), K1, K2)
+        out["dot"] = _slope_time(
+            chainer(lambda v: v * (1.0 / (1.0 + jnp.dot(v, v,
+                                                        precision="highest")))),
+            K1, K2)
+        if sigma_len:
+            p0 = jnp.asarray(
+                rng.standard_normal((sigma_len, n)), dtype=dtype)
+            coef = jnp.asarray(rng.standard_normal(sigma_len), dtype=dtype)
+
+            def shift_body(v):
+                # one masked rank-1 shift update pass, as in the fused
+                # shift loop (shifted_switching_solver.c:429-445)
+                upd = coef[:, None] * v[None, :] + 0.99 * p0
+                return v + jnp.sum(upd, axis=0) * (1.0 / sigma_len)
+
+            out["shift_update"] = _slope_time(chainer(shift_body), K1, K2)
+    else:
+        from jax.sharding import PartitionSpec as P
+        from mpi_bicgstab_tpu.parallel.comm import Comm
+        from mpi_bicgstab_tpu.parallel.dist_spmv import (spmv_allgather,
+                                                         spmv_dia_gather,
+                                                         spmv_dia_halo)
+        from mpi_bicgstab_tpu.parallel.driver import (_SLAB, _VEC,
+                                                      make_local_spmv,
+                                                      put_partitioned,
+                                                      put_vector)
+        from mpi_bicgstab_tpu.parallel.mesh import ROWS, make_row_mesh
+        from mpi_bicgstab_tpu.parallel.partition import partition_csr
+
+        part = partition_csr(csr, devices, dtype=np.dtype(dtype))
+        mesh = make_row_mesh(devices)
+        part_d = put_partitioned(part, mesh)
+        x0 = put_vector(rng.standard_normal(part.n_global), part, mesh,
+                        dtype)
+
+        def dist_chainer(body_factory, with_mat=True):
+            def make(K):
+                def run(*args):
+                    *mat, v = args
+                    comm = Comm(ROWS)
+                    body = body_factory(part, mat, comm)
+
+                    def f(i, v):
+                        y = body(v)
+                        return y / (1.0 + comm.allreduce(
+                            jnp.sum(jnp.abs(y))))
+                    v = lax.fori_loop(0, K, f, v)
+                    return comm.allreduce(jnp.sum(v))
+
+                specs = (part.specs(_SLAB, _VEC) if with_mat else ())
+                sm = jax.shard_map(run, mesh=mesh,
+                                   in_specs=specs + (_VEC,),
+                                   out_specs=P(), check_vma=False)
+                jitted = jax.jit(sm)
+                mats = part_d.arrays() if with_mat else ()
+                return lambda: jitted(*mats, x0)
+            return make
+
+        out["spmv_total"] = _slope_time(
+            dist_chainer(lambda p, m, c: make_local_spmv(p, m, c)), K1, K2)
+        # comm-only: gather/halo with a trivial use of the result
+        if part.dia_mode == "halo" and part.halo > 0:
+            def halo_only(p, m, c):
+                def body(v):
+                    n_loc = v.shape[0]
+                    fwd = [(i, i + 1) for i in range(p.n_devices - 1)]
+                    bwd = [(i + 1, i) for i in range(p.n_devices - 1)]
+                    a = lax.ppermute(v[n_loc - p.halo:], c.axis, fwd)
+                    b2 = lax.ppermute(v[:p.halo], c.axis, bwd)
+                    return v + jnp.sum(a + b2) * 1e-30
+                return body
+            out["halo_exchange"] = _slope_time(
+                dist_chainer(halo_only), K1, K2)
+
+        def gather_only(p, m, c):
+            def body(v):
+                g = c.allgather(v)
+                row = c.axis_index() * p.n_loc
+                return v + lax.dynamic_slice(g, (row,),
+                                             (p.n_loc,)) * 1e-30
+            return body
+        out["allgather"] = _slope_time(dist_chainer(gather_only), K1, K2)
+
+        def reduce_only(p, m, c):
+            def body(v):
+                return v * (1.0 / (1.0 + c.dot(v, v)))
+            return body
+        out["allreduce_dot"] = _slope_time(dist_chainer(reduce_only),
+                                           K1, K2)
+    return out
+
+
+def run_profile(args):
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[args.dtype]
+    from mpi_bicgstab_tpu.cli import _load_matrix
+    csr, _ = _load_matrix(args.matrix, dtype)
+    phases = profile_sections(csr, dtype, devices=args.devices,
+                              sigma_len=args.sigma_len, iters=args.iters)
+    payload = {"matrix": args.matrix, "n": csr.nrows, "nnz": csr.nnz,
+               "devices": args.devices,
+               **{f"{k}_s": round(v, 9) for k, v in phases.items()}}
+    if args.json:
+        print(json.dumps(payload))
+    else:
+        for k, v in payload.items():
+            print(f"{k:>20s}: {v}")
+    return 0

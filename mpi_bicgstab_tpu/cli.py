@@ -80,6 +80,10 @@ def _common(p):
                         "(main_repeat.c:109-132)")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line")
+    p.add_argument("--dump-history", default=None, metavar="FILE",
+                   help="write the per-iteration relative-residual curve "
+                        "(the data behind the reference's "
+                        "doc/residual_result.png) as .npy or .csv")
 
 
 def _report(args, payload):
@@ -123,6 +127,7 @@ def cmd_solve(args):
         jax.block_until_ready(res.x)
     total = (time.perf_counter() - t0) / args.repeat
     iters = max(int(res.n_iter), 1)
+    _dump_history(args, res)
     _report(args, {
         "method": args.method,
         "matrix": args.matrix,
@@ -137,6 +142,19 @@ def cmd_solve(args):
         "avg_time_per_iter_s": round(total / iters, 9),
     })
     return 0 if bool(res.converged) else 2
+
+
+def _dump_history(args, res):
+    if not getattr(args, "dump_history", None):
+        return
+    hist = np.asarray(res.history)
+    hist = hist[: int(res.n_iter)]
+    if args.dump_history.endswith(".csv"):
+        np.savetxt(args.dump_history, np.c_[np.arange(1, hist.size + 1),
+                                            hist],
+                   header="iter,relres", delimiter=",", comments="")
+    else:
+        np.save(args.dump_history, hist)
 
 
 def cmd_solve_shifted(args):
@@ -201,6 +219,7 @@ def cmd_solve_shifted(args):
             "total_time_s": round(total, 6),
             "avg_time_per_iter_s": round(total / iters, 9),
         }
+        _dump_history(args, res)
         if args.check_error:
             # test_shifted.c:129-154: true relative error per shift
             x_set = np.asarray(res.x_set)
@@ -234,6 +253,11 @@ def cmd_info(args):
 def cmd_bench(args):
     from mpi_bicgstab_tpu.benchmarks.runner import run_bench
     return run_bench(args)
+
+
+def cmd_profile(args):
+    from mpi_bicgstab_tpu.benchmarks.sections import run_profile
+    return run_profile(args)
 
 
 def build_parser():
@@ -274,6 +298,19 @@ def build_parser():
     p = sub.add_parser("info", help="device census (main.c:22-60)")
     p.add_argument("--platform", default=None)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("profile",
+                       help="per-phase section timings (the reference's "
+                            "MEASURE_SECTION_TIME mode)")
+    p.add_argument("--matrix", default="transport-like:200000")
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--devices", type=int, default=1)
+    p.add_argument("--sigma-len", type=int, default=0)
+    p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("bench", help="SpMV + solver benchmarks")
     p.add_argument("--matrix", default="transport-like:1602112")
