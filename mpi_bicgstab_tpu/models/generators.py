@@ -20,21 +20,48 @@ from mpi_bicgstab_tpu.ops.sparse import COOMatrix, CSRMatrix, coo_to_csr
 
 
 def _dia_to_csr(n: int, offsets, diag_vals) -> CSRMatrix:
-    """Assemble a square matrix from (offset, values) diagonals."""
-    rows_l, cols_l, vals_l = [], [], []
-    for off, dv in zip(offsets, diag_vals):
-        if off >= 0:
-            r = np.arange(0, n - off, dtype=np.int64)
-        else:
-            r = np.arange(-off, n, dtype=np.int64)
-        c = r + off
-        rows_l.append(r)
-        cols_l.append(c)
+    """Assemble a square matrix from (offset, values) diagonals.
+
+    Direct CSR assembly: for unique offsets the CSR structure is analytic
+    (row i holds offsets o with 0 <= i+o < n, in offset order), so no COO
+    staging or sort is needed — this keeps 24M-nnz benchmark matrices
+    around a second instead of minutes of lexsort."""
+    order = np.argsort(offsets, kind="stable")
+    offs = np.asarray(offsets, dtype=np.int64)[order]
+    if offs.size and (np.diff(offs) == 0).any():
+        # duplicate offsets: fall back to the general COO path
+        rows_l, cols_l, vals_l = [], [], []
+        for off, dv in zip(offsets, diag_vals):
+            r = (np.arange(0, n - off, dtype=np.int64) if off >= 0
+                 else np.arange(-off, n, dtype=np.int64))
+            rows_l.append(r)
+            cols_l.append(r + off)
+            v = dv if np.ndim(dv) else np.full(r.size, dv)
+            vals_l.append(np.asarray(v, dtype=np.float64)[: r.size])
+        coo = COOMatrix(np.concatenate(rows_l), np.concatenate(cols_l),
+                        np.concatenate(vals_l), (n, n))
+        return coo_to_csr(coo, sum_duplicates=True)
+
+    dvals = [diag_vals[k] for k in order]
+    rows = np.arange(n, dtype=np.int64)
+    # offsets invalid at row i: o < -i (a prefix of offs) or o > n-1-i
+    # (a suffix) — counts via searchsorted over the sorted offsets
+    n_lo = np.searchsorted(offs, -rows, side="left")
+    n_hi = offs.size - np.searchsorted(offs, n - 1 - rows, side="right")
+    lengths = offs.size - n_lo - n_hi
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=ptr[1:])
+    nnz = int(ptr[-1])
+    col = np.empty(nnz, dtype=np.int64)
+    val = np.empty(nnz, dtype=np.float64)
+    for w, (o, dv) in enumerate(zip(offs.tolist(), dvals)):
+        r = (np.arange(0, n - o, dtype=np.int64) if o >= 0
+             else np.arange(-o, n, dtype=np.int64))
+        pos = ptr[r] + (w - n_lo[r])
+        col[pos] = r + o
         v = dv if np.ndim(dv) else np.full(r.size, dv)
-        vals_l.append(np.asarray(v, dtype=np.float64)[: r.size])
-    coo = COOMatrix(np.concatenate(rows_l), np.concatenate(cols_l),
-                    np.concatenate(vals_l), (n, n))
-    return coo_to_csr(coo, sum_duplicates=True)
+        val[pos] = np.asarray(v, dtype=np.float64)[: r.size]
+    return CSRMatrix(ptr, col, val, (n, n))
 
 
 def poisson2d(nx: int, ny: int | None = None) -> CSRMatrix:
@@ -83,8 +110,10 @@ def banded_random(n: int, offsets, seed: int = 0,
         size = n - abs(off)
         v = rng.uniform(-1.0, 1.0, size)
         entries.append((off, v))
-        r = np.arange(0, size) if off > 0 else np.arange(-off, n)
-        np.add.at(row_abs, r, np.abs(v))
+        if off > 0:  # rows [0, size) — contiguous, no scatter needed
+            row_abs[:size] += np.abs(v)
+        else:
+            row_abs[-off:] += np.abs(v)
     main = diag_boost + row_abs
     offs = [0] + [o for o, _ in entries]
     vals = [main] + [v for _, v in entries]
