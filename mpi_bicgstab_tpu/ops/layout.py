@@ -80,6 +80,9 @@ def build_operator(csr, format: str = "auto", dtype=None,
 def spmv(op, x):
     """Generic y = op @ x over any device layout."""
     if isinstance(op, DiaMatrix):
+        from mpi_bicgstab_tpu.ops import pallas_spmv
+        if pallas_spmv.use_pallas_for(op):
+            return pallas_spmv.dia_spmv_pallas(op, x)
         return dia_spmv(op, x)
     if isinstance(op, EllMatrix):
         return ell_spmv(op, x)

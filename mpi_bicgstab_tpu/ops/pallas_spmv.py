@@ -1,0 +1,162 @@
+"""Hand-tuned Pallas TPU kernel for DIA SpMV.
+
+The XLA path (ops/dia.py dia_spmv) is `jnp.pad(x)` + W static slices +
+FMAs; XLA fuses the FMA chain to roofline but still materializes the
+padded iterate in HBM — an extra write+read of the full vector
+(~12.8 MB at Transport scale, ~10% of total SpMV traffic). This kernel
+removes it:
+
+  * x is DMA'd HBM->VMEM ONCE into a resident scratch whose halo rows
+    are zero-filled in VMEM — the pad never exists in HBM.
+  * vals stream through double-buffered [W, Tr, 128] VMEM blocks (the
+    Mosaic pipeline handles the HBM prefetch).
+  * everything is laid out 2-D as (rows, 128 lanes); a diagonal offset
+    o = q*128 + s becomes a dynamic SUBLANE slice (start rs + q) plus a
+    STATIC lane roll by s with a carry select between adjacent rows —
+    Mosaic cannot do element-granularity dynamic slices along lanes,
+    but sublane-dim slices and static lane rotates lower cleanly.
+
+Traffic: vals (nnz*4B) + x + y, the true minimum for DIA SpMV — vs the
+XLA path's vals + 2x + xpad + y. Grid steps run sequentially on the
+TensorCore, so the step-0 DMA is ordered before every tile's compute.
+
+Rebuilds the hot kernel role of `mult` (reference matrix.c:498-516) on
+the DIA layout; the layout rationale is in ops/dia.py.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpi_bicgstab_tpu.ops.dia import DiaMatrix
+
+_LANES = 128
+_SUBLANES = 8
+# VMEM budget for the resident iterate scratch (leave room for the vals
+# double buffer and the output tile under the ~16 MB/core limit).
+_XP_VMEM_BYTES = 12 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _halo_rows(offsets) -> tuple[int, int]:
+    """(rows below, rows above) the local block the offsets reach,
+    rounded to the sublane tile so the step-0 DMA lands aligned."""
+    qs = [o // _LANES for o in offsets]
+    lo_r = max(0, -min(qs)) if offsets else 0
+    hi_r = max(0, max(o // _LANES + (1 if o % _LANES else 0)
+                      for o in offsets)) if offsets else 0
+    return _round_up(lo_r, _SUBLANES), _round_up(hi_r, _SUBLANES)
+
+
+def available(A: DiaMatrix, block_rows: int = 8192) -> bool:
+    """Can the resident-iterate kernel run this operator?"""
+    n = A.n_rows
+    if n % block_rows or block_rows % (_LANES * _SUBLANES):
+        return False
+    plr, phr = _halo_rows(A.offsets)
+    npad_rows = plr + n // _LANES + phr
+    itemsize = jnp.dtype(A.dtype).itemsize
+    return (A.n_diags >= 1
+            and npad_rows * _LANES * itemsize <= _XP_VMEM_BYTES)
+
+
+def _kernel(x_hbm, vals_ref, y_ref, xp, sem, *, offsets, plr, nr, tr):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        if plr:
+            xp[pl.ds(0, plr), :] = jnp.zeros((plr, _LANES), xp.dtype)
+        tail = xp.shape[0] - plr - nr
+        if tail:
+            xp[pl.ds(plr + nr, tail), :] = jnp.zeros((tail, _LANES),
+                                                     xp.dtype)
+        dma = pltpu.make_async_copy(x_hbm, xp.at[pl.ds(plr, nr), :], sem)
+        dma.start()
+        dma.wait()
+
+    rs = i * tr
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tr, _LANES), 1)
+    acc = jnp.zeros((tr, _LANES), vals_ref.dtype)
+    for w, o in enumerate(offsets):
+        q, s = divmod(o, _LANES)
+        r1 = xp[pl.ds(rs + plr + q, tr), :]
+        if s == 0:
+            aligned = r1
+        else:
+            r2 = xp[pl.ds(rs + plr + q + 1, tr), :]
+            # left-roll by s == right-roll by 128-s (pltpu.roll wants >=0)
+            aligned = jnp.where(lane < _LANES - s,
+                                pltpu.roll(r1, _LANES - s, axis=1),
+                                pltpu.roll(r2, _LANES - s, axis=1))
+        acc = acc + vals_ref[w] * aligned
+    y_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=("offsets", "block_rows"))
+def _dia_spmv_pallas(vals, x, offsets: tuple, block_rows: int):
+    n = x.shape[0]
+    W = len(offsets)
+    nr = n // _LANES
+    tr = block_rows // _LANES
+    plr, phr = _halo_rows(offsets)
+    grid = nr // tr
+
+    y2 = pl.pallas_call(
+        partial(_kernel, offsets=offsets, plr=plr, nr=nr, tr=tr),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
+            pl.BlockSpec((W, tr, _LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # vals stream
+        ],
+        out_specs=pl.BlockSpec((tr, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nr, _LANES), vals.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((plr + nr + phr, _LANES), vals.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W * n,
+            bytes_accessed=(W * n + 2 * n) * jnp.dtype(vals.dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(x.reshape(nr, _LANES), vals.reshape(W, nr, _LANES))
+    return y2.reshape(n)
+
+
+def dia_spmv_pallas(A: DiaMatrix, x: jax.Array,
+                    block_rows: int = 8192) -> jax.Array:
+    """y = A @ x with the resident-iterate Pallas kernel.
+
+    Caller must check `available(A, block_rows)`; semantics match
+    ops/dia.dia_spmv exactly (zero vals outside the band make halo reads
+    inert, mirroring the XLA path's zero padding)."""
+    x = x.astype(A.vals.dtype)
+    return _dia_spmv_pallas(A.vals, x, A.offsets, block_rows)
+
+
+def _env_choice() -> str:
+    return os.environ.get("MBT_PALLAS", "auto").lower()
+
+
+def use_pallas_for(A) -> bool:
+    """Routing policy for ops/layout.spmv. Default OFF: measured on a
+    v5e, the plain-SpMV kernel is VPU-bound on the per-offset lane
+    rolls (~243us at Transport scale) while the XLA pad+slice path runs
+    ~198us, both near the ~156us HBM floor — the kernel's payoff is as
+    the base for fused iteration epilogues, not raw SpMV. MBT_PALLAS=1
+    opts in (benchmark A/B, interpret-mode testing)."""
+    choice = _env_choice()
+    if choice not in ("1", "on", "true"):
+        return False
+    return isinstance(A, DiaMatrix) and available(A)
