@@ -64,12 +64,14 @@ def solve(A, b, x0=None, method: str = "bicgstab",
     """Solve A x = b with one of the classic BiCGStab family on the
     current default device. Method names match the reference driver's
     dispatch strings (main.c:122-141)."""
+    from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df
     if method not in CLASSIC_SOLVERS:
         raise ValueError(f"unknown method {method!r}; "
                          f"choose from {sorted(CLASSIC_SOLVERS)}")
-    b = jnp.asarray(b)
+    if not is_df(b):
+        b = jnp.asarray(b)
     if cfg is None:
         cfg = SolverConfig(dtype=b.dtype)
     if x0 is None:
-        x0 = jnp.zeros_like(b)
+        x0 = df_zeros_like(b) if is_df(b) else jnp.zeros_like(b)
     return _solve_jit(A, b, x0, method, cfg)

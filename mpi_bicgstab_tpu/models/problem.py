@@ -62,7 +62,11 @@ def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
     """b = (A + sigma_seed I) * ones (ones over the logical rows only);
     computed on host in float64 for accuracy, then cast to dtype.
     format selects the device layout (ops/layout.py): 'auto' routes to
-    DIA / hybrid / ELL by diagonal-structure analysis."""
+    DIA / hybrid / ELL by diagonal-structure analysis.
+
+    dtype='df32' builds the double-float extended-precision problem
+    (ops/precision): operator vals, b, and x0 become DF pairs giving
+    ~2^-49 unit roundoff on f32-only TPU hardware."""
     from mpi_bicgstab_tpu.ops.layout import build_operator
 
     n_logical = csr.nrows
@@ -71,8 +75,15 @@ def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
     ones[:n_logical] = 1.0
     b_host = csr_p.matvec(ones) + sigma_seed * ones
     b_host[n_logical:] = 0.0  # identity-row RHS: padded solution is 0
-    A = build_operator(csr_p, format=format, dtype=np.dtype(dtype),
-                       ell_width=ell_width)
-    b = jnp.asarray(b_host, dtype=dtype)
-    x0 = jnp.zeros_like(b)
+    if dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_zeros_like
+        A = build_operator(csr_p, format=format, dtype="df32",
+                           ell_width=ell_width)
+        b = df_from_f64(b_host)
+        x0 = df_zeros_like(b)
+    else:
+        A = build_operator(csr_p, format=format, dtype=np.dtype(dtype),
+                           ell_width=ell_width)
+        b = jnp.asarray(b_host, dtype=dtype)
+        x0 = jnp.zeros_like(b)
     return Problem(csr_p, A, b, x0, n_logical, sigma_seed)

@@ -11,15 +11,23 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mpi_bicgstab_tpu.ops.precision import df_dot, df_stack, is_df
+
 
 def dot(u, v):
-    """Local (single-shard) dot product, reference my_ddot vector.c:10-16."""
+    """Local (single-shard) dot product, reference my_ddot vector.c:10-16.
+    DF operands get the compensated double-float dot (ops/precision)."""
+    if is_df(u) or is_df(v):
+        return df_dot(u, v)
     return jnp.dot(u, v, precision="highest")
 
 
 def dots(*pairs):
     """Stack several dot products into one length-k reduction vector."""
-    return jnp.stack([dot(u, v) for u, v in pairs])
+    vals = [dot(u, v) for u, v in pairs]
+    if any(is_df(x) for x in vals):
+        return df_stack(vals)
+    return jnp.stack(vals)
 
 
 def axpy(alpha, x, y):

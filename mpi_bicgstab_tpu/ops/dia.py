@@ -89,6 +89,8 @@ def csr_to_dia(csr, offsets, dtype=None, device_put: bool = True):
 
     remainder_csr holds every entry NOT on the chosen offsets (None if
     fully covered). Duplicate entries on a kept offset accumulate.
+    dtype='df32' stores vals as a double-float pair (ops/precision) for
+    the extended-precision data path.
     """
     from mpi_bicgstab_tpu.ops.sparse import COOMatrix, CSRMatrix, coo_to_csr
 
@@ -96,7 +98,8 @@ def csr_to_dia(csr, offsets, dtype=None, device_put: bool = True):
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("DIA layout requires a square matrix")
     offsets = tuple(int(o) for o in offsets)
-    vals_dtype = dtype or csr.val.dtype
+    df_mode = dtype == "df32"
+    vals_dtype = np.float64 if df_mode else (dtype or csr.val.dtype)
     rows = np.repeat(np.arange(n, dtype=np.int64), csr.row_lengths)
     entry_off = csr.col - rows
 
@@ -116,6 +119,10 @@ def csr_to_dia(csr, offsets, dtype=None, device_put: bool = True):
                         csr.val[~on_dia], csr.shape)
         remainder = coo_to_csr(rem)
 
+    if df_mode:
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64
+        dia = DiaMatrix(df_from_f64(vals), offsets, n, n)
+        return dia, remainder
     put = jnp.asarray if device_put else (lambda a: a)
     dia = DiaMatrix(put(vals), offsets, n, n)
     return dia, remainder
@@ -129,6 +136,23 @@ def dia_spmv(A: DiaMatrix, x: jax.Array) -> jax.Array:
     for w, o in enumerate(A.offsets):
         acc = acc + A.vals[w] * jax.lax.slice_in_dim(xp, lo + o,
                                                      lo + o + A.n_rows)
+    return acc
+
+
+def dia_spmv_df(A: DiaMatrix, x) -> "DF":
+    """Double-float y = A @ x: A.vals and x are DF pairs (ops/precision).
+    Same static-slice structure as dia_spmv, with error-free-transform
+    multiply-adds — the TPU-native stand-in for the reference's all-f64
+    kernel (mult, matrix.c:498-516)."""
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_mul,
+                                                df_zeros)
+    lo, hi = A.pad
+    xp = DF(jnp.pad(x.hi, (lo, hi)), jnp.pad(x.lo, (lo, hi)))
+    acc = df_zeros((A.n_rows,), x.hi.dtype)
+    for w, o in enumerate(A.offsets):
+        seg = DF(jax.lax.slice_in_dim(xp.hi, lo + o, lo + o + A.n_rows),
+                 jax.lax.slice_in_dim(xp.lo, lo + o, lo + o + A.n_rows))
+        acc = df_add(acc, df_mul(A.vals[w], seg))
     return acc
 
 

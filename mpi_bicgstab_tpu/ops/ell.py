@@ -91,7 +91,8 @@ def csr_to_ell(csr, width: int | None = None, tail_pad: int = 0,
     offs = np.arange(csr.nnz, dtype=np.int64) - csr.ptr[rows]
 
     cols = np.zeros((W, n_rows), dtype=np.int32)
-    vals_dtype = dtype or csr.val.dtype
+    df_mode = dtype == "df32"
+    vals_dtype = np.float64 if df_mode else (dtype or csr.val.dtype)
     vals = np.zeros((W, n_rows), dtype=vals_dtype)
     in_ell = offs < W
     cols[offs[in_ell], rows[in_ell]] = csr.col[in_ell]
@@ -107,6 +108,11 @@ def csr_to_ell(csr, width: int | None = None, tail_pad: int = 0,
         t_cols[:n_tail] = csr.col[~in_ell]
         t_vals[:n_tail] = csr.val[~in_ell]
 
+    if df_mode:
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64
+        return EllMatrix(jnp.asarray(cols), df_from_f64(vals),
+                         jnp.asarray(t_rows), jnp.asarray(t_cols),
+                         df_from_f64(t_vals), n_rows, n_cols)
     put = jnp.asarray if device_put else (lambda a: a)
     return EllMatrix(put(cols), put(vals), put(t_rows), put(t_cols),
                      put(t_vals), n_rows, n_cols)

@@ -78,14 +78,27 @@ def build_operator(csr, format: str = "auto", dtype=None,
 
 
 def spmv(op, x):
-    """Generic y = op @ x over any device layout."""
+    """Generic y = op @ x over any device layout (f32/f64 arrays or
+    double-float DF pairs — the layout carries DF vals iff built with
+    dtype='df32')."""
+    from mpi_bicgstab_tpu.ops.precision import df_add, is_df
     if isinstance(op, DiaMatrix):
+        if is_df(op.vals):
+            from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+            return dia_spmv_df(op, x)
         from mpi_bicgstab_tpu.ops import pallas_spmv
         if pallas_spmv.use_pallas_for(op):
             return pallas_spmv.dia_spmv_pallas(op, x)
         return dia_spmv(op, x)
     if isinstance(op, EllMatrix):
+        if is_df(op.vals):
+            from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
+            return ell_spmv_df(op, x)
         return ell_spmv(op, x)
     if isinstance(op, HybridMatrix):
+        if is_df(op.dia.vals):
+            from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+            from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
+            return df_add(dia_spmv_df(op.dia, x), ell_spmv_df(op.ell, x))
         return dia_spmv(op.dia, x) + ell_spmv(op.ell, x)
     raise TypeError(f"not a device sparse operator: {type(op)}")

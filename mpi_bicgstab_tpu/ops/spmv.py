@@ -30,6 +30,27 @@ def ell_spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
     return acc
 
 
+def ell_spmv_df(A: EllMatrix, x) -> "DF":
+    """Double-float y = A @ x over the gather-ELL layout: A.vals and x
+    are DF pairs (ops/precision). Gathers act on hi/lo independently;
+    accumulation uses full DF multiply-adds. The COO tail segments the
+    product's hi/lo parts separately (the tail is zero-padded and rare,
+    so the uncompensated lo sum is below DF resolution in practice)."""
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_mul,
+                                                df_zeros)
+    acc = df_zeros((A.n_rows,), x.hi.dtype)
+    for w in range(A.width):
+        xg = DF(x.hi[A.cols[w]], x.lo[A.cols[w]])
+        acc = df_add(acc, df_mul(A.vals[w], xg))
+    if A.tail_size:
+        xg = DF(x.hi[A.tail_cols], x.lo[A.tail_cols])
+        t = df_mul(A.tail_vals, xg)
+        acc = df_add(acc, DF(
+            jax.ops.segment_sum(t.hi, A.tail_rows, num_segments=A.n_rows),
+            jax.ops.segment_sum(t.lo, A.tail_rows, num_segments=A.n_rows)))
+    return acc
+
+
 def ell_spmv_shifted(A: EllMatrix, x: jax.Array, sigma) -> jax.Array:
     """y = (A + sigma I) @ x — the shifted-system operator
     (reference: s <- A p then daxpy sigma p, shifted_solver.c:261-262).

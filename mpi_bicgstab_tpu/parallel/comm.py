@@ -32,10 +32,14 @@ class Comm:
 
     # -- reductions -----------------------------------------------------
     def allreduce(self, x):
-        """MPI_Iallreduce(SUM) equivalent (reference solver.c:79 etc.)."""
+        """MPI_Iallreduce(SUM) equivalent (reference solver.c:79 etc.).
+        DF pairs psum hi/lo leafwise, then renormalize (the P-term sum
+        of los stays below DF resolution for practical mesh sizes)."""
         if self.axis is None:
             return x
-        return lax.psum(x, self.axis)
+        from mpi_bicgstab_tpu.ops.precision import df_renorm, is_df
+        out = lax.psum(x, self.axis)
+        return df_renorm(out) if is_df(out) else out
 
     def dot(self, u, v):
         """One global dot product."""

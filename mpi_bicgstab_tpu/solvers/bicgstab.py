@@ -34,19 +34,36 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df
 from mpi_bicgstab_tpu.solvers.base import SolveResult
 from mpi_bicgstab_tpu.utils.config import SolverConfig
 
 
 def _zeros_like(v):
-    return jnp.zeros_like(v)
+    return df_zeros_like(v) if is_df(v) else jnp.zeros_like(v)
+
+
+def _scalar_zero(like_df, dtype):
+    """0.0 with the carry type the loop body will produce (DF iff the
+    dots are DF) — lax.while_loop requires type-stable carries."""
+    if is_df(like_df):
+        from mpi_bicgstab_tpu.ops.precision import df_zeros
+        return df_zeros(())
+    return jnp.asarray(0.0, dtype)
+
+
+def _value(s):
+    """Collapse a DF scalar to its f32 value (identity on arrays) — for
+    the history buffer and final-residual reporting, which stay f32."""
+    return s.value() if is_df(s) else s
 
 
 def _finish(x, k, dot_r, dot_zero, tol2, hist):
-    relres = jnp.sqrt(dot_r / dot_zero)
-    history = jnp.sqrt(hist / dot_zero)
+    relres = jnp.sqrt(_value(dot_r) / _value(dot_zero))
+    history = jnp.sqrt(hist / _value(dot_zero))
+    # tol2 * dot_zero evaluated DF-first so a DF dot_zero keeps precision
     return SolveResult(x=x, n_iter=k, final_relres=relres, history=history,
-                       converged=dot_r <= tol2 * dot_zero)
+                       converged=dot_r <= dot_zero * tol2)
 
 
 def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
@@ -68,7 +85,7 @@ def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
 
     def cond(c):
         k, x, r, p, rTr, dot_r, hist = c
-        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:86
+        return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:86
 
     def body(c):
         k, x, r, p, rTr, dot_r, hist = c
@@ -85,7 +102,7 @@ def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
                                    (r_hat, r_new))      # solver.c:108-114
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:116
         p = r_new + beta * (p - omega * s)              # solver.c:117-119
-        hist = hist.at[k].set(dot_r)
+        hist = hist.at[k].set(_value(dot_r))
         return (k + 1, x, r_new, p, rTr_new, dot_r, hist)
 
     k0 = jnp.int32(0)
@@ -110,8 +127,8 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     w0 = spmv(r0)                          # solver.c:205
     rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))   # solver.c:203-208
     alpha0 = rTr0 / rTw0                   # solver.c:210
-    beta0 = jnp.asarray(0.0, dtype)        # solver.c:211
-    omega0 = jnp.asarray(0.0, dtype)       # zero-init replaces quirk #3
+    beta0 = _scalar_zero(rTr0, dtype)      # solver.c:211
+    omega0 = _scalar_zero(rTr0, dtype)     # zero-init replaces quirk #3
     z = _zeros_like(b)
     s = _zeros_like(b)
     p = _zeros_like(b)
@@ -120,7 +137,7 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
 
     def cond(c):
         k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist = c
-        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:216
+        return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:216
 
     def body(c):
         k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist = c
@@ -139,7 +156,7 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         )                                               # solver.c:236,240-247
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:248
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:249
-        hist = hist.at[k].set(dot_r)
+        hist = hist.at[k].set(_value(dot_r))
         return (k + 1, x, r, w, p, s, z, alpha, beta, omega, rTr_new,
                 dot_r, hist)
 
@@ -168,8 +185,8 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     t0 = spmv(w0)                          # solver.c:341
     rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))   # solver.c:336-343
     alpha0 = rTr0 / rTw0                   # solver.c:345
-    beta0 = jnp.asarray(0.0, dtype)
-    omega0 = jnp.asarray(0.0, dtype)
+    beta0 = _scalar_zero(rTr0, dtype)
+    omega0 = _scalar_zero(rTr0, dtype)
     p = s = z = v = _zeros_like(b)
     dot_zero = rTr0
     hist0 = jnp.full((max_iter,), jnp.nan, dtype)
@@ -177,7 +194,7 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
-        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:351
+        return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:351
 
     def body(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
@@ -199,7 +216,7 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         t = spmv(w)                      # overlaps the dots, solver.c:381
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:387
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:388
-        hist = hist.at[k].set(dot_r)
+        hist = hist.at[k].set(_value(dot_r))
         return (k + 1, x, r, w, t, p, s, z, v, alpha, beta, omega,
                 rTr_new, dot_r, hist)
 
@@ -231,8 +248,8 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     t0 = spmv(w0)
     rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))
     alpha0 = rTr0 / rTw0
-    beta0 = jnp.asarray(0.0, dtype)
-    omega0 = jnp.asarray(0.0, dtype)
+    beta0 = _scalar_zero(rTr0, dtype)
+    omega0 = _scalar_zero(rTr0, dtype)
     p = s = z = v = _zeros_like(b)
     dot_zero = rTr0
     hist0 = jnp.full((max_iter,), jnp.nan, dtype)
@@ -240,7 +257,7 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
-        return (dot_r > tol2 * dot_zero) & (k < max_iter)   # solver.c:493
+        return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:493
 
     def body(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
@@ -286,7 +303,7 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         t = spmv(w)                                     # solver.c:539
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:545
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:546
-        hist = hist.at[k].set(dot_r)
+        hist = hist.at[k].set(_value(dot_r))
         return (k + 1, x, r, w, t, p, s, z, v, alpha, beta, omega,
                 rTr_new, dot_r, hist)
 

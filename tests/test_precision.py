@@ -1,0 +1,172 @@
+"""Double-float (DF) extended precision: EFT exactness, df arithmetic
+accuracy vs f64 oracles, and the flagship property — f32-pair BiCGStab
+converging far past the plain-f32 floor (the TPU-native stand-in for
+the reference's all-double arithmetic, vector.h:4-7)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from mpi_bicgstab_tpu.api import solve  # noqa: E402
+from mpi_bicgstab_tpu.models.generators import banded_random  # noqa: E402
+from mpi_bicgstab_tpu.models.problem import build_problem  # noqa: E402
+from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_div,  # noqa: E402
+                                            df_dot, df_from_f64, df_mul,
+                                            df_sum, df_to_f64, two_prod,
+                                            two_sum)
+from mpi_bicgstab_tpu.utils.config import SolverConfig  # noqa: E402
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# error-free transformations — exactness is checked in f64, and through
+# jit (XLA CPU codegen historically broke EFTs; see precision.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_two_sum_exact(jit):
+    a = jnp.asarray(RNG.standard_normal(4096), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal(4096) * 1e-4, jnp.float32)
+    f = jax.jit(two_sum) if jit else two_sum
+    s, e = f(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_two_prod_exact(jit):
+    a = jnp.asarray(RNG.standard_normal(4096), jnp.float32)
+    b = jnp.asarray(RNG.standard_normal(4096), jnp.float32)
+    f = jax.jit(two_prod) if jit else two_prod
+    p, e = f(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    np.testing.assert_array_equal(got, exact)
+
+
+def test_two_prod_exact_scalar_broadcast_jit():
+    """The historical failure mode: a broadcast scalar*vector multiply
+    duplicated into a fusion and FMA-contracted by LLVM."""
+    a = jnp.float32(0.7777778)
+    b = jnp.asarray(RNG.standard_normal(4096), jnp.float32)
+    p, e = jax.jit(two_prod)(a, b)
+    exact = np.float64(np.float32(0.7777778)) * np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(p, np.float64) + np.asarray(e, np.float64), exact)
+
+
+# ---------------------------------------------------------------------------
+# df arithmetic vs f64
+# ---------------------------------------------------------------------------
+
+def _pair(n=8192, scale=1.0):
+    a64 = RNG.standard_normal(n) * scale
+    b64 = RNG.standard_normal(n)
+    return a64, b64, df_from_f64(a64), df_from_f64(b64)
+
+
+def test_roundtrip():
+    a64 = RNG.standard_normal(1000)
+    assert np.abs(df_to_f64(df_from_f64(a64)) - a64).max() < 4e-15
+
+
+def test_df_add_mul_div_accuracy():
+    a64, b64, a, b = _pair()
+    tol = 1e-13
+    assert np.abs(df_to_f64(jax.jit(df_add)(a, b)) - (a64 + b64)).max() \
+        <= tol * np.abs(a64 + b64).max()
+    assert np.abs((df_to_f64(jax.jit(df_mul)(a, b)) - a64 * b64)
+                  / (a64 * b64)).max() <= tol
+    assert np.abs((df_to_f64(jax.jit(df_div)(a, b)) - a64 / b64)
+                  / (a64 / b64)).max() <= 1e-12
+
+
+def test_df_mul_scalar_broadcast_jit():
+    a64 = np.float64(0.77777777777)
+    b64 = RNG.standard_normal(4096)
+    got = df_to_f64(jax.jit(df_mul)(df_from_f64(a64), df_from_f64(b64)))
+    assert np.abs((got - a64 * b64) / (a64 * b64)).max() < 1e-13
+
+
+def test_df_dot_beats_f32_by_orders():
+    a64, b64, a, b = _pair(n=1 << 18)
+    ref = a64 @ b64
+    df_err = abs(df_to_f64(jax.jit(df_dot)(a, b)) - ref) / abs(ref)
+    f32_err = abs(float(jnp.dot(a.hi, b.hi, precision="highest")) - ref) \
+        / abs(ref)
+    assert df_err < 1e-12
+    assert df_err < f32_err / 100
+
+
+def test_df_dot_on_f32_inputs_compensates():
+    """Dot2 mode: plain f32 vectors, compensated reduction."""
+    a64, b64, a, b = _pair(n=1 << 16)
+    a32, b32 = a.hi, b.hi
+    ref = np.asarray(a32, np.float64) @ np.asarray(b32, np.float64)
+    got = df_to_f64(jax.jit(df_dot)(a32, b32))
+    assert abs(got - ref) / abs(ref) < 1e-12
+
+
+def test_df_sum_axis_and_odd_sizes():
+    for n in (1, 7, 64, 1001):
+        a64 = RNG.standard_normal(n)
+        got = df_to_f64(df_sum(df_from_f64(a64)))
+        assert abs(got - a64.sum()) <= 1e-13 * max(abs(a64).sum(), 1)
+    m = RNG.standard_normal((5, 33))
+    got = df_to_f64(df_sum(df_from_f64(m), axis=-1))
+    np.testing.assert_allclose(got, m.sum(-1), rtol=0, atol=1e-13)
+
+
+def test_df_pytree_in_while_loop():
+    """DF carries through lax.while_loop (what the solvers rely on)."""
+    from jax import lax
+    x = df_from_f64(np.float64(1.0))
+
+    def body(c):
+        k, x = c
+        return k + 1, x * df_from_f64(np.float64(0.5))
+
+    k, x = lax.while_loop(lambda c: c[0] < 30, body, (jnp.int32(0), x))
+    assert abs(df_to_f64(x) - 2.0 ** -30) < 1e-24
+
+
+# ---------------------------------------------------------------------------
+# the flagship: df32 solves converge past the f32 floor
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("method", ["bicgstab", "pipe_bicgstab"])
+def test_df32_solve_beats_f32_floor(method):
+    csr = banded_random(4096, [1, -1, 16, -16], seed=5)
+    cfg = SolverConfig(tol=1e-12, max_iter=400, dtype=jnp.float32)
+
+    results = {}
+    for dt in (jnp.float32, "df32"):
+        prob = build_problem(csr, dtype=dt)
+        res = solve(prob.A, prob.b, method=method, cfg=cfg)
+        x = df_to_f64(res.x) if dt == "df32" else np.asarray(res.x,
+                                                             np.float64)
+        b64 = df_to_f64(prob.b) if dt == "df32" else np.asarray(
+            prob.b, np.float64)
+        true_rel = np.linalg.norm(b64 - prob.csr.matvec(x)) \
+            / np.linalg.norm(b64)
+        results[str(dt)] = true_rel
+
+    f32_rel = results[str(jnp.float32)]
+    df_rel = results["df32"]
+    # f32 TRUE residual floors around eps32; df32 must go ~5 orders lower
+    assert df_rel < 1e-11, df_rel
+    assert df_rel < f32_rel * 1e-3, (df_rel, f32_rel)
+
+
+def test_df32_solution_accuracy():
+    csr = banded_random(2048, [1, -1, 11, -11], seed=9)
+    prob = build_problem(csr, dtype="df32")
+    res = solve(prob.A, prob.b, method="bicgstab",
+                cfg=SolverConfig(tol=1e-12, max_iter=400,
+                                 dtype=jnp.float32))
+    assert bool(res.converged)
+    err = np.abs(df_to_f64(res.x) - prob.exact_solution()).max()
+    assert err < 1e-9, err
