@@ -50,7 +50,11 @@ def _load_matrix(spec: str, dtype):
 
 def _dtype(name):
     import jax.numpy as jnp
-    return {"float32": jnp.float32, "float64": jnp.float64}[name]
+    # 'df32' = double-float pairs (ops/precision): f64-class accuracy on
+    # f32-only TPU hardware, ~5x the f32 iteration cost (vs ~130x for
+    # XLA's emulated f64)
+    return {"float32": jnp.float32, "float64": jnp.float64,
+            "df32": "df32"}[name]
 
 
 def _maybe_enable_x64(dtype_name, platform):
@@ -67,7 +71,7 @@ def _common(p):
                         "poisson3d:N, transport-like:N, banded:N)")
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--max-iter", type=int, default=1000)
-    p.add_argument("--dtype", choices=["float32", "float64"],
+    p.add_argument("--dtype", choices=["float32", "float64", "df32"],
                    default="float64")
     p.add_argument("--devices", type=int, default=1,
                    help="row-mesh size; >1 uses the distributed path")
@@ -104,8 +108,12 @@ def cmd_solve(args):
     dtype = _dtype(args.dtype)
     csr, io_time = _load_matrix(args.matrix, dtype)
     tol = args.tol if args.tol is not None else 1e-15
+    cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
-                       nrr=args.nrr, dtype=dtype)
+                       nrr=args.nrr, dtype=cfg_dtype)
+    if args.dtype == "df32" and args.devices > 1:
+        raise SystemExit("--dtype df32 is single-device for now "
+                         "(distributed DF sharding lands later)")
 
     if args.devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
@@ -163,6 +171,9 @@ def cmd_solve_shifted(args):
     from mpi_bicgstab_tpu.models.problem import build_problem
     from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
+    if args.dtype == "df32":
+        raise SystemExit("--dtype df32 currently covers the classic family"
+                         " (solve); shifted-family DF support lands later")
     dtype = _dtype(args.dtype)
     csr, io_time = _load_matrix(args.matrix, dtype)
 
