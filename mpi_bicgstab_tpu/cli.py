@@ -111,14 +111,11 @@ def cmd_solve(args):
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
                        nrr=args.nrr, dtype=cfg_dtype)
-    if args.dtype == "df32" and args.devices > 1:
-        raise SystemExit("--dtype df32 is single-device for now "
-                         "(distributed DF sharding lands later)")
-
     if args.devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
-        part = partition_csr(csr, args.devices, dtype=np.dtype(dtype))
+        part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
+        part = partition_csr(csr, args.devices, dtype=part_dtype)
         b = csr.matvec(np.ones(csr.nrows))      # b = A*1 (main.c:109-117)
         runner = lambda: solve_distributed(      # noqa: E731
             part, b, method=args.method, cfg=cfg, halo=args.halo)

@@ -391,11 +391,18 @@ def df_renorm(a: DF) -> DF:
 # host conversions
 # ---------------------------------------------------------------------------
 
-def df_from_f64(a) -> DF:
-    """Exact-to-2^-48 split of host f64 data into an on-device DF pair."""
+def df_split_f64_host(a):
+    """Exact-to-2^-48 split of host f64 data into NumPy (hi, lo) f32
+    arrays (host-side staging for sharded device_put)."""
     a = np.asarray(a, np.float64)
     hi = a.astype(np.float32)
     lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def df_from_f64(a) -> DF:
+    """Exact-to-2^-48 split of host f64 data into an on-device DF pair."""
+    hi, lo = df_split_f64_host(a)
     return DF(jnp.asarray(hi), jnp.asarray(lo))
 
 

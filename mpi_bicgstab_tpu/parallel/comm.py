@@ -61,10 +61,11 @@ class Comm:
         the full vector from per-shard slices. tiled=True concatenates
         along axis 0 — shards must be equal-sized (we pad to guarantee
         this; the reference instead gave the remainder rows to the first
-        ranks, matrix.c:295-298)."""
+        ranks, matrix.c:295-298). DF pairs gather leafwise."""
         if self.axis is None:
             return x_loc
-        return lax.all_gather(x_loc, self.axis, tiled=True)
+        return jax.tree_util.tree_map(
+            lambda a: lax.all_gather(a, self.axis, tiled=True), x_loc)
 
     def axis_index(self):
         if self.axis is None:

@@ -24,6 +24,11 @@ from mpi_bicgstab_tpu.ops.spmv import ell_spmv
 from mpi_bicgstab_tpu.parallel.comm import Comm
 
 
+def _tmap(f, *trees):
+    import jax
+    return jax.tree_util.tree_map(f, *trees)
+
+
 def spmv_dia_halo(vals_loc, offsets: tuple, halo: int, comm: Comm, x_loc,
                   n_devices: int):
     """Distributed DIA SpMV with neighbor halo exchange.
@@ -32,44 +37,68 @@ def spmv_dia_halo(vals_loc, offsets: tuple, halo: int, comm: Comm, x_loc,
     reference's full-vector Iallgatherv (matrix.c:432): per-shard comm
     volume drops from O(n_global) to O(band width). Non-circular ring —
     edge shards receive zeros, matching the zero vals beyond the matrix
-    boundary."""
+    boundary. DF operands (double-float pairs, ops/precision) permute
+    leafwise and accumulate with compensated multiply-adds."""
+    from mpi_bicgstab_tpu.ops.precision import df_add, df_mul, is_df
+    df = is_df(x_loc)
     n_loc = x_loc.shape[0]
     if halo > 0 and n_devices > 1 and comm.axis is not None:
         fwd = [(i, i + 1) for i in range(n_devices - 1)]
         bwd = [(i + 1, i) for i in range(n_devices - 1)]
-        prev_tail = lax.ppermute(x_loc[n_loc - halo:], comm.axis, fwd)
-        next_head = lax.ppermute(x_loc[:halo], comm.axis, bwd)
-        xh = jnp.concatenate([prev_tail, x_loc, next_head])
+        prev_tail = _tmap(lambda a: lax.ppermute(a[n_loc - halo:],
+                                                 comm.axis, fwd), x_loc)
+        next_head = _tmap(lambda a: lax.ppermute(a[:halo], comm.axis, bwd),
+                          x_loc)
+        xh = _tmap(lambda p, x, nx: jnp.concatenate([p, x, nx]),
+                   prev_tail, x_loc, next_head)
     elif halo > 0:
-        xh = jnp.pad(x_loc, (halo, halo))
+        xh = _tmap(lambda a: jnp.pad(a, (halo, halo)), x_loc)
     else:
         xh = x_loc
-    acc = jnp.zeros_like(x_loc)
+
+    def seg(w, o):
+        sl = _tmap(lambda a: lax.slice_in_dim(a, halo + o, halo + o + n_loc),
+                   xh)
+        return df_mul(vals_loc[w], sl) if df else vals_loc[w] * sl
+
+    from mpi_bicgstab_tpu.ops.precision import df_zeros_like
+    acc = df_zeros_like(x_loc) if df else jnp.zeros_like(x_loc)
     for w, o in enumerate(offsets):
-        acc = acc + vals_loc[w] * lax.slice_in_dim(xh, halo + o,
-                                                   halo + o + n_loc)
+        acc = df_add(acc, seg(w, o)) if df else acc + seg(w, o)
     return acc
 
 
 def spmv_dia_gather(vals_loc, offsets: tuple, comm: Comm, x_loc):
     """Fallback for bands wider than a shard: all_gather the iterate and
     take dynamic slices at row_start + offset."""
+    from mpi_bicgstab_tpu.ops.precision import df_add, df_mul, is_df
+    df = is_df(x_loc)
     x_full = comm.allgather(x_loc)
     n_loc = x_loc.shape[0]
     lo = -min(0, min(offsets)) if offsets else 0
     hi = max(0, max(offsets)) if offsets else 0
-    xp = jnp.pad(x_full, (lo, hi))
+    xp = _tmap(lambda a: jnp.pad(a, (lo, hi)), x_full)
     row_start = comm.axis_index() * n_loc
-    acc = jnp.zeros_like(x_loc)
+
+    def seg(w, o):
+        sl = _tmap(lambda a: lax.dynamic_slice(a, (lo + row_start + o,),
+                                               (n_loc,)), xp)
+        return df_mul(vals_loc[w], sl) if df else vals_loc[w] * sl
+
+    from mpi_bicgstab_tpu.ops.precision import df_zeros_like
+    acc = df_zeros_like(x_loc) if df else jnp.zeros_like(x_loc)
     for w, o in enumerate(offsets):
-        sl = lax.dynamic_slice(xp, (lo + row_start + o,), (n_loc,))
-        acc = acc + vals_loc[w] * sl
+        acc = df_add(acc, seg(w, o)) if df else acc + seg(w, o)
     return acc
 
 
 def spmv_allgather(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc):
     """y_loc = A_loc_diag @ x_loc + A_loc_offd @ allgather(x)."""
+    from mpi_bicgstab_tpu.ops.precision import df_add, is_df
     x_full = comm.allgather(x_loc)
+    if is_df(x_loc):
+        from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
+        return df_add(ell_spmv_df(diag, x_loc), ell_spmv_df(offd, x_full))
     y = ell_spmv(diag, x_loc)          # overlaps the gather (matrix.c:437)
     return y + ell_spmv(offd, x_full)  # needs gathered x (matrix.c:440)
 
@@ -79,6 +108,11 @@ def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
     """Ring-permute halo exchange: P-1 ppermute hops; at hop h each shard
     holds the slice of the shard h positions up the ring and multiplies
     the offd columns that fall in that source's range."""
+    from mpi_bicgstab_tpu.ops.precision import is_df
+    if is_df(x_loc):
+        raise NotImplementedError(
+            "ring halo with dtype='df32' is not supported yet; use the "
+            "default allgather strategy")
     axis = comm.axis
     n_loc = x_loc.shape[0]
     me = lax.axis_index(axis)

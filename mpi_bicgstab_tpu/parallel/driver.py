@@ -51,10 +51,23 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
                 y2 = spmv_ring(diag, offd, comm, x_loc, part.n_devices)
             else:
                 y2 = spmv_allgather(diag, offd, comm, x_loc)
-            y = y2 if y is None else y + y2
+            if y is None:
+                y = y2
+            else:
+                from mpi_bicgstab_tpu.ops.precision import df_add, is_df
+                y = df_add(y, y2) if is_df(y) else y + y2
         return y
 
     return spmv
+
+
+def _put(x, sharding):
+    """device_put a leaf array or a DF pair (leafwise, same sharding)."""
+    from mpi_bicgstab_tpu.ops.precision import is_df
+    if is_df(x):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), sharding), x)
+    return jax.device_put(np.asarray(x), sharding)
 
 
 def put_partitioned(part: PartitionedMatrix, mesh) -> PartitionedMatrix:
@@ -64,13 +77,13 @@ def put_partitioned(part: PartitionedMatrix, mesh) -> PartitionedMatrix:
     vec = NamedSharding(mesh, _VEC)
     kw = {}
     if part.has_dia:
-        kw["dia_vals"] = jax.device_put(np.asarray(part.dia_vals), slab)
+        kw["dia_vals"] = _put(part.dia_vals, slab)
     if part.has_ell:
         for f in ("diag_cols", "diag_vals", "offd_cols", "offd_vals"):
-            kw[f] = jax.device_put(np.asarray(getattr(part, f)), slab)
+            kw[f] = _put(getattr(part, f), slab)
         for f in ("diag_tail_rows", "diag_tail_cols", "diag_tail_vals",
                   "offd_tail_rows", "offd_tail_cols", "offd_tail_vals"):
-            kw[f] = jax.device_put(np.asarray(getattr(part, f)), vec)
+            kw[f] = _put(getattr(part, f), vec)
     return part.replace(**kw)
 
 
@@ -85,13 +98,21 @@ def pad_vector(v, n_global: int):
 
 def put_vector(v, part: PartitionedMatrix, mesh, dtype=None):
     v = pad_vector(v, part.n_global)
+    if dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import DF, df_split_f64_host
+        sh = NamedSharding(mesh, _VEC)
+        hi, lo = df_split_f64_host(v)
+        return DF(jax.device_put(hi, sh), jax.device_put(lo, sh))
     if dtype is not None:
         v = v.astype(dtype)
     return jax.device_put(v, NamedSharding(mesh, _VEC))
 
 
 def _mat_dtype(part: PartitionedMatrix):
-    return (part.dia_vals if part.has_dia else part.diag_vals).dtype
+    """'df32' for a double-float partition, else the numpy dtype."""
+    from mpi_bicgstab_tpu.ops.precision import is_df
+    vals = part.dia_vals if part.has_dia else part.diag_vals
+    return "df32" if is_df(vals) else vals.dtype
 
 
 def make_dist_spmv(part: PartitionedMatrix, mesh, halo: str = "allgather"):
@@ -197,14 +218,20 @@ def solve_distributed(part: PartitionedMatrix, b, x0=None,
         raise ValueError(
             f"mesh has {mesh.devices.size} devices but the matrix was "
             f"partitioned for {part.n_devices}")
-    if not isinstance(part.arrays()[0], jax.Array):
+    if not isinstance(jax.tree_util.tree_leaves(part.arrays())[0],
+                      jax.Array):
         part = put_partitioned(part, mesh)
     dtype = _mat_dtype(part)
     if cfg is None:
-        cfg = SolverConfig(dtype=dtype)
+        cfg = SolverConfig(dtype=jnp.float32 if dtype == "df32" else dtype)
     b_d = put_vector(b, part, mesh, dtype)
-    x0_d = (put_vector(x0, part, mesh, dtype) if x0 is not None
-            else jnp.zeros_like(b_d))
+    if x0 is not None:
+        x0_d = put_vector(x0, part, mesh, dtype)
+    elif dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import df_zeros_like
+        x0_d = df_zeros_like(b_d)
+    else:
+        x0_d = jnp.zeros_like(b_d)
     return _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
                             shifted=False)
 
@@ -225,9 +252,14 @@ def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
         raise ValueError(
             f"mesh has {mesh.devices.size} devices but the matrix was "
             f"partitioned for {part.n_devices}")
-    if not isinstance(part.arrays()[0], jax.Array):
+    if not isinstance(jax.tree_util.tree_leaves(part.arrays())[0],
+                      jax.Array):
         part = put_partitioned(part, mesh)
     dtype = _mat_dtype(part)
+    if dtype == "df32":
+        raise NotImplementedError(
+            "the shifted family does not support dtype='df32' yet; "
+            "use the classic family or float32/float64")
     if cfg is None:
         cfg = ShiftedConfig(dtype=dtype)
     sigma = np.asarray(sigma, dtype=dtype)

@@ -165,6 +165,8 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
     faithful-to-reference layout)."""
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("matrix must be square")
+    df_mode = dtype == "df32"
+    host_dtype = np.float64 if df_mode else dtype
     n_logical = csr.nrows
     csr = pad_csr_identity(csr, 8 * n_devices)
     n_global = csr.nrows
@@ -180,9 +182,13 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
         offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
                                               min_fill=dia_min_fill)
         if format == "dia" or (offsets and coverage >= 0.5):
-            dia, remainder = csr_to_dia(csr, offsets, dtype=dtype,
+            dia, remainder = csr_to_dia(csr, offsets, dtype=host_dtype,
                                         device_put=False)
             dia_vals = dia.vals
+            if df_mode:
+                from mpi_bicgstab_tpu.ops.precision import (
+                    DF, df_split_f64_host)
+                dia_vals = DF(*df_split_f64_host(dia_vals))
             dia_offsets = offsets
             m = max((max(offsets), -min(offsets), 0)) if offsets else 0
             if m <= n_loc:
@@ -196,9 +202,9 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
 
     ell_fields = dict.fromkeys(_ELL_FIELDS)
     if remainder is not None and (remainder is csr or remainder.nnz > 0):
-        if dtype is not None:
+        if host_dtype is not None:
             remainder = CSRMatrix(remainder.ptr, remainder.col,
-                                  remainder.val.astype(dtype),
+                                  remainder.val.astype(host_dtype),
                                   remainder.shape)
         diag_blocks, offd_blocks = [], []
         for d in range(n_devices):
@@ -209,6 +215,12 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                                               n_global))
         dc, dv, dtr, dtc, dtv = _stack_ell_blocks(diag_blocks, width)
         oc, ov, otr, otc, otv = _stack_ell_blocks(offd_blocks, width)
+        if df_mode:
+            from mpi_bicgstab_tpu.ops.precision import DF, df_split_f64_host
+            dv = DF(*df_split_f64_host(dv))
+            dtv = DF(*df_split_f64_host(dtv))
+            ov = DF(*df_split_f64_host(ov))
+            otv = DF(*df_split_f64_host(otv))
         ell_fields = dict(zip(_ELL_FIELDS,
                               (dc, dv, dtr, dtc, dtv, oc, ov, otr, otc,
                                otv)))

@@ -161,6 +161,26 @@ def test_df32_solve_beats_f32_floor(method):
     assert df_rel < f32_rel * 1e-3, (df_rel, f32_rel)
 
 
+@pytest.mark.parametrize("fmt", ["auto", "ell"])
+def test_df32_distributed_solve(fmt):
+    """df32 over the 8-device mesh: DIA halo (ppermute of DF pairs) and
+    gather-ELL paths both must reach f64-class true residuals."""
+    from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+
+    csr = banded_random(2048, [1, -1, 16, -16], seed=5)
+    b = csr.matvec(np.ones(csr.nrows))
+    part = partition_csr(csr, 8, dtype="df32", format=fmt)
+    res = solve_distributed(part, b, method="bicgstab",
+                            cfg=SolverConfig(tol=1e-12, max_iter=300,
+                                             dtype=jnp.float32))
+    x = df_to_f64(res.x)[: csr.nrows]
+    true_rel = np.linalg.norm(b - csr.matvec(x)) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert true_rel < 1e-11, true_rel
+    assert np.abs(x - 1).max() < 1e-9
+
+
 def test_df32_solution_accuracy():
     csr = banded_random(2048, [1, -1, 11, -11], seed=9)
     prob = build_problem(csr, dtype="df32")
