@@ -45,13 +45,20 @@ def solve_shifted(A, b, sigma, seed: int = 0,
     one Krylov sequence (x0 = 0, as in every reference driver). For
     method='shifted_bicgstab' the seed is the unshifted system and the
     seed argument is ignored (reference shifted_solver.c:90)."""
+    import numpy as np
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, is_df
     from mpi_bicgstab_tpu.utils.config import ShiftedConfig
     solvers = _all_shifted_solvers()
     if method not in solvers:
         raise ValueError(f"unknown method {method!r}; "
                          f"choose from {sorted(solvers)}")
-    b = jnp.asarray(b)
-    sigma = jnp.asarray(sigma, b.dtype)
+    if is_df(b):
+        # split the ladder to DF pairs host-side so its f64 precision
+        # survives the f32-only trace
+        sigma = df_from_f64(np.asarray(sigma, np.float64))
+    else:
+        b = jnp.asarray(b)
+        sigma = jnp.asarray(sigma, b.dtype)
     if not (0 <= seed < sigma.shape[0]):
         raise ValueError(f"seed {seed} out of range for {sigma.shape[0]} shifts")
     if cfg is None:

@@ -168,9 +168,6 @@ def cmd_solve_shifted(args):
     from mpi_bicgstab_tpu.models.problem import build_problem
     from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
-    if args.dtype == "df32":
-        raise SystemExit("--dtype df32 currently covers the classic family"
-                         " (solve); shifted-family DF support lands later")
     dtype = _dtype(args.dtype)
     csr, io_time = _load_matrix(args.matrix, dtype)
 
@@ -187,13 +184,17 @@ def cmd_solve_shifted(args):
             sigma = (np.arange(S) + 1) * (args.sigma_max / S)
             seed = args.seed
         tol = args.tol if args.tol is not None else 1e-12
-        cfg = ShiftedConfig(tol=tol, max_iter=args.max_iter, dtype=dtype)
+        import jax.numpy as jnp
+        cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
+        cfg = ShiftedConfig(tol=tol, max_iter=args.max_iter, dtype=cfg_dtype)
         b = csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows)
 
         if args.devices > 1:
-            from mpi_bicgstab_tpu.parallel.driver import (
-                partition_csr, solve_shifted_distributed)
-            part = partition_csr(csr, args.devices, dtype=np.dtype(dtype))
+            from mpi_bicgstab_tpu.parallel.driver import \
+                solve_shifted_distributed
+            from mpi_bicgstab_tpu.parallel.partition import partition_csr
+            part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
+            part = partition_csr(csr, args.devices, dtype=part_dtype)
             runner = lambda: solve_shifted_distributed(  # noqa: E731
                 part, b, sigma, seed=seed, method=args.method, cfg=cfg,
                 halo=args.halo)
@@ -230,7 +231,11 @@ def cmd_solve_shifted(args):
         _dump_history(args, res)
         if args.check_error:
             # test_shifted.c:129-154: true relative error per shift
-            x_set = np.asarray(res.x_set)
+            if args.dtype == "df32":
+                from mpi_bicgstab_tpu.ops.precision import df_to_f64
+                x_set = df_to_f64(res.x_set)
+            else:
+                x_set = np.asarray(res.x_set)
             errs = []
             for j in range(S):
                 xj = x_set[j][: csr.nrows]

@@ -192,6 +192,14 @@ class DF:
     def __neg__(self):
         return df_neg(self)
 
+    def __pow__(self, n):
+        if not isinstance(n, int) or n < 1:
+            return NotImplemented
+        out = self
+        for _ in range(n - 1):
+            out = df_mul(out, self)
+        return out
+
     # -- comparisons (on the normalized value) ----------------------------
     def _cmp(self, o):
         d = self - o
@@ -322,6 +330,55 @@ def df_zeros(shape, dtype=jnp.float32) -> DF:
 def df_zeros_like(v) -> DF:
     v = _as_df(v)
     return DF(jnp.zeros_like(v.hi), jnp.zeros_like(v.lo))
+
+
+# ---------------------------------------------------------------------------
+# dtype-generic vector helpers (plain jnp on arrays, DF-aware otherwise) —
+# what the solver loops use so the same code runs f32/f64/df32
+# ---------------------------------------------------------------------------
+
+def vwhere(pred, a, b):
+    if is_df(a) or is_df(b):
+        return df_where(pred, a, b)
+    return jnp.where(pred, a, b)
+
+
+def vabs(x):
+    return df_abs(x) if is_df(x) else jnp.abs(x)
+
+
+def vvalue(x):
+    """f32 view of a DF (identity on arrays) — for stopping factors and
+    history, which do not need extended precision."""
+    return x.value() if is_df(x) else x
+
+
+def vzeros(shape, like):
+    return df_zeros(shape, like.dtype) if is_df(like) else jnp.zeros(
+        shape, like.dtype)
+
+
+def vbroadcast_rows(v, S: int):
+    """[n] -> [S, n] materialized copy."""
+    if is_df(v):
+        return DF(jnp.broadcast_to(v.hi, (S,) + v.hi.shape) + 0.0,
+                  jnp.broadcast_to(v.lo, (S,) + v.lo.shape) + 0.0)
+    return jnp.broadcast_to(v, (S,) + v.shape) + 0.0
+
+
+def vones(shape, like):
+    if is_df(like):
+        return DF(jnp.ones(shape, like.dtype),
+                  jnp.zeros(shape, like.dtype))
+    return jnp.ones(shape, like.dtype)
+
+
+def vcat(parts, axis: int = 0):
+    if any(is_df(p) for p in parts):
+        parts = [_as_df(p) for p in parts]
+        return DF(jnp.concatenate([p.hi for p in parts], axis),
+                  jnp.concatenate([p.lo for p in parts], axis))
+    return jnp.concatenate(parts, axis)
 
 
 # ---------------------------------------------------------------------------

@@ -256,17 +256,24 @@ def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
                       jax.Array):
         part = put_partitioned(part, mesh)
     dtype = _mat_dtype(part)
-    if dtype == "df32":
-        raise NotImplementedError(
-            "the shifted family does not support dtype='df32' yet; "
-            "use the classic family or float32/float64")
     if cfg is None:
-        cfg = ShiftedConfig(dtype=dtype)
-    sigma = np.asarray(sigma, dtype=dtype)
+        cfg = ShiftedConfig(dtype=jnp.float32 if dtype == "df32" else dtype)
+    if dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import (DF, df_split_f64_host,
+                                                    df_zeros_like)
+        sigma = np.asarray(sigma, np.float64)
+        rep = NamedSharding(mesh, _REP)
+        hi, lo = df_split_f64_host(sigma)
+        sig_d = DF(jax.device_put(hi, rep), jax.device_put(lo, rep))
+    else:
+        sigma = np.asarray(sigma, dtype=dtype)
+        sig_d = jax.device_put(sigma, NamedSharding(mesh, _REP))
     if not (0 <= seed < sigma.shape[0]):
         raise ValueError(f"seed {seed} out of range for {sigma.shape[0]} shifts")
     b_d = put_vector(b, part, mesh, dtype)
-    sig_d = jax.device_put(sigma, NamedSharding(mesh, _REP))
-    x0_d = jnp.zeros_like(b_d)
+    if dtype == "df32":
+        x0_d = df_zeros_like(b_d)
+    else:
+        x0_d = jnp.zeros_like(b_d)
     return _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
                             shifted=True, sigma=sig_d, seed=seed)

@@ -42,6 +42,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from mpi_bicgstab_tpu.ops.precision import (df_from_f64, is_df, vabs,
+                                            vbroadcast_rows, vones, vvalue,
+                                            vwhere, vzeros)
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
@@ -50,10 +53,23 @@ def _hist_init(cfg, dtype):
     return jnp.full((cfg.max_iter,), jnp.nan, dtype)
 
 
+def _as_sigma(sigma, b):
+    """The shift ladder in the working arithmetic (DF iff b is DF).
+    A DF sigma (already split host-side, api.py) passes through; a
+    plain array promotes with zero lo parts under trace."""
+    if is_df(sigma):
+        return sigma
+    if is_df(b):
+        from mpi_bicgstab_tpu.ops.precision import _as_df
+        return _as_df(sigma)
+    return jnp.asarray(sigma, b.dtype)
+
+
 def _shift_result(x_set, k, dot_r, dot_zero, scale_abs, tol2, hist, seed):
-    relres = jnp.sqrt(dot_r / dot_zero)
-    history = jnp.sqrt(hist / dot_zero)
-    stop = scale_abs * scale_abs * dot_r <= tol2 * dot_zero
+    relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    history = jnp.sqrt(hist / vvalue(dot_zero))
+    stop = scale_abs * scale_abs * vvalue(dot_r) \
+        <= tol2 * vvalue(dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=history, stop_flags=stop,
                          final_seed=jnp.int32(seed))
@@ -72,7 +88,7 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
     the omega-stabilizer ratios.
     """
     dtype = b.dtype
-    sigma = jnp.asarray(sigma, dtype)
+    sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -82,15 +98,15 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
     r_hat = b                                   # :72 (r = b, x0 = 0)
     rTr0 = comm.dot(b, b)                       # :70-71
     dot_zero = rTr0
-    x_set0 = jnp.zeros((S, n), dtype)
-    p_set0 = jnp.broadcast_to(b, (S, n)).astype(dtype) + 0.0   # :74 p[j]=b
-    alpha0 = jnp.ones((S,), dtype)              # :76
-    beta0 = jnp.zeros((S,), dtype)              # :75
-    omega0 = jnp.zeros((S,), dtype)
-    tau0 = jnp.ones((S,), dtype)                # :79
-    xi_old0 = jnp.ones((S,), dtype)             # :77
-    xi_curr0 = jnp.ones((S,), dtype)            # :78
-    max_xi0 = jnp.ones((), dtype)               # :86
+    x_set0 = vzeros((S, n), b)
+    p_set0 = vbroadcast_rows(b, S)              # :74 p[j]=b
+    alpha0 = vones((S,), b)                     # :76
+    beta0 = vzeros((S,), b)                     # :75
+    omega0 = vzeros((S,), b)
+    tau0 = vones((S,), b)                       # :79
+    xi_old0 = vones((S,), b)                    # :77
+    xi_curr0 = vones((S,), b)                   # :78
+    max_xi0 = jnp.ones((), dtype)               # :86 (stopping, f32 ok)
 
     def cond(c):
         (k, x_set, p_set, r, alpha, beta, omega, tau, xi_old, xi_curr,
@@ -105,7 +121,7 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
         # shift p part 1 (:92-96)
         beta_sh = (xi_curr / xi_old) ** 2 * beta[0]
         p_upd = beta_sh[:, None] * p_set + (tau * xi_curr)[:, None] * r[None, :]
-        p_set = jnp.where(mask[:, None], p_upd, p_set)
+        p_set = vwhere(mask[:, None], p_upd, p_set)
         r_old = r                               # :97
         alpha_old = alpha[0]                    # :98
         beta_old = beta[0]                      # :99
@@ -124,25 +140,25 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
         omega_sh = w0 / (1.0 + w0 * sigma)      # :121
         x_upd = (omega_sh * tau * xi_new)[:, None] * q[None, :] \
             + alpha_sh[:, None] * p_set
-        x_set = x_set + jnp.where(mask[:, None], x_upd, 0.0)
+        x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
         p_upd2 = (omega_sh * tau * xi_new / alpha_sh)[:, None] * q[None, :] \
             - (omega_sh * tau * xi_curr / alpha_sh)[:, None] * r_old[None, :]
-        p_set = p_set + jnp.where(mask[:, None], p_upd2, 0.0)
+        p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
         r_new = q - w0 * y                      # :127
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :128-130
-        tau = jnp.where(mask, tau / (1.0 + w0 * sigma), tau)        # :132
+        tau = vwhere(mask, tau / (1.0 + w0 * sigma), tau)           # :132
         b0 = (a0 / w0) * (rTr_new / rTr)        # :137
         # stopping factor uses xi_curr BEFORE the rotation (:139-142)
-        abs_xi = jnp.abs(xi_curr * tau)
+        abs_xi = vvalue(vabs(xi_curr * tau))
         max_xi = jnp.maximum(jnp.asarray(1.0, dtype),
                              jnp.max(jnp.where(mask, abs_xi, 0.0)))
-        xi_old = jnp.where(mask, xi_curr, xi_old)   # :143
-        xi_curr = jnp.where(mask, xi_new, xi_curr)  # :144
+        xi_old = vwhere(mask, xi_curr, xi_old)      # :143
+        xi_curr = vwhere(mask, xi_new, xi_curr)     # :144
         p_set = p_set.at[0].set(r_new + b0 * (p_set[0] - w0 * s))  # :145-147
-        alpha = jnp.where(mask, alpha_sh, alpha).at[0].set(a0)
-        beta = jnp.where(mask, beta_sh, beta).at[0].set(b0)
-        omega = jnp.where(mask, omega_sh, omega).at[0].set(w0)
-        hist = hist.at[k].set(dot_r)
+        alpha = vwhere(mask, alpha_sh, alpha).at[0].set(a0)
+        beta = vwhere(mask, beta_sh, beta).at[0].set(b0)
+        omega = vwhere(mask, omega_sh, omega).at[0].set(w0)
+        hist = hist.at[k].set(vvalue(dot_r))
         return (k + 1, x_set, p_set, r_new, alpha, beta, omega, tau,
                 xi_old, xi_curr, rTr_new, dot_r, max_xi, hist)
 
@@ -152,7 +168,7 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
     out = lax.while_loop(cond, body, carry0)
     (k, x_set, _p, _r, _al, _be, _om, tau, _xo, xi_curr, _rTr, dot_r,
      _mx, hist) = out
-    scale = jnp.where(mask, jnp.abs(xi_curr * tau), 1.0)
+    scale = jnp.where(mask, vvalue(vabs(xi_curr * tau)), 1.0)
     return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, 0)
 
 
@@ -166,7 +182,7 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     keeps the shifted omega recurrence rational.
     """
     dtype = b.dtype
-    sigma = jnp.asarray(sigma, dtype)
+    sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -177,15 +193,15 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     r_hat = b                                   # :242
     rTr0 = comm.dot(b, b)                       # :240-241
     dot_zero = rTr0
-    x_set0 = jnp.zeros((S, n), dtype)
-    p_set0 = jnp.zeros((S, n), dtype).at[seed].set(b)   # :226,:252
-    alpha0 = jnp.ones((S,), dtype)
-    beta0 = jnp.zeros((S,), dtype)
-    omega0 = jnp.zeros((S,), dtype)
-    eta0 = jnp.zeros((S,), dtype)               # :247
-    zeta0 = jnp.ones((S,), dtype)               # :250
-    pi_old0 = jnp.ones((S,), dtype)             # :248
-    pi_new0 = jnp.ones((S,), dtype)             # :249
+    x_set0 = vzeros((S, n), b)
+    p_set0 = vzeros((S, n), b).at[seed].set(b)  # :226,:252
+    alpha0 = vones((S,), b)
+    beta0 = vzeros((S,), b)
+    omega0 = vzeros((S,), b)
+    eta0 = vzeros((S,), b)                      # :247
+    zeta0 = vones((S,), b)                      # :250
+    pi_old0 = vones((S,), b)                    # :248
+    pi_new0 = vones((S,), b)                    # :249
     max_zp0 = jnp.ones((), dtype)
 
     def cond(c):
@@ -202,7 +218,7 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
         beta_sh = (pi_old / pi_new) ** 2 * beta[seed]
         p_upd = beta_sh[:, None] * p_set \
             + (1.0 / (pi_new * zeta))[:, None] * r[None, :]
-        p_set = jnp.where(mask[:, None], p_upd, p_set)
+        p_set = vwhere(mask[:, None], p_upd, p_set)
         pi_old = pi_new                                  # :270
         r_old = r                                        # :271
         alpha_old = alpha[seed]                          # :272
@@ -216,31 +232,31 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
             - (sig_seed - sigma) * a_s * pi_old
         pi_new2 = eta2 + pi_old
         alpha_sh = (pi_old / pi_new2) * a_s
-        eta = jnp.where(mask, eta2, eta)
-        pi_new = jnp.where(mask, pi_new2, pi_new)
+        eta = vwhere(mask, eta2, eta)
+        pi_new = vwhere(mask, pi_new2, pi_new)
         w_s = qTq / qTy                                  # :293
         x_set = x_set.at[seed].add(a_s * p_set[seed] + w_s * q)  # :294-295
         # shift x / p part 2 (:296-304); q is `r` in the C code there
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))        # :298
         x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
             + alpha_sh[:, None] * p_set
-        x_set = x_set + jnp.where(mask[:, None], x_upd, 0.0)
+        x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
         p_upd2 = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
             - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
-        p_set = p_set + jnp.where(mask[:, None], p_upd2, 0.0)
-        zeta = jnp.where(mask,
-                         (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :303
+        p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
+        zeta = vwhere(mask,
+                      (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :303
         r_new = q - w_s * y                              # :305
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :306-308
         b_s = (a_s / w_s) * (rTr_new / rTr)              # :312
-        abs_zp = jnp.abs(1.0 / (zeta * pi_new2))         # :316
+        abs_zp = vvalue(vabs(1.0 / (zeta * pi_new2)))    # :316
         max_zp = jnp.maximum(jnp.asarray(1.0, dtype),
                              jnp.max(jnp.where(mask, abs_zp, 0.0)))
         p_set = p_set.at[seed].set(r_new + b_s * (p_set[seed] - w_s * s))  # :319-321
-        alpha = jnp.where(mask, alpha_sh, alpha).at[seed].set(a_s)
-        beta = jnp.where(mask, beta_sh, beta).at[seed].set(b_s)
-        omega = jnp.where(mask, omega_sh, omega).at[seed].set(w_s)
-        hist = hist.at[k].set(dot_r)
+        alpha = vwhere(mask, alpha_sh, alpha).at[seed].set(a_s)
+        beta = vwhere(mask, beta_sh, beta).at[seed].set(b_s)
+        omega = vwhere(mask, omega_sh, omega).at[seed].set(w_s)
+        hist = hist.at[k].set(vvalue(dot_r))
         return (k + 1, x_set, p_set, r_new, alpha, beta, omega, eta,
                 zeta, pi_old, pi_new, rTr_new, dot_r, max_zp, hist)
 
@@ -250,7 +266,7 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     out = lax.while_loop(cond, body, carry0)
     (k, x_set, _p, _r, _al, _be, _om, _eta, zeta, _po, pi_new, _rTr,
      dot_r, _mzp, hist) = out
-    scale = jnp.where(mask, jnp.abs(1.0 / (zeta * pi_new)), 1.0)
+    scale = jnp.where(mask, vvalue(vabs(1.0 / (zeta * pi_new))), 1.0)
     return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, seed)
 
 
@@ -270,7 +286,7 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     same pi/eta/zeta recurrences as the LOP variant, fused in.
     """
     dtype = b.dtype
-    sigma = jnp.asarray(sigma, dtype)
+    sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -287,18 +303,18 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     t0 = sspmv(w0)                              # :769-770
     dot_zero = rTr0
     alpha_seed0 = rTr0 / rTw0                   # :787
-    alpha_old0 = jnp.ones((), dtype)            # :786
-    beta_seed0 = jnp.zeros((), dtype)
-    omega_seed0 = jnp.zeros((), dtype)
-    x_set0 = jnp.zeros((S, n), dtype)
-    p_set0 = jnp.zeros((S, n), dtype).at[seed].set(b)   # :782
-    z0 = jnp.zeros((n,), dtype)
-    s0 = jnp.zeros((n,), dtype)
-    v0 = jnp.zeros((n,), dtype)
-    eta0 = jnp.zeros((S,), dtype)
-    zeta0 = jnp.ones((S,), dtype)
-    pi_old0 = jnp.ones((S,), dtype)
-    pi_new0 = jnp.ones((S,), dtype)
+    alpha_old0 = vones((), b)                   # :786
+    beta_seed0 = vzeros((), b)
+    omega_seed0 = vzeros((), b)
+    x_set0 = vzeros((S, n), b)
+    p_set0 = vzeros((S, n), b).at[seed].set(b)  # :782
+    z0 = vzeros((n,), b)
+    s0 = vzeros((n,), b)
+    v0 = vzeros((n,), b)
+    eta0 = vzeros((S,), b)
+    zeta0 = vones((S,), b)
+    pi_old0 = vones((S,), b)
+    pi_new0 = vones((S,), b)
     max_zp0 = jnp.ones((), dtype)
 
     def cond(c):
@@ -317,7 +333,7 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
         beta_sh = (pi_old / pi_new) ** 2 * b_s
         p_upd = beta_sh[:, None] * p_set \
             + (1.0 / (pi_new * zeta))[:, None] * r[None, :]
-        p_set = jnp.where(mask[:, None], p_upd, p_set)
+        p_set = vwhere(mask[:, None], p_upd, p_set)
         r_old = r                                        # :810
         q = r - a_s * s                                  # :811
         y = w - a_s * z                                  # :812
@@ -331,20 +347,20 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
             - (sig_seed - sigma) * a_s * pi_old
         pi_new2 = eta2 + pi_old
         alpha_sh = (pi_old / pi_new2) * a_s
-        eta = jnp.where(mask, eta2, eta)
-        pi_new = jnp.where(mask, pi_new2, pi_new)
+        eta = vwhere(mask, eta2, eta)
+        pi_new = vwhere(mask, pi_new2, pi_new)
         w_s = qTy / yTy                                  # :829
         x_set = x_set.at[seed].add(a_s * p_set[seed] + w_s * q)  # :830-831
         # shift x / p part 2 (:832-840)
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))        # :834
         x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
             + alpha_sh[:, None] * p_set
-        x_set = x_set + jnp.where(mask[:, None], x_upd, 0.0)
+        x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
         p_upd2 = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
             - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
-        p_set = p_set + jnp.where(mask[:, None], p_upd2, 0.0)
-        zeta = jnp.where(mask,
-                         (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :839
+        p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
+        zeta = vwhere(mask,
+                      (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :839
         r_new = q - w_s * y                              # :841
         w_new = y - w_s * (t - a_s * v)                  # :843-844
         dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
@@ -354,10 +370,10 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
         b_s = (a_s / w_s) * (rTr_new / rTr)              # :857
         a_old = a_s                                      # :858
         a_s = rTr_new / (rhTw + b_s * (rhTs - w_s * rhTz))  # :859
-        abs_zp = jnp.abs(1.0 / (zeta * pi_new2))         # :863
+        abs_zp = vvalue(vabs(1.0 / (zeta * pi_new2)))    # :863
         max_zp = jnp.maximum(jnp.asarray(1.0, dtype),
                              jnp.max(jnp.where(mask, abs_zp, 0.0)))
-        hist = hist.at[k].set(dot_r)
+        hist = hist.at[k].set(vvalue(dot_r))
         return (k + 1, x_set, p_set, r_new, w_new, t, s, z, v, a_s,
                 a_old, b_s, w_s, eta, zeta, pi_old, pi_new, rTr_new,
                 dot_r, max_zp, hist)
@@ -370,7 +386,7 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     k, x_set = out[0], out[1]
     zeta, pi_new = out[14], out[16]
     dot_r, hist = out[18], out[20]
-    scale = jnp.where(mask, jnp.abs(1.0 / (zeta * pi_new)), 1.0)
+    scale = jnp.where(mask, vvalue(vabs(1.0 / (zeta * pi_new))), 1.0)
     return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, seed)
 
 

@@ -35,7 +35,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from mpi_bicgstab_tpu.ops.precision import (vabs, vbroadcast_rows, vcat,
+                                            vones, vvalue, vwhere, vzeros)
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult
+from mpi_bicgstab_tpu.solvers.shifted import _as_sigma
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
 
@@ -48,7 +51,7 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
     |1/(zeta_j pi_j)|^2 (r,r) <= tol^2 (r0,r0)   (:199, seed scale 1 :192).
     """
     dtype = b.dtype
-    sigma = jnp.asarray(sigma, dtype)
+    sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -59,13 +62,13 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
     r_hat = b
     rTr0 = comm.dot(b, b)                       # :83-84
     dot_zero = rTr0
-    x_set0 = jnp.zeros((S, n), dtype)
-    p_set0 = jnp.broadcast_to(b, (S, n)).astype(dtype) + 0.0  # :87 p[j]=b
-    alpha0 = jnp.ones((S,), dtype)
-    beta0 = jnp.zeros((S,), dtype)
-    eta0 = jnp.zeros((S,), dtype)
-    zeta0 = jnp.ones((S,), dtype)
-    pi_new0 = jnp.ones((S,), dtype)
+    x_set0 = vzeros((S, n), b)
+    p_set0 = vbroadcast_rows(b, S)              # :87 p[j]=b
+    alpha0 = vones((S,), b)
+    beta0 = vzeros((S,), b)
+    eta0 = vzeros((S,), b)
+    zeta0 = vones((S,), b)
+    pi_new0 = vones((S,), b)
     stop0 = jnp.zeros((S,), bool)               # :75
     hist0 = jnp.full((max_iter,), jnp.nan, dtype)
 
@@ -99,15 +102,15 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))
         x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
             + alpha_sh[:, None] * p_set
-        x_set = x_set + jnp.where(active[:, None], x_upd, 0.0)
+        x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
         p_upd = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
             - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
-        p_set = p_set + jnp.where(active[:, None], p_upd, 0.0)
+        p_set = p_set + vwhere(active[:, None], p_upd, 0.0)
         zeta2 = (1.0 - w_s * (sig_seed - sigma)) * zeta
-        eta = jnp.where(active, eta2, eta)
-        pi_new = jnp.where(active, pi_new2, pi_new)
-        zeta = jnp.where(active, zeta2, zeta)
-        alpha = jnp.where(active, alpha_sh, alpha).at[seed].set(a_s)
+        eta = vwhere(active, eta2, eta)
+        pi_new = vwhere(active, pi_new2, pi_new)
+        zeta = vwhere(active, zeta2, zeta)
+        alpha = vwhere(active, alpha_sh, alpha).at[seed].set(a_s)
         r_new = q - w_s * y                     # :156
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :157-159
         b_s = (a_s / w_s) * (rTr_new / rTr)     # :163
@@ -117,12 +120,14 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         beta_sh = (pi_old / pi_new) ** 2 * b_s
         p_upd2 = beta_sh[:, None] * p_set \
             + (1.0 / (pi_new * zeta))[:, None] * r_new[None, :]
-        p_set = jnp.where(active[:, None], p_upd2, p_set)
-        beta = jnp.where(active, beta_sh, beta).at[seed].set(b_s)
+        p_set = vwhere(active[:, None], p_upd2, p_set)
+        beta = vwhere(active, beta_sh, beta).at[seed].set(b_s)
         # per-shift convergence (:184-203)
-        abs_zp = jnp.where(not_seed, jnp.abs(1.0 / (zeta * pi_new)), 1.0)
-        stop = stop | (~stop & (abs_zp * abs_zp * dot_r <= tol2 * dot_zero))
-        hist = hist.at[k].set(dot_r)
+        abs_zp = jnp.where(not_seed, vvalue(vabs(1.0 / (zeta * pi_new))),
+                           1.0)
+        stop = stop | (~stop & (abs_zp * abs_zp * vvalue(dot_r)
+                                <= tol2 * vvalue(dot_zero)))
+        hist = hist.at[k].set(vvalue(dot_r))
         return (k + 1, x_set, p_set, r_new, alpha, beta, eta, zeta,
                 pi_new, stop, rTr_new, dot_r, hist)
 
@@ -132,8 +137,9 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
     (k, x_set, _p, _r, _al, _be, _eta, _zeta, _pi, stop, _rTr, dot_r,
      hist) = out
     return ShiftedResult(x_set=x_set, n_iter=k,
-                         final_relres=jnp.sqrt(dot_r / dot_zero),
-                         history=jnp.sqrt(hist / dot_zero),
+                         final_relres=jnp.sqrt(vvalue(dot_r)
+                                               / vvalue(dot_zero)),
+                         history=jnp.sqrt(hist / vvalue(dot_zero)),
                          stop_flags=stop, final_seed=jnp.int32(seed))
 
 
@@ -141,7 +147,7 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
                               cfg: ShiftedConfig) -> ShiftedResult:
     """Seed-switching shifted solver (shifted_switching_solver.c:260-608)."""
     dtype = b.dtype
-    sigma = jnp.asarray(sigma, dtype)
+    sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -152,14 +158,14 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     r_hat = b                                    # :346
     rTr0 = comm.dot(b, b)                        # :344-345
     dot_zero = rTr0
-    x_set0 = jnp.zeros((S, n), dtype)
-    p_set0 = jnp.broadcast_to(b, (S, n)).astype(dtype) + 0.0   # :348
-    eta0 = jnp.zeros((S,), dtype)                # :351
-    zeta0 = jnp.ones((S,), dtype)                # :354
-    pi_arc0 = jnp.ones((M + 1, S), dtype)        # :352-353 (rows 0,1 = 1)
-    alpha_arc0 = jnp.ones((M + 1,), dtype)       # :363 alpha_arc[0]=1
-    beta_arc0 = jnp.zeros((M + 1,), dtype)       # :364 beta_arc[0]=0
-    omega_arc0 = jnp.ones((M + 1,), dtype)       # [0] never read
+    x_set0 = vzeros((S, n), b)
+    p_set0 = vbroadcast_rows(b, S)               # :348
+    eta0 = vzeros((S,), b)                       # :351
+    zeta0 = vones((S,), b)                       # :354
+    pi_arc0 = vones((M + 1, S), b)               # :352-353 (rows 0,1 = 1)
+    alpha_arc0 = vones((M + 1,), b)              # :363 alpha_arc[0]=1
+    beta_arc0 = vzeros((M + 1,), b)              # :364 beta_arc[0]=0
+    omega_arc0 = vones((M + 1,), b)              # [0] never read
     stop0 = jnp.zeros((S,), bool)
     hist0 = jnp.full((M,), jnp.nan, dtype)
     seed0 = jnp.int32(seed)
@@ -205,22 +211,23 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
         omega_sh = w_k / (1.0 - w_k * (sig_seed - sigma))   # :436
         x_upd = (omega_sh / (pi_k * zeta))[:, None] * q[None, :] \
             + alpha_sh[:, None] * p_set                     # :437-438
-        x_set = x_set + jnp.where(active[:, None], x_upd, 0.0)
+        x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
         p_upd = (omega_sh / (alpha_sh * zeta * pi_k))[:, None] * q[None, :] \
             - (omega_sh / (alpha_sh * zeta * pi_prev))[:, None] * r_old[None, :]
-        p_set = p_set + jnp.where(active[:, None], p_upd, 0.0)  # :439-440
+        p_set = p_set + vwhere(active[:, None], p_upd, 0.0)  # :439-440
         zeta2 = (1.0 - w_k * (sig_seed - sigma)) * zeta     # :441
         beta_sh = (pi_prev / pi_k) ** 2 * b_k               # :442
         p_upd2 = beta_sh[:, None] * p_set \
             + (1.0 / (pi_k * zeta2))[:, None] * r_new[None, :]  # :443-444
-        p_set = jnp.where(active[:, None], p_upd2, p_set)
-        eta = jnp.where(active, eta2, eta)
-        zeta = jnp.where(active, zeta2, zeta)
-        pi_arc = pi_arc.at[k].set(jnp.where(active, pi_k, pi_arc[k]))
+        p_set = vwhere(active[:, None], p_upd2, p_set)
+        eta = vwhere(active, eta2, eta)
+        zeta = vwhere(active, zeta2, zeta)
+        pi_arc = pi_arc.at[k].set(vwhere(active, pi_k, pi_arc[k]))
         # --- per-shift convergence + worst remaining shift (:450-475) ---
-        abs_zp = jnp.where(not_seed, jnp.abs(1.0 / (zeta * pi_arc[k])),
-                           1.0)
-        newly = ~stop & (abs_zp * abs_zp * dot_r <= tol2 * dot_zero)
+        abs_zp = jnp.where(not_seed,
+                           vvalue(vabs(1.0 / (zeta * pi_arc[k]))), 1.0)
+        newly = ~stop & (abs_zp * abs_zp * vvalue(dot_r)
+                         <= tol2 * vvalue(dot_zero))
         stop = stop | newly
         remaining = ~stop
         ms = jnp.argmax(jnp.where(remaining & not_seed, abs_zp,
@@ -230,16 +237,16 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
         def do_switch(args):
             (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc) = args
             dsig = sigma[seed_i] - sigma[ms]
-            ratio = jnp.concatenate(
-                [jnp.ones((1,), dtype), pi_arc[:-1, ms] / pi_arc[1:, ms]])
+            ratio = vcat(
+                [vones((1,), a_arc), pi_arc[:-1, ms] / pi_arc[1:, ms]])
             mask_i = (idxM >= 1) & (idxM <= k)
-            a2 = jnp.where(mask_i, a_arc * ratio, a_arc)        # :495
-            b2 = jnp.where(mask_i, b_arc * ratio * ratio, b_arc)  # :496
-            w2 = jnp.where(mask_i, w_arc / (1.0 - w_arc * dsig),
-                           w_arc)                               # :497
+            a2 = vwhere(mask_i, a_arc * ratio, a_arc)           # :495
+            b2 = vwhere(mask_i, b_arc * ratio * ratio, b_arc)   # :496
+            w2 = vwhere(mask_i, w_arc / (1.0 - w_arc * dsig),
+                        w_arc)                                  # :497
             r2 = r_new / (zeta[ms] * pi_arc[k, ms])             # :499
-            eta2 = jnp.zeros_like(eta)                          # :502
-            zeta2 = jnp.ones_like(zeta)                         # :504
+            eta2 = vzeros(eta.shape, eta)                       # :502
+            zeta2 = vones(zeta.shape, zeta)                     # :504
             recompute = ~stop & (idxS != ms)                    # :511-512
 
             def hist_step(i, st):
@@ -248,9 +255,9 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
                     - (sigma[ms] - sigma) * a2[i] * pi_a[i - 1]   # :513
                 p_i = e + pi_a[i - 1]                             # :514
                 z = (1.0 - w2[i] * (sigma[ms] - sigma)) * zeta_i  # :515
-                eta_i = jnp.where(recompute, e, eta_i)
-                zeta_i = jnp.where(recompute, z, zeta_i)
-                pi_a = pi_a.at[i].set(jnp.where(recompute, p_i, pi_a[i]))
+                eta_i = vwhere(recompute, e, eta_i)
+                zeta_i = vwhere(recompute, z, zeta_i)
+                pi_a = pi_a.at[i].set(vwhere(recompute, p_i, pi_a[i]))
                 return (eta_i, zeta_i, pi_a)
 
             eta2, zeta2, pi_arc2 = lax.fori_loop(
@@ -265,7 +272,7 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
             switch_now, do_switch, no_switch,
             (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc))
 
-        hist = hist.at[k - 1].set(dot_r)
+        hist = hist.at[k - 1].set(vvalue(dot_r))
         return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, pi_arc,
                 a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
 
@@ -276,8 +283,9 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     (k, seed_i, x_set, _p, _r, _eta, _zeta, _pi, _aa, _ba, _wa, stop,
      _rTr, dot_r, hist) = out
     return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
-                         final_relres=jnp.sqrt(dot_r / dot_zero),
-                         history=jnp.sqrt(hist / dot_zero),
+                         final_relres=jnp.sqrt(vvalue(dot_r)
+                                               / vvalue(dot_zero)),
+                         history=jnp.sqrt(hist / vvalue(dot_zero)),
                          stop_flags=stop, final_seed=seed_i)
 
 

@@ -181,6 +181,58 @@ def test_df32_distributed_solve(fmt):
     assert np.abs(x - 1).max() < 1e-9
 
 
+def test_df32_shifted_family():
+    """Every shifted method in df32 must reach true errors the reference
+    1e-12 tolerance implies — including an ACTUAL seed switch (seed 4 on
+    the wide ladder converges first and must re-seed)."""
+    from mpi_bicgstab_tpu.api import solve_shifted
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    csr = banded_random(1024, [1, -1, 9, -9], seed=2)
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    for method, seed in [("shifted_bicgstab", 0),
+                         ("shifted_lopbicgstab", 1),
+                         ("shifted_pipe_lopbicgstab", 1),
+                         ("shifted_lopbicg", 1),
+                         ("shifted_lopbicg_switching", 4)]:
+        ss = float(sigma[seed]) if method != "shifted_bicgstab" else 0.0
+        prob = build_problem(csr, dtype="df32", sigma_seed=ss)
+        cfg = ShiftedConfig(tol=1e-11, max_iter=600, dtype=jnp.float32)
+        res = solve_shifted(prob.A, prob.b, sigma, seed=seed,
+                            method=method, cfg=cfg)
+        assert bool(np.asarray(res.stop_flags).all()), method
+        x = df_to_f64(res.x_set)
+        b64 = df_to_f64(prob.b)
+        for j, sg in enumerate(sigma):
+            xj = x[j][: csr.nrows]
+            r = csr.matvec(xj) + sg * xj - b64[: csr.nrows]
+            rel = np.linalg.norm(r) / np.linalg.norm(b64)
+            assert rel < 1e-9, (method, j, rel)
+        if method == "shifted_lopbicg_switching":
+            assert int(res.final_seed) != 4, "expected a seed switch"
+
+
+def test_df32_shifted_distributed():
+    from mpi_bicgstab_tpu.parallel.driver import solve_shifted_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    csr = banded_random(1024, [1, -1, 9, -9], seed=2)
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    seed = 1
+    b = csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows)
+    part = partition_csr(csr, 8, dtype="df32")
+    res = solve_shifted_distributed(
+        part, b, sigma, seed=seed, method="shifted_lopbicg_switching",
+        cfg=ShiftedConfig(tol=1e-11, max_iter=600, dtype=jnp.float32))
+    assert bool(np.asarray(res.stop_flags).all())
+    x = df_to_f64(res.x_set)
+    for j, sg in enumerate(sigma):
+        xj = x[j][: csr.nrows]
+        r = csr.matvec(xj) + sg * xj - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9, j
+
+
 def test_df32_solution_accuracy():
     csr = banded_random(2048, [1, -1, 11, -11], seed=9)
     prob = build_problem(csr, dtype="df32")
