@@ -43,6 +43,8 @@ def main():
     spmv = bench_spmv(csr, dtype, devices=1, iters=30)
     it = bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
                          iters=30)
+    it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
+                            iters=30)
 
     out = {
         "metric": "spmv_nnz_per_s",
@@ -55,6 +57,10 @@ def main():
         "backend": jax.default_backend(),
         "spmv_time_s": round(spmv["spmv_s"], 6),
         "pipe_bicgstab_time_per_iter_s": round(it["time_per_iter_s"], 6),
+        # f64-class precision on f32 hardware (double-float pairs);
+        # the reference's all-f64 arithmetic is the honest comparison
+        # point for this one
+        "df32_pipe_time_per_iter_s": round(it_df["time_per_iter_s"], 6),
         "matrix_gen_time_s": round(gen_time, 2),
     }
     print(json.dumps(out))
