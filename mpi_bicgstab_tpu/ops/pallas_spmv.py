@@ -88,15 +88,16 @@ def _kernel(x_hbm, vals_ref, y_ref, xp, sem, *, offsets, plr, nr, tr):
     acc = jnp.zeros((tr, _LANES), vals_ref.dtype)
     for w, o in enumerate(offsets):
         q, s = divmod(o, _LANES)
-        r1 = xp[pl.ds(rs + plr + q, tr), :]
         if s == 0:
-            aligned = r1
+            aligned = xp[pl.ds(rs + plr + q, tr), :]
         else:
-            r2 = xp[pl.ds(rs + plr + q + 1, tr), :]
-            # left-roll by s == right-roll by 128-s (pltpu.roll wants >=0)
-            aligned = jnp.where(lane < _LANES - s,
-                                pltpu.roll(r1, _LANES - s, axis=1),
-                                pltpu.roll(r2, _LANES - s, axis=1))
+            # one (tr+1)-row window, ONE lane roll (left-roll by s ==
+            # right-roll by 128-s; pltpu.roll wants >= 0), then select
+            # between its two row-shifted views for the lane carry
+            r12 = xp[pl.ds(rs + plr + q, tr + 1), :]
+            rolled = pltpu.roll(r12, _LANES - s, axis=1)
+            aligned = jnp.where(lane < _LANES - s, rolled[:tr],
+                                rolled[1:])
         acc = acc + vals_ref[w] * aligned
     y_ref[:] = acc
 
