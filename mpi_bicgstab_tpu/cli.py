@@ -77,6 +77,11 @@ def _common(p):
                    help="row-mesh size; >1 uses the distributed path")
     p.add_argument("--halo", choices=["allgather", "ring"],
                    default="allgather")
+    p.add_argument("--reorder", choices=["none", "rcm", "auto"],
+                   default="auto",
+                   help="bandwidth-reducing RCM permutation; 'auto' "
+                        "reorders only when it unlocks the DIA fast "
+                        "path (ops/reorder.py)")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu / tpu / axon)")
     p.add_argument("--repeat", type=int, default=1,
@@ -107,6 +112,8 @@ def cmd_solve(args):
 
     dtype = _dtype(args.dtype)
     csr, io_time = _load_matrix(args.matrix, dtype)
+    from mpi_bicgstab_tpu.ops.reorder import maybe_reorder
+    csr, perm = maybe_reorder(csr, args.reorder)
     tol = args.tol if args.tol is not None else 1e-15
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
@@ -139,6 +146,7 @@ def cmd_solve(args):
         "n": csr.nrows,
         "nnz": csr.nnz,
         "devices": args.devices,
+        "reordered": perm is not None,
         "io_time_s": round(io_time, 6),
         "total_iter": int(res.n_iter),
         "final_relres": float(res.final_relres),
@@ -170,6 +178,8 @@ def cmd_solve_shifted(args):
 
     dtype = _dtype(args.dtype)
     csr, io_time = _load_matrix(args.matrix, dtype)
+    from mpi_bicgstab_tpu.ops.reorder import maybe_reorder
+    csr, perm = maybe_reorder(csr, args.reorder)
 
     sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
              if args.sigma_len_sweep else [args.sigma_len])

@@ -45,20 +45,34 @@ class Problem:
     x0: jax.Array           # zeros, [n_pad]
     n_logical: int          # rows before padding
     sigma_seed: float = 0.0
+    perm: np.ndarray | None = None   # RCM permutation (ops/reorder.py)
 
     @property
     def n(self) -> int:
         return self.csr.nrows
 
     def exact_solution(self) -> np.ndarray:
+        # all-ones is permutation invariant, so this holds under RCM too
         e = np.zeros(self.n)
         e[: self.n_logical] = 1.0
         return e
 
+    def unpermute(self, x_host: np.ndarray) -> np.ndarray:
+        """Map a solution of the (possibly reordered) system back to the
+        original row ordering (identity when no reorder was applied)."""
+        if self.perm is None:
+            return np.asarray(x_host)
+        from mpi_bicgstab_tpu.ops.reorder import unpermute_vector
+        x = np.asarray(x_host)
+        out = x.copy()
+        out[..., : self.perm.size] = unpermute_vector(
+            x[..., : self.perm.size].T, self.perm).T
+        return out
+
 
 def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
                   sigma_seed: float = 0.0, ell_width: int | None = None,
-                  format: str = "auto") -> Problem:
+                  format: str = "auto", reorder: str = "none") -> Problem:
     """b = (A + sigma_seed I) * ones (ones over the logical rows only);
     computed on host in float64 for accuracy, then cast to dtype.
     format selects the device layout (ops/layout.py): 'auto' routes to
@@ -66,9 +80,17 @@ def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
 
     dtype='df32' builds the double-float extended-precision problem
     (ops/precision): operator vals, b, and x0 become DF pairs giving
-    ~2^-49 unit roundoff on f32-only TPU hardware."""
-    from mpi_bicgstab_tpu.ops.layout import build_operator
+    ~2^-49 unit roundoff on f32-only TPU hardware.
 
+    reorder: 'none' | 'rcm' | 'auto' — bandwidth-reducing RCM
+    permutation (ops/reorder.py) applied BEFORE layout analysis;
+    'auto' reorders only when it moves the matrix onto the DIA fast
+    path. The returned Problem carries the permutation for
+    unpermute()."""
+    from mpi_bicgstab_tpu.ops.layout import build_operator
+    from mpi_bicgstab_tpu.ops.reorder import maybe_reorder
+
+    csr, perm = maybe_reorder(csr, reorder)
     n_logical = csr.nrows
     csr_p = pad_csr_identity(csr, multiple)
     ones = np.zeros(csr_p.nrows)
@@ -86,4 +108,4 @@ def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
                            ell_width=ell_width)
         b = jnp.asarray(b_host, dtype=dtype)
         x0 = jnp.zeros_like(b)
-    return Problem(csr_p, A, b, x0, n_logical, sigma_seed)
+    return Problem(csr_p, A, b, x0, n_logical, sigma_seed, perm)
