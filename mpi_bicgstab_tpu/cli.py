@@ -124,21 +124,61 @@ def cmd_solve(args):
         part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
         part = partition_csr(csr, args.devices, dtype=part_dtype)
         b = csr.matvec(np.ones(csr.nrows))      # b = A*1 (main.c:109-117)
-        runner = lambda: solve_distributed(      # noqa: E731
-            part, b, method=args.method, cfg=cfg, halo=args.halo)
+        n_state = part.n_global
+
+        def run_once(x0_host, budget, tol_seg=None):
+            c = cfg.replace(max_iter=budget)
+            if tol_seg is not None:
+                c = c.replace(tol=tol_seg)
+            return solve_distributed(part, b, x0=x0_host,
+                                     method=args.method, cfg=c,
+                                     halo=args.halo)
     else:
         from mpi_bicgstab_tpu.api import solve
         prob = build_problem(csr, dtype=dtype)
-        runner = lambda: solve(prob.A, prob.b, method=args.method, cfg=cfg)  # noqa: E731
+        n_state = prob.n
 
-    res = runner()                      # compile + first run
-    jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    for _ in range(args.repeat):
-        res = runner()
+        def run_once(x0_host, budget, tol_seg=None):
+            x0 = None
+            if x0_host is not None:
+                if args.dtype == "df32":
+                    from mpi_bicgstab_tpu.ops.precision import df_from_f64
+                    x0 = df_from_f64(x0_host)
+                else:
+                    x0 = jnp.asarray(x0_host, dtype)
+            c = cfg.replace(max_iter=budget)
+            if tol_seg is not None:
+                c = c.replace(tol=tol_seg)
+            return solve(prob.A, prob.b, x0=x0, method=args.method, cfg=c)
+
+    if args.checkpoint:
+        from mpi_bicgstab_tpu.utils.checkpoint import solve_with_checkpoints
+        meta = {"n": int(n_state), "nnz": int(csr.nnz),
+                "matrix": args.matrix, "dtype": args.dtype}
+        t0 = time.perf_counter()
+        res, done, cum_rel = solve_with_checkpoints(
+            run_once, args.checkpoint,
+            segment_iters=args.checkpoint_every, max_iter=args.max_iter,
+            meta=meta, tol=tol)
+        total = time.perf_counter() - t0
+        if res is None:
+            _report(args, {"checkpoint": args.checkpoint,
+                           "total_iter": done,
+                           "final_relres": cum_rel,
+                           "converged": cum_rel <= tol,
+                           "note": "run already complete in checkpoint"})
+            return 0 if cum_rel <= tol else 2
+        iters = max(done, 1)
+    else:
+        res = run_once(None, args.max_iter)     # compile + first run
         jax.block_until_ready(res.x)
-    total = (time.perf_counter() - t0) / args.repeat
-    iters = max(int(res.n_iter), 1)
+        t0 = time.perf_counter()
+        for _ in range(args.repeat):
+            res = run_once(None, args.max_iter)
+            jax.block_until_ready(res.x)
+        total = (time.perf_counter() - t0) / args.repeat
+        done = int(res.n_iter)
+        iters = max(done, 1)
     _dump_history(args, res)
     _report(args, {
         "method": args.method,
@@ -148,8 +188,9 @@ def cmd_solve(args):
         "devices": args.devices,
         "reordered": perm is not None,
         "io_time_s": round(io_time, 6),
-        "total_iter": int(res.n_iter),
-        "final_relres": float(res.final_relres),
+        "total_iter": done,
+        "final_relres": (cum_rel if args.checkpoint
+                         else float(res.final_relres)),
         "converged": bool(res.converged),
         "total_time_s": round(total, 6),
         "avg_time_per_iter_s": round(total / iters, 9),
@@ -296,6 +337,12 @@ def build_parser():
                             "pipe_bicgstab_rr"])
     p.add_argument("--krr", type=int, default=100)
     p.add_argument("--nrr", type=int, default=4)
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="checkpoint the iterate to FILE every "
+                        "--checkpoint-every iterations and resume from "
+                        "it when present (utils/checkpoint.py; classic "
+                        "family restart is mathematically exact)")
+    p.add_argument("--checkpoint-every", type=int, default=200)
     p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser("solve-shifted", help="shifted family (main_shifted.c)")
