@@ -25,8 +25,15 @@ are lax.psum of local dots (batched into a single reduction where the
 algorithm allows, exactly as the CA variant batches its MPI_Iallreduce
 calls). Solver loops are jit-compiled lax.while_loop bodies. The shift
 axis of the multi-sigma solvers is a batched leading array dimension.
+
+TPU-first extensions beyond the reference: double-float (df32)
+extended precision for f64-class convergence on f32 hardware
+(ops/precision), RCM bandwidth-reducing reordering onto the DIA fast
+path (ops/reorder), iterate checkpoint/resume (utils/checkpoint), a
+hand-written Pallas DIA SpMV kernel (ops/pallas_spmv), and a
+multithreaded C++ Matrix Market parser (io/csrc).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from mpi_bicgstab_tpu.utils.config import SolverConfig  # noqa: F401
+from mpi_bicgstab_tpu.utils.config import ShiftedConfig, SolverConfig  # noqa: F401
