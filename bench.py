@@ -40,9 +40,10 @@ def main():
     csr = transport_like(n)
     gen_time = time.perf_counter() - t0
 
-    spmv = bench_spmv(csr, dtype, devices=1, iters=30)
+    iters = 30 if small else 120   # longer chains damp relay noise
+    spmv = bench_spmv(csr, dtype, devices=1, iters=iters)
     it = bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
-                         iters=30)
+                         iters=iters)
     it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
                             iters=30)
 

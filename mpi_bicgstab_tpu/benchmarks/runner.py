@@ -30,8 +30,13 @@ import numpy as np
 REF_SPMV_NNZ_PER_S = 4.0e9  # estimated reference per-device SpMV rate
 
 
-def _slope_time(make_chain, K1=10, K2=60, reps=3):
-    """cost per op via two chain lengths; constant overhead cancels."""
+def _slope_time(make_chain, K1=10, K2=60, reps=5):
+    """cost per op via two chain lengths; constant overhead cancels.
+
+    The relay's per-sync overhead (~33 ms) and load vary a lot, so take
+    the median of several interleaved slope estimates and drop any
+    non-positive ones (overhead fluctuation occasionally exceeds the
+    work difference on short chains)."""
     c1, c2 = make_chain(K1), make_chain(K2)
     float(c1())
     float(c2())
@@ -43,7 +48,8 @@ def _slope_time(make_chain, K1=10, K2=60, reps=3):
         float(c2())
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (K2 - K1))
-    return float(np.median(slopes))
+    pos = [s for s in slopes if s > 0]
+    return float(np.median(pos if pos else slopes))
 
 
 def bench_spmv(csr, dtype, devices=1, iters=60):
