@@ -37,6 +37,8 @@ def _load_matrix(spec: str, dtype):
             csr = G.poisson3d(int(round(n ** (1 / 3))))
         elif kind == "transport-like":
             csr = G.transport_like(n)
+        elif kind == "transport-hard":
+            csr = G.transport_hard(n)   # realistic long convergence
         elif kind == "banded":
             w = max(2, int(round(n ** (1 / 3))))
             csr = G.banded_random(n, [1, -1, w, -w, w * w, -w * w], seed=0)

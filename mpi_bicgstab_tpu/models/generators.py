@@ -135,6 +135,45 @@ def random_diag_dominant(n: int, nnz_per_row: int = 8, seed: int = 0) -> CSRMatr
     return coo_to_csr(coo, sum_duplicates=True)
 
 
+def banded_tough(n: int, offsets, seed: int = 0,
+                 dominance: float = 0.46) -> CSRMatrix:
+    """Like banded_random but SUB-dominant: main diagonal is
+    dominance * (row off-diagonal mass) + 0.05, so BiCGStab exhibits the
+    reference's realistic long, erratic convergence (the diagonally
+    dominant generators converge in ~20 iterations; the real Transport
+    takes ~2,600-4,000, README.md:45). Around dominance 0.45-0.5 the
+    iteration count sweeps ~80 to ~6,000 (measured at n=40k)."""
+    rng = np.random.default_rng(seed)
+    offsets = [int(o) for o in offsets if o != 0]
+    entries = []
+    row_abs = np.zeros(n)
+    for off in offsets:
+        size = n - abs(off)
+        v = rng.uniform(-1.0, 1.0, size)
+        entries.append((off, v))
+        if off > 0:
+            row_abs[:size] += np.abs(v)
+        else:
+            row_abs[-off:] += np.abs(v)
+    main = dominance * row_abs + 0.05
+    offs = [0] + [o for o, _ in entries]
+    vals = [main] + [v for _, v in entries]
+    return _dia_to_csr(n, offs, vals)
+
+
+def transport_hard(n: int = 1_602_112, seed: int = 0,
+                   dominance: float = 0.46) -> CSRMatrix:
+    """Transport-profile band structure WITHOUT diagonal dominance —
+    the convergence-realistic benchmark (thousands of iterations, pipe
+    stagnation, RR recovery), vs transport_like which matches only the
+    size/density/bandedness profile."""
+    w = int(round(n ** (1 / 3)))
+    offsets = [1, -1, 2, -2, w, -w, w + 1, -(w + 1), w * w, -(w * w),
+               w * w + w, -(w * w + w), w * w + w + 1, -(w * w + w + 1)]
+    offsets = [o for o in offsets if abs(o) < n]
+    return banded_tough(n, offsets, seed=seed, dominance=dominance)
+
+
 def transport_like(n: int = 1_602_112, seed: int = 0) -> CSRMatrix:
     """Benchmark matrix profiled on SuiteSparse Transport (the reference's
     headline benchmark, README.md:29): ~1.6M rows, ~14.7 nnz/row as a

@@ -102,6 +102,31 @@ def test_ell_spmv_shifted():
                                rtol=1e-12)
 
 
+def test_banded_tough_is_subdominant_but_solvable():
+    """transport_hard / banded_tough: sub-dominant diagonal (realistic
+    long convergence) that still converges under f64 BiCGStab."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.generators import banded_tough
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+    csr = banded_tough(4096, [1, -1, 16, -16, 17, -17], seed=0,
+                       dominance=0.5)
+    d = np.abs(csr.to_dense())
+    diag = np.diag(d)
+    off = d.sum(1) - diag
+    assert (diag < off).mean() > 0.9          # genuinely sub-dominant
+    prob = build_problem(csr, dtype=jnp.float64)
+    res = solve(prob.A, prob.b, method="bicgstab",
+                cfg=SolverConfig(tol=1e-10, max_iter=4000))
+    assert bool(res.converged)
+    assert int(res.n_iter) > 25               # meaningfully harder
+    x = np.asarray(res.x)
+    assert np.abs(x[: csr.nrows] - 1).max() < 1e-6
+
+
 def test_generators_are_diag_dominant():
     for csr in [banded_random(50, [1, -1, 7, -7], seed=1),
                 random_diag_dominant(50, 8, seed=1)]:
