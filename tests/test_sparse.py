@@ -113,7 +113,7 @@ def test_banded_tough_is_subdominant_but_solvable():
     from mpi_bicgstab_tpu.utils.config import SolverConfig
 
     csr = banded_tough(4096, [1, -1, 16, -16, 17, -17], seed=0,
-                       dominance=0.5)
+                       dominance=0.6)
     d = np.abs(csr.to_dense())
     diag = np.diag(d)
     off = d.sum(1) - diag
@@ -122,7 +122,7 @@ def test_banded_tough_is_subdominant_but_solvable():
     res = solve(prob.A, prob.b, method="bicgstab",
                 cfg=SolverConfig(tol=1e-10, max_iter=4000))
     assert bool(res.converged)
-    assert int(res.n_iter) > 25               # meaningfully harder
+    assert int(res.n_iter) > 100              # meaningfully harder
     x = np.asarray(res.x)
     assert np.abs(x[: csr.nrows] - 1).max() < 1e-6
 
