@@ -181,6 +181,33 @@ def test_df32_distributed_solve(fmt):
     assert np.abs(x - 1).max() < 1e-9
 
 
+def test_df32_distributed_hybrid():
+    """DIA + ELL straggler blocks combined in DF on the mesh (the
+    df_add branch in make_local_spmv)."""
+    from mpi_bicgstab_tpu.ops.sparse import COOMatrix, coo_to_csr
+    from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+
+    csr = banded_random(2048, [1, -1, 16, -16], seed=5)
+    rng = np.random.default_rng(0)
+    rows = np.repeat(np.arange(csr.nrows), csr.row_lengths)
+    er, ec = rng.integers(0, 2048, 60), rng.integers(0, 2048, 60)
+    coo = COOMatrix(np.concatenate([rows, er]),
+                    np.concatenate([csr.col, ec]),
+                    np.concatenate([csr.val, rng.uniform(0.01, 0.05, 60)]),
+                    csr.shape)
+    csr2 = coo_to_csr(coo, sum_duplicates=True)
+    b = csr2.matvec(np.ones(csr2.nrows))
+    part = partition_csr(csr2, 8, dtype="df32")
+    assert part.has_dia and part.has_ell
+    res = solve_distributed(part, b, method="bicgstab",
+                            cfg=SolverConfig(tol=1e-12, max_iter=400,
+                                             dtype=jnp.float32))
+    x = df_to_f64(res.x)[: csr2.nrows]
+    assert bool(res.converged)
+    assert np.linalg.norm(b - csr2.matvec(x)) / np.linalg.norm(b) < 1e-11
+
+
 def test_df32_shifted_family():
     """Every shifted method in df32 must reach true errors the reference
     1e-12 tolerance implies — including an ACTUAL seed switch (seed 4 on
