@@ -63,7 +63,10 @@ def _maybe_enable_x64(dtype_name, platform):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
-    if dtype_name == "float64":
+    if dtype_name in ("float64", "df32"):
+        # df32 needs x64 too: on the CPU backend the DF ops compute
+        # through f64 (see ops/precision._cpu_exact_mode); device code
+        # stays f32 so this costs nothing on TPU
         jax.config.update("jax_enable_x64", True)
 
 
@@ -154,6 +157,15 @@ def cmd_solve(args):
             return solve(prob.A, prob.b, x0=x0, method=args.method, cfg=c)
 
     if args.checkpoint:
+        if args.repeat != 1:
+            raise SystemExit("--repeat cannot be combined with "
+                             "--checkpoint (segmented timing is not "
+                             "comparable); drop one of them")
+        if args.dump_history:
+            raise SystemExit("--dump-history under --checkpoint would "
+                             "cover only the final segment (scaled to "
+                             "its own r0, not ||b||); run without "
+                             "--checkpoint to record the full curve")
         from mpi_bicgstab_tpu.utils.checkpoint import solve_with_checkpoints
         meta = {"n": int(n_state), "nnz": int(csr.nnz),
                 "matrix": args.matrix, "dtype": args.dtype}

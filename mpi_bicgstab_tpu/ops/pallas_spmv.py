@@ -57,15 +57,21 @@ def _halo_rows(offsets) -> tuple[int, int]:
 
 
 def available(A: DiaMatrix, block_rows: int = 8192) -> bool:
-    """Can the resident-iterate kernel run this operator?"""
+    """Can the resident-iterate kernel run this operator? Budgets the
+    FULL VMEM picture: the resident iterate scratch PLUS the Mosaic
+    pipeline's double-buffered vals blocks and the output tile, against
+    a conservative ~14 MB of the ~16 MB/core."""
     n = A.n_rows
     if n % block_rows or block_rows % (_LANES * _SUBLANES):
         return False
     plr, phr = _halo_rows(A.offsets)
-    npad_rows = plr + n // _LANES + phr
     itemsize = jnp.dtype(A.dtype).itemsize
+    xp_bytes = (plr + n // _LANES + phr) * _LANES * itemsize
+    vals_bytes = 2 * A.n_diags * block_rows * itemsize   # double buffer
+    y_bytes = 2 * block_rows * itemsize
     return (A.n_diags >= 1
-            and npad_rows * _LANES * itemsize <= _XP_VMEM_BYTES)
+            and xp_bytes <= _XP_VMEM_BYTES
+            and xp_bytes + vals_bytes + y_bytes <= 14 * 1024 * 1024)
 
 
 def _kernel(x_hbm, vals_ref, y_ref, xp, sem, *, offsets, plr, nr, tr):

@@ -123,7 +123,7 @@ def two_prod(a, b):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["hi", "lo"], meta_fields=[])
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class DF:
     """Unevaluated f32 sum hi + lo (|lo| <= ulp(hi)/2 when normalized).
 
@@ -204,6 +204,14 @@ class DF:
     def _cmp(self, o):
         d = self - o
         return d.hi + d.lo
+
+    def __eq__(self, o):      # elementwise, like the other comparisons
+        return self._cmp(o) == 0
+
+    def __ne__(self, o):
+        return self._cmp(o) != 0
+
+    __hash__ = None           # array-valued; not hashable
 
     def __gt__(self, o):
         return self._cmp(o) > 0

@@ -34,7 +34,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df
+from mpi_bicgstab_tpu.ops.precision import (df_zeros_like, is_df,
+                                            vvalue as _value)
 from mpi_bicgstab_tpu.solvers.base import SolveResult
 from mpi_bicgstab_tpu.utils.config import SolverConfig
 
@@ -50,12 +51,6 @@ def _scalar_zero(like_df, dtype):
         from mpi_bicgstab_tpu.ops.precision import df_zeros
         return df_zeros(())
     return jnp.asarray(0.0, dtype)
-
-
-def _value(s):
-    """Collapse a DF scalar to its f32 value (identity on arrays) — for
-    the history buffer and final-residual reporting, which stay f32."""
-    return s.value() if is_df(s) else s
 
 
 def _finish(x, k, dot_r, dot_zero, tol2, hist):

@@ -110,9 +110,9 @@ def solve_with_checkpoints(runner, path: str, segment_iters: int,
         tol_seg = min(tol / max(cum_rel, 1e-300), 0.5)
         res = runner(x0, budget, tol_seg)
         done += int(res.n_iter)
-        seg_rel = float(res.final_relres)
-        if np.isfinite(seg_rel) and seg_rel > 0:
-            cum_rel *= seg_rel
+        # propagate breakdowns honestly: NaN (solver blew up) and 0.0
+        # (exact convergence) both belong in the cumulative residual
+        cum_rel *= float(res.final_relres)
         x = getattr(res, x_key)
         save_checkpoint(path, x, done, dict(meta, cum_rel=cum_rel))
         if bool(res.converged) or int(res.n_iter) < budget:
