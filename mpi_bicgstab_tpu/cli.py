@@ -289,6 +289,7 @@ def cmd_solve_shifted(args):
             "io_time_s": round(io_time, 6),
             "total_iter": int(res.n_iter),
             "final_relres": float(res.final_relres),
+            "max_shift_relres": float(np.asarray(res.shift_relres).max()),
             "all_converged": bool(np.asarray(res.stop_flags).all()),
             "total_time_s": round(total, 6),
             "avg_time_per_iter_s": round(total / iters, 9),

@@ -33,7 +33,7 @@ class SolveResult:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x_set", "n_iter", "final_relres", "history",
-                      "stop_flags", "final_seed"],
+                      "stop_flags", "final_seed", "shift_relres"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class ShiftedResult:
@@ -45,6 +45,11 @@ class ShiftedResult:
     stop_flags:   [n_sigma] per-shift converged flags (switching family;
                   all-True <=> every shift hit tolerance)
     final_seed:   seed index at exit (changes under seed switching)
+    shift_relres: [n_sigma] ESTIMATED per-shift relative residuals at
+                  exit — |scale_j| * ||r_seed|| / ||r0||, the quantity
+                  the reference prints under DISPLAY_SIGMA_RESIDUAL
+                  (shifted_switching_solver.c:447-478); estimated, never
+                  recomputed (SURVEY quirk #5)
     """
 
     x_set: jax.Array
@@ -53,3 +58,4 @@ class ShiftedResult:
     history: jax.Array
     stop_flags: jax.Array
     final_seed: jax.Array
+    shift_relres: jax.Array

@@ -72,7 +72,8 @@ def _shift_result(x_set, k, dot_r, dot_zero, scale_abs, tol2, hist, seed):
         <= tol2 * vvalue(dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=history, stop_flags=stop,
-                         final_seed=jnp.int32(seed))
+                         final_seed=jnp.int32(seed),
+                         shift_relres=scale_abs * relres)
 
 
 def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:

@@ -136,11 +136,12 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
     out = lax.while_loop(cond, body, carry0)
     (k, x_set, _p, _r, _al, _be, _eta, _zeta, _pi, stop, _rTr, dot_r,
      hist) = out
-    return ShiftedResult(x_set=x_set, n_iter=k,
-                         final_relres=jnp.sqrt(vvalue(dot_r)
-                                               / vvalue(dot_zero)),
+    relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    scale = jnp.where(not_seed, vvalue(vabs(1.0 / (_zeta * _pi))), 1.0)
+    return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
-                         stop_flags=stop, final_seed=jnp.int32(seed))
+                         stop_flags=stop, final_seed=jnp.int32(seed),
+                         shift_relres=scale * relres)
 
 
 def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
@@ -282,11 +283,16 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     out = lax.while_loop(cond, body, carry0)
     (k, seed_i, x_set, _p, _r, _eta, _zeta, _pi, _aa, _ba, _wa, stop,
      _rTr, dot_r, hist) = out
+    relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    # per-shift estimated residuals (DISPLAY_SIGMA_RESIDUAL parity):
+    # the last pi row written is k-1 (k was incremented on loop exit)
+    scale = jnp.where(idxS != seed_i,
+                      vvalue(vabs(1.0 / (_zeta * _pi[k - 1]))), 1.0)
     return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
-                         final_relres=jnp.sqrt(vvalue(dot_r)
-                                               / vvalue(dot_zero)),
+                         final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
-                         stop_flags=stop, final_seed=seed_i)
+                         stop_flags=stop, final_seed=seed_i,
+                         shift_relres=scale * relres)
 
 
 SWITCHING_SOLVERS = {

@@ -99,6 +99,28 @@ def test_wide_ladder_512():
     assert errs.max() < 1e-7, errs.max()
 
 
+def test_shift_relres_estimates_consistent():
+    """shift_relres (DISPLAY_SIGMA_RESIDUAL parity): estimates must be
+    <= tol wherever stop_flags says converged, and within a modest
+    factor of the TRUE per-shift residuals."""
+    sigma = SIGMA5
+    csr, prob = _problem(sigma_seed=float(sigma[1]))
+    cfg = ShiftedConfig(tol=1e-10, max_iter=500)
+    res = solve_shifted(prob.A, prob.b, sigma, seed=1,
+                        method="shifted_lopbicgstab", cfg=cfg)
+    est = np.asarray(res.shift_relres)
+    stop = np.asarray(res.stop_flags)
+    assert est.shape == (sigma.size,)
+    assert (est[stop] <= 1e-9).all()
+    b = np.asarray(prob.b, np.float64)
+    for j, sg in enumerate(sigma):
+        xj = np.asarray(res.x_set[j], np.float64)
+        true_rel = np.linalg.norm(
+            prob.csr.matvec(xj) + sg * xj - b) / np.linalg.norm(b)
+        # estimated, never recomputed (SURVEY quirk #5): same order
+        assert true_rel <= max(est[j] * 1e3, 1e-8), (j, true_rel, est[j])
+
+
 def test_seed_out_of_range():
     csr, prob = _problem()
     with pytest.raises(ValueError, match="seed"):
