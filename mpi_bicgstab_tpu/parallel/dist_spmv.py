@@ -107,16 +107,21 @@ def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
               n_devices: int):
     """Ring-permute halo exchange: P-1 ppermute hops; at hop h each shard
     holds the slice of the shard h positions up the ring and multiplies
-    the offd columns that fall in that source's range."""
-    from mpi_bicgstab_tpu.ops.precision import is_df
-    if is_df(x_loc):
-        raise NotImplementedError(
-            "ring halo with dtype='df32' is not supported yet; use the "
-            "default allgather strategy")
+    the offd columns that fall in that source's range. DF operands
+    (double-float pairs) permute leafwise; the per-hop masked
+    multiply-accumulate uses the compensated df ops."""
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_mul,
+                                                df_where, df_zeros_like,
+                                                is_df)
+    df = is_df(x_loc)
     axis = comm.axis
     n_loc = x_loc.shape[0]
     me = lax.axis_index(axis)
-    y = ell_spmv(diag, x_loc)
+    if df:
+        from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
+        y = ell_spmv_df(diag, x_loc)
+    else:
+        y = ell_spmv(diag, x_loc)
 
     offd_block = offd.cols // n_loc   # source shard of each offd column
     local_col = offd.cols % n_loc
@@ -125,14 +130,22 @@ def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
         y, buf = carry
         # after h hops the buffer holds the slice of shard (me + h) % P
         src = (me + h) % n_devices
-        vals = jnp.where(offd_block == src, offd.vals,
-                         jnp.zeros_like(offd.vals))
-        acc = jnp.zeros_like(y)
-        for w in range(offd.width):
-            acc = acc + vals[w] * buf[local_col[w]]
-        y = y + acc
+        if df:
+            vals = df_where(offd_block == src, offd.vals, 0.0)
+            acc = df_zeros_like(y)
+            for w in range(offd.width):
+                bw = DF(buf.hi[local_col[w]], buf.lo[local_col[w]])
+                acc = df_add(acc, df_mul(vals[w], bw))
+            y = df_add(y, acc)
+        else:
+            vals = jnp.where(offd_block == src, offd.vals,
+                             jnp.zeros_like(offd.vals))
+            acc = jnp.zeros_like(y)
+            for w in range(offd.width):
+                acc = acc + vals[w] * buf[local_col[w]]
+            y = y + acc
         perm = [(i, (i - 1) % n_devices) for i in range(n_devices)]
-        buf = lax.ppermute(buf, axis, perm)
+        buf = _tmap(lambda a: lax.ppermute(a, axis, perm), buf)
         return y, buf
 
     buf = x_loc
@@ -141,9 +154,18 @@ def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
     y, buf = lax.fori_loop(1, n_devices, hop, hop(0, (y, buf)))
     if offd.tail_size:
         # tails are rare; fall back to one gather for them
-        x_full = comm.allgather(x_loc)
-        tail = offd.tail_vals * x_full[offd.tail_cols]
         import jax
-        y = y + jax.ops.segment_sum(tail, offd.tail_rows,
-                                    num_segments=offd.n_rows)
+        x_full = comm.allgather(x_loc)
+        if df:
+            t = df_mul(offd.tail_vals, DF(x_full.hi[offd.tail_cols],
+                                          x_full.lo[offd.tail_cols]))
+            y = df_add(y, DF(
+                jax.ops.segment_sum(t.hi, offd.tail_rows,
+                                    num_segments=offd.n_rows),
+                jax.ops.segment_sum(t.lo, offd.tail_rows,
+                                    num_segments=offd.n_rows)))
+        else:
+            tail = offd.tail_vals * x_full[offd.tail_cols]
+            y = y + jax.ops.segment_sum(tail, offd.tail_rows,
+                                        num_segments=offd.n_rows)
     return y

@@ -181,6 +181,22 @@ def test_df32_distributed_solve(fmt):
     assert np.abs(x - 1).max() < 1e-9
 
 
+def test_df32_distributed_ring_halo():
+    """df32 over the ppermute ring (MPI_csr_spmv_async parity path)."""
+    from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+
+    csr = banded_random(2048, [1, -1, 16, -16], seed=5)
+    b = csr.matvec(np.ones(csr.nrows))
+    part = partition_csr(csr, 8, dtype="df32", format="ell")
+    res = solve_distributed(part, b, method="bicgstab", halo="ring",
+                            cfg=SolverConfig(tol=1e-12, max_iter=300,
+                                             dtype=jnp.float32))
+    x = df_to_f64(res.x)[: csr.nrows]
+    assert bool(res.converged)
+    assert np.linalg.norm(b - csr.matvec(x)) / np.linalg.norm(b) < 1e-11
+
+
 def test_df32_distributed_hybrid():
     """DIA + ELL straggler blocks combined in DF on the mesh (the
     df_add branch in make_local_spmv)."""
