@@ -154,6 +154,24 @@ def run_profile(args):
     dtype = {"float32": jnp.float32, "float64": jnp.float64}[args.dtype]
     from mpi_bicgstab_tpu.cli import _load_matrix
     csr, _ = _load_matrix(args.matrix, dtype)
+    if getattr(args, "trace", None):
+        # full XLA/TPU trace (TensorBoard / xprof format) around one
+        # solve — the modern analogue of the reference's hand-rolled
+        # section timers; best-effort (some backends/relays reject it)
+        try:
+            from mpi_bicgstab_tpu.api import solve
+            from mpi_bicgstab_tpu.models.problem import build_problem
+            from mpi_bicgstab_tpu.utils.config import SolverConfig
+            prob = build_problem(csr, dtype=dtype, multiple=1024)
+            cfg = SolverConfig(tol=0.0, max_iter=max(args.iters, 2),
+                               dtype=dtype)
+            solve(prob.A, prob.b, cfg=cfg)  # compile outside the trace
+            with jax.profiler.trace(args.trace):
+                r = solve(prob.A, prob.b, cfg=cfg)
+                jax.block_until_ready(r.x)
+            print(f"trace written to {args.trace}")
+        except Exception as e:  # pragma: no cover - backend dependent
+            print(f"tracing unavailable on this backend: {e!r}")
     phases = profile_sections(csr, dtype, devices=args.devices,
                               sigma_len=args.sigma_len, iters=args.iters)
     payload = {"matrix": args.matrix, "n": csr.nrows, "nnz": csr.nnz,

@@ -50,6 +50,25 @@ def _load_matrix(spec: str, dtype):
     return csr, io_time
 
 
+def _load_rhs(spec: str, n: int) -> "np.ndarray":
+    """Load a user RHS: .npy, or a Matrix Market dense vector (array
+    format, n x 1) / coordinate vector. The reference only ever builds
+    b = A*ones (main.c:109-117); production solves need their own b."""
+    if spec.endswith(".npy"):
+        b = np.load(spec)
+    else:
+        from mpi_bicgstab_tpu.io.mmio import read_matrix_market
+        rows, cols, vals, shape = read_matrix_market(spec)
+        if 1 not in shape:
+            raise SystemExit(f"--rhs {spec}: expected a vector, got {shape}")
+        b = np.zeros(max(shape))
+        b[rows if shape[1] == 1 else cols] = vals
+    b = np.asarray(b, np.float64).ravel()
+    if b.size != n:
+        raise SystemExit(f"--rhs has {b.size} entries, matrix has {n} rows")
+    return b
+
+
 def _dtype(name):
     import jax.numpy as jnp
     # 'df32' = double-float pairs (ops/precision): f64-class accuracy on
@@ -98,6 +117,12 @@ def _common(p):
                    help="write the per-iteration relative-residual curve "
                         "(the data behind the reference's "
                         "doc/residual_result.png) as .npy or .csv")
+    p.add_argument("--rhs", default=None, metavar="FILE",
+                   help="right-hand side b (.npy or MatrixMarket vector); "
+                        "default is the reference's b = A*ones")
+    p.add_argument("--write-solution", default=None, metavar="FILE",
+                   help="save the solution x (original row ordering, "
+                        "f64) as .npy")
 
 
 def _report(args, payload):
@@ -123,12 +148,22 @@ def cmd_solve(args):
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
                        nrr=args.nrr, dtype=cfg_dtype)
+    # custom RHS: loaded in the ORIGINAL row ordering, permuted with the
+    # matrix (solving (PAP^T)(Px) = Pb)
+    b_user = None
+    if args.rhs:
+        b_user = _load_rhs(args.rhs, csr.nrows)
+        if perm is not None:
+            from mpi_bicgstab_tpu.ops.reorder import permute_vector
+            b_user = permute_vector(b_user, perm)
+
     if args.devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
         part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
         part = partition_csr(csr, args.devices, dtype=part_dtype)
-        b = csr.matvec(np.ones(csr.nrows))      # b = A*1 (main.c:109-117)
+        b = (b_user if b_user is not None
+             else csr.matvec(np.ones(csr.nrows)))   # b = A*1 (main.c:109-117)
         n_state = part.n_global
 
         def run_once(x0_host, budget, tol_seg=None):
@@ -142,6 +177,15 @@ def cmd_solve(args):
         from mpi_bicgstab_tpu.api import solve
         prob = build_problem(csr, dtype=dtype)
         n_state = prob.n
+        b_dev = prob.b
+        if b_user is not None:
+            from mpi_bicgstab_tpu.parallel.driver import pad_vector
+            b_pad = pad_vector(b_user, prob.n)
+            if args.dtype == "df32":
+                from mpi_bicgstab_tpu.ops.precision import df_from_f64
+                b_dev = df_from_f64(b_pad)
+            else:
+                b_dev = jnp.asarray(b_pad, dtype)
 
         def run_once(x0_host, budget, tol_seg=None):
             x0 = None
@@ -154,7 +198,7 @@ def cmd_solve(args):
             c = cfg.replace(max_iter=budget)
             if tol_seg is not None:
                 c = c.replace(tol=tol_seg)
-            return solve(prob.A, prob.b, x0=x0, method=args.method, cfg=c)
+            return solve(prob.A, b_dev, x0=x0, method=args.method, cfg=c)
 
     if args.checkpoint:
         if args.repeat != 1:
@@ -194,6 +238,15 @@ def cmd_solve(args):
         done = int(res.n_iter)
         iters = max(done, 1)
     _dump_history(args, res)
+    if args.write_solution:
+        from mpi_bicgstab_tpu.ops.precision import df_to_f64, is_df
+        x = df_to_f64(res.x) if is_df(res.x) else np.asarray(res.x,
+                                                             np.float64)
+        x = x[: csr.nrows]
+        if perm is not None:
+            from mpi_bicgstab_tpu.ops.reorder import unpermute_vector
+            x = unpermute_vector(x, perm)
+        np.save(args.write_solution, x)
     _report(args, {
         "method": args.method,
         "matrix": args.matrix,
@@ -394,6 +447,9 @@ def build_parser():
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--sigma-len", type=int, default=0)
     p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="also write a jax.profiler trace of one solve "
+                        "(TensorBoard format) to DIR")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_profile)
 
