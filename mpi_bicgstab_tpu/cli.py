@@ -157,6 +157,13 @@ def cmd_solve(args):
             from mpi_bicgstab_tpu.ops.reorder import permute_vector
             b_user = permute_vector(b_user, perm)
 
+    d_invsqrt = None
+    if args.scale == "jacobi":
+        from mpi_bicgstab_tpu.ops.scale import jacobi_scale, scale_rhs
+        csr, d_invsqrt = jacobi_scale(csr)
+        if b_user is not None:
+            b_user = scale_rhs(b_user, d_invsqrt)
+
     if args.devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
@@ -243,6 +250,9 @@ def cmd_solve(args):
         x = df_to_f64(res.x) if is_df(res.x) else np.asarray(res.x,
                                                              np.float64)
         x = x[: csr.nrows]
+        if d_invsqrt is not None:
+            from mpi_bicgstab_tpu.ops.scale import unscale_solution
+            x = unscale_solution(x, d_invsqrt)
         if perm is not None:
             from mpi_bicgstab_tpu.ops.reorder import unpermute_vector
             x = unpermute_vector(x, perm)
@@ -254,6 +264,7 @@ def cmd_solve(args):
         "nnz": csr.nnz,
         "devices": args.devices,
         "reordered": perm is not None,
+        "scaled": d_invsqrt is not None,
         "io_time_s": round(io_time, 6),
         "total_iter": done,
         "final_relres": (cum_rel if args.checkpoint
@@ -405,6 +416,11 @@ def build_parser():
                             "pipe_bicgstab_rr"])
     p.add_argument("--krr", type=int, default=100)
     p.add_argument("--nrr", type=int, default=4)
+    p.add_argument("--scale", choices=["none", "jacobi"], default="none",
+                   help="Jacobi (diagonal) symmetric scaling "
+                        "D^-1/2 A D^-1/2 — equilibrates badly scaled "
+                        "systems before solving (ops/scale.py; classic "
+                        "family only)")
     p.add_argument("--checkpoint", default=None, metavar="FILE",
                    help="checkpoint the iterate to FILE every "
                         "--checkpoint-every iterations and resume from "
