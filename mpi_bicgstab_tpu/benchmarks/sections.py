@@ -71,9 +71,6 @@ def profile_sections(csr, dtype, devices: int = 1, sigma_len: int = 0,
     else:
         from jax.sharding import PartitionSpec as P
         from mpi_bicgstab_tpu.parallel.comm import Comm
-        from mpi_bicgstab_tpu.parallel.dist_spmv import (spmv_allgather,
-                                                         spmv_dia_gather,
-                                                         spmv_dia_halo)
         from mpi_bicgstab_tpu.parallel.driver import (_SLAB, _VEC,
                                                       make_local_spmv,
                                                       put_partitioned,

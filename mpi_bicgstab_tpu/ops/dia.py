@@ -92,7 +92,7 @@ def csr_to_dia(csr, offsets, dtype=None, device_put: bool = True):
     dtype='df32' stores vals as a double-float pair (ops/precision) for
     the extended-precision data path.
     """
-    from mpi_bicgstab_tpu.ops.sparse import COOMatrix, CSRMatrix, coo_to_csr
+    from mpi_bicgstab_tpu.ops.sparse import COOMatrix, coo_to_csr
 
     n = csr.nrows
     if csr.shape[0] != csr.shape[1]:

@@ -42,7 +42,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from mpi_bicgstab_tpu.ops.precision import (df_from_f64, is_df, vabs,
+from mpi_bicgstab_tpu.ops.precision import (is_df, vabs,
                                             vbroadcast_rows, vones, vvalue,
                                             vwhere, vzeros)
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult
