@@ -111,6 +111,10 @@ def _common(p):
     p.add_argument("--repeat", type=int, default=1,
                    help="repeat the solve N times for timing stability "
                         "(main_repeat.c:109-132)")
+    p.add_argument("--verbose-every", type=int, default=0, metavar="N",
+                   help="print the relative residual every N iterations "
+                        "during the solve (DISPLAY_RESIDUAL, "
+                        "solver.c:8-9); 0 = silent")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line")
     p.add_argument("--dump-history", default=None, metavar="FILE",
@@ -147,7 +151,8 @@ def cmd_solve(args):
     tol = args.tol if args.tol is not None else 1e-15
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
-                       nrr=args.nrr, dtype=cfg_dtype)
+                       nrr=args.nrr, dtype=cfg_dtype,
+                       out_iter=args.verbose_every)
     # custom RHS: loaded in the ORIGINAL row ordering, permuted with the
     # matrix (solving (PAP^T)(Px) = Pb)
     b_user = None
@@ -315,7 +320,9 @@ def cmd_solve_shifted(args):
         tol = args.tol if args.tol is not None else 1e-12
         import jax.numpy as jnp
         cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
-        cfg = ShiftedConfig(tol=tol, max_iter=args.max_iter, dtype=cfg_dtype)
+        cfg = ShiftedConfig(tol=tol, max_iter=args.max_iter, dtype=cfg_dtype,
+                            out_iter=args.verbose_every,
+                            verbose_switch=args.verbose_every > 0)
         b = csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows)
 
         if args.devices > 1:

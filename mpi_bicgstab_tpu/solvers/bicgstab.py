@@ -44,6 +44,32 @@ def _zeros_like(v):
     return df_zeros_like(v) if is_df(v) else jnp.zeros_like(v)
 
 
+def _debug_print_ok() -> bool:
+    """jax.debug.print needs host-callback support, which the axon TPU
+    relay used in some dev environments lacks (UNIMPLEMENTED host
+    send/recv). Detect that relay by its env marker and degrade to
+    silence rather than crash the solve."""
+    import os
+    return "PALLAS_AXON_TPU_GEN" not in os.environ or \
+        __import__("jax").default_backend() == "cpu"
+
+
+def _maybe_print_residual(cfg, k, dot_r, dot_zero):
+    """DISPLAY_RESIDUAL parity (solver.c:8-9,122-126): print the relative
+    residual every cfg.out_iter iterations. jax.debug.print inside the
+    while_loop body; no-op (decided at trace time) when out_iter == 0."""
+    if not getattr(cfg, "out_iter", 0) or not _debug_print_ok():
+        return
+    import jax
+
+    def emit(_):
+        jax.debug.print("iter {k}: relres {r:.6e}", k=k,
+                        r=jnp.sqrt(_value(dot_r) / _value(dot_zero)))
+        return 0
+
+    lax.cond((k + 1) % cfg.out_iter == 0, emit, lambda _: 0, 0)
+
+
 def _scalar_zero(like_df, dtype):
     """0.0 with the carry type the loop body will produce (DF iff the
     dots are DF) — lax.while_loop requires type-stable carries."""
@@ -98,6 +124,7 @@ def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:116
         p = r_new + beta * (p - omega * s)              # solver.c:117-119
         hist = hist.at[k].set(_value(dot_r))
+        _maybe_print_residual(cfg, k, dot_r, dot_zero)
         return (k + 1, x, r_new, p, rTr_new, dot_r, hist)
 
     k0 = jnp.int32(0)
@@ -152,6 +179,7 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:248
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:249
         hist = hist.at[k].set(_value(dot_r))
+        _maybe_print_residual(cfg, k, dot_r, dot_zero)
         return (k + 1, x, r, w, p, s, z, alpha, beta, omega, rTr_new,
                 dot_r, hist)
 
@@ -212,6 +240,7 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:387
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:388
         hist = hist.at[k].set(_value(dot_r))
+        _maybe_print_residual(cfg, k, dot_r, dot_zero)
         return (k + 1, x, r, w, t, p, s, z, v, alpha, beta, omega,
                 rTr_new, dot_r, hist)
 
@@ -299,6 +328,7 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:545
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:546
         hist = hist.at[k].set(_value(dot_r))
+        _maybe_print_residual(cfg, k, dot_r, dot_zero)
         return (k + 1, x, r, w, t, p, s, z, v, alpha, beta, omega,
                 rTr_new, dot_r, hist)
 

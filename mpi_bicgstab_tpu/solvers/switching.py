@@ -237,6 +237,14 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
         # --- seed switching (:490-527) ---
         def do_switch(args):
             (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc) = args
+            from mpi_bicgstab_tpu.solvers.bicgstab import _debug_print_ok
+            if getattr(cfg, "verbose_switch", False) and _debug_print_ok():
+                # the reference prints switch diagnostics unconditionally
+                # (shifted_switching_solver.c:519-526); here opt-in
+                import jax
+                jax.debug.print(
+                    "seed switch at iter {k}: seed {old} -> {new}",
+                    k=k, old=seed_i, new=ms)
             dsig = sigma[seed_i] - sigma[ms]
             ratio = vcat(
                 [vones((1,), a_arc), pi_arc[:-1, ms] / pi_arc[1:, ms]])
@@ -274,6 +282,16 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
             (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc))
 
         hist = hist.at[k - 1].set(vvalue(dot_r))
+        from mpi_bicgstab_tpu.solvers.bicgstab import _debug_print_ok
+        if getattr(cfg, "out_iter", 0) and _debug_print_ok():
+            import jax
+
+            def _emit(_):
+                jax.debug.print("iter {k}: seed relres {r:.6e}", k=k,
+                                r=jnp.sqrt(vvalue(dot_r)
+                                           / vvalue(dot_zero)))
+                return 0
+            lax.cond(k % cfg.out_iter == 0, _emit, lambda _: 0, 0)
         return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, pi_arc,
                 a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
 

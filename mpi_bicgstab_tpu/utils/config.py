@@ -37,6 +37,8 @@ class SolverConfig:
     nrr: int = 4
     dtype: jnp.dtype = jnp.float64
     record_history: bool = True
+    out_iter: int = 0   # print relres every N iters (DISPLAY_RESIDUAL,
+                        # solver.c:8-9,122-126); 0 = silent
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
@@ -55,6 +57,10 @@ class ShiftedConfig:
     max_iter: int = 1000
     dtype: jnp.dtype = jnp.float64
     record_history: bool = True
+    out_iter: int = 0   # print seed relres every N iters; 0 = silent
+    verbose_switch: bool = False  # print seed-switch events (the
+                        # reference prints them unconditionally,
+                        # shifted_switching_solver.c:519-526)
 
     def replace(self, **kw) -> "ShiftedConfig":
         return dataclasses.replace(self, **kw)
