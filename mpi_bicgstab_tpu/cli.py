@@ -127,6 +127,10 @@ def _common(p):
     p.add_argument("--write-solution", default=None, metavar="FILE",
                    help="save the solution x (original row ordering, "
                         "f64) as .npy")
+    p.add_argument("--x0", default=None, metavar="FILE",
+                   help="warm-start iterate (.npy or MatrixMarket "
+                        "vector, original row ordering) — e.g. a "
+                        "previous --write-solution output")
 
 
 def _report(args, payload):
@@ -168,6 +172,19 @@ def cmd_solve(args):
         csr, d_invsqrt = jacobi_scale(csr)
         if b_user is not None:
             b_user = scale_rhs(b_user, d_invsqrt)
+
+    x0_init = None
+    if args.x0:
+        if args.checkpoint:
+            raise SystemExit("--x0 cannot be combined with --checkpoint "
+                             "(the checkpoint IS the warm start)")
+        x0_init = _load_rhs(args.x0, csr.nrows)
+        if perm is not None:
+            from mpi_bicgstab_tpu.ops.reorder import permute_vector
+            x0_init = permute_vector(x0_init, perm)
+        if d_invsqrt is not None:
+            # scaled unknown: y = D^{1/2} x  =>  y0 = x0 / d_invsqrt
+            x0_init = x0_init / d_invsqrt
 
     if args.devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
@@ -240,11 +257,11 @@ def cmd_solve(args):
             return 0 if cum_rel <= tol else 2
         iters = max(done, 1)
     else:
-        res = run_once(None, args.max_iter)     # compile + first run
+        res = run_once(x0_init, args.max_iter)  # compile + first run
         jax.block_until_ready(res.x)
         t0 = time.perf_counter()
         for _ in range(args.repeat):
-            res = run_once(None, args.max_iter)
+            res = run_once(x0_init, args.max_iter)
             jax.block_until_ready(res.x)
         total = (time.perf_counter() - t0) / args.repeat
         done = int(res.n_iter)
