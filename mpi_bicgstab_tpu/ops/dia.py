@@ -1,10 +1,11 @@
 """DIA (diagonal) device layout — the TPU fast path for SpMV.
 
 Measured on TPU v5e: a 15-diagonal, 24M-nnz SpMV in this layout runs at
-~194 Gnnz/s (HBM roofline: the vals arrays stream once; the iterate
-vector stays resident on-chip across the fused slice-multiply-adds),
-~1,500x faster than the gather-based ELL path, which XLA lowers to
-scalar element loads on TPU.
+~100-230 Gnnz/s (HBM-bound; the shared relay's effective bandwidth
+varies run to run — the vals arrays stream once and the iterate stays
+on-chip across the fused slice-multiply-adds), three orders of
+magnitude faster than the gather-based ELL path, which XLA lowers to
+scalar element loads on TPU (~0.13 Gnnz/s).
 
 Why this is the right primary layout for this framework: the workload
 class is PDE/transport operators (the reference benchmarks SuiteSparse
