@@ -50,8 +50,8 @@ def _load_matrix(spec: str, dtype):
     return csr, io_time
 
 
-def _load_rhs(spec: str, n: int) -> "np.ndarray":
-    """Load a user RHS: .npy, or a Matrix Market dense vector (array
+def _load_rhs(spec: str, n: int, flag: str = "--rhs") -> "np.ndarray":
+    """Load a user vector: .npy, or a Matrix Market dense vector (array
     format, n x 1) / coordinate vector. The reference only ever builds
     b = A*ones (main.c:109-117); production solves need their own b."""
     if spec.endswith(".npy"):
@@ -60,12 +60,12 @@ def _load_rhs(spec: str, n: int) -> "np.ndarray":
         from mpi_bicgstab_tpu.io.mmio import read_matrix_market
         rows, cols, vals, shape = read_matrix_market(spec)
         if 1 not in shape:
-            raise SystemExit(f"--rhs {spec}: expected a vector, got {shape}")
+            raise SystemExit(f"{flag} {spec}: expected a vector, got {shape}")
         b = np.zeros(max(shape))
         b[rows if shape[1] == 1 else cols] = vals
     b = np.asarray(b, np.float64).ravel()
     if b.size != n:
-        raise SystemExit(f"--rhs has {b.size} entries, matrix has {n} rows")
+        raise SystemExit(f"{flag} has {b.size} entries, matrix has {n} rows")
     return b
 
 
@@ -178,7 +178,7 @@ def cmd_solve(args):
         if args.checkpoint:
             raise SystemExit("--x0 cannot be combined with --checkpoint "
                              "(the checkpoint IS the warm start)")
-        x0_init = _load_rhs(args.x0, csr.nrows)
+        x0_init = _load_rhs(args.x0, csr.nrows, flag="--x0")
         if perm is not None:
             from mpi_bicgstab_tpu.ops.reorder import permute_vector
             x0_init = permute_vector(x0_init, perm)
@@ -204,11 +204,13 @@ def cmd_solve(args):
                                      halo=args.halo)
     else:
         from mpi_bicgstab_tpu.api import solve
+        from mpi_bicgstab_tpu.parallel.driver import pad_vector
         prob = build_problem(csr, dtype=dtype)
         n_state = prob.n
+        if x0_init is not None:
+            x0_init = pad_vector(x0_init, prob.n)
         b_dev = prob.b
         if b_user is not None:
-            from mpi_bicgstab_tpu.parallel.driver import pad_vector
             b_pad = pad_vector(b_user, prob.n)
             if args.dtype == "df32":
                 from mpi_bicgstab_tpu.ops.precision import df_from_f64
@@ -321,6 +323,16 @@ def cmd_solve_shifted(args):
     csr, io_time = _load_matrix(args.matrix, dtype)
     from mpi_bicgstab_tpu.ops.reorder import maybe_reorder
     csr, perm = maybe_reorder(csr, args.reorder)
+    if args.x0:
+        raise SystemExit("--x0 is not valid for the shifted family: the "
+                         "single-Krylov-sequence recurrences require "
+                         "x0 = 0 for every shift")
+    b_user = None
+    if args.rhs:
+        b_user = _load_rhs(args.rhs, csr.nrows)
+        if perm is not None:
+            from mpi_bicgstab_tpu.ops.reorder import permute_vector
+            b_user = permute_vector(b_user, perm)
 
     sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
              if args.sigma_len_sweep else [args.sigma_len])
@@ -340,7 +352,9 @@ def cmd_solve_shifted(args):
         cfg = ShiftedConfig(tol=tol, max_iter=args.max_iter, dtype=cfg_dtype,
                             out_iter=args.verbose_every,
                             verbose_switch=args.verbose_every > 0)
-        b = csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows)
+        # default rhs: b = (A + sigma_seed I) * ones (main_shifted.c:109-114)
+        b = (b_user if b_user is not None else
+             csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows))
 
         if args.devices > 1:
             from mpi_bicgstab_tpu.parallel.driver import \
@@ -354,8 +368,17 @@ def cmd_solve_shifted(args):
         else:
             from mpi_bicgstab_tpu.api import solve_shifted
             prob = build_problem(csr, dtype=dtype, sigma_seed=float(sigma[seed]))
+            b_dev = prob.b
+            if b_user is not None:
+                from mpi_bicgstab_tpu.parallel.driver import pad_vector
+                b_pad = pad_vector(b_user, prob.n)
+                if args.dtype == "df32":
+                    from mpi_bicgstab_tpu.ops.precision import df_from_f64
+                    b_dev = df_from_f64(b_pad)
+                else:
+                    b_dev = jnp.asarray(b_pad, dtype)
             runner = lambda: solve_shifted(              # noqa: E731
-                prob.A, prob.b, sigma, seed=seed, method=args.method,
+                prob.A, b_dev, sigma, seed=seed, method=args.method,
                 cfg=cfg)
 
         res = runner()
@@ -383,6 +406,15 @@ def cmd_solve_shifted(args):
             "avg_time_per_iter_s": round(total / iters, 9),
         }
         _dump_history(args, res)
+        if args.write_solution:
+            from mpi_bicgstab_tpu.ops.precision import df_to_f64, is_df
+            xs = (df_to_f64(res.x_set) if is_df(res.x_set)
+                  else np.asarray(res.x_set, np.float64))
+            xs = xs[:, : csr.nrows]
+            if perm is not None:
+                from mpi_bicgstab_tpu.ops.reorder import unpermute_vector
+                xs = unpermute_vector(xs.T, perm).T
+            np.save(args.write_solution, xs)
         if args.check_error:
             # test_shifted.c:129-154: true relative error per shift
             if args.dtype == "df32":

@@ -14,10 +14,11 @@ collapsing the condition number of badly scaled systems, and keeps
 every solver untouched — the same trick the RCM permutation uses
 (ops/reorder.py); the two compose.
 
-CLASSIC FAMILY ONLY for the shifted solvers' purposes: scaling turns
-(A + sigma I) into D^-1/2 A D^-1/2 + sigma D^-1, which is no longer a
-shift of A' — the single-Krylov-space trick breaks. build_problem
-refuses the combination.
+CLASSIC FAMILY ONLY: scaling turns (A + sigma I) into
+D^-1/2 A D^-1/2 + sigma D^-1, which is no longer a shift of A' — the
+single-Krylov-space trick breaks. The CLI therefore offers --scale on
+`solve` only; library users must not pass a jacobi-scaled matrix to the
+shifted solvers.
 
 Known-solution note: after scaling, b' = A'*(D^1/2 1) — the exact
 solution of the SCALED system is D^1/2, not all-ones, so drivers build

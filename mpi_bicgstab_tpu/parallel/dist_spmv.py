@@ -134,8 +134,7 @@ def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
             vals = df_where(offd_block == src, offd.vals, 0.0)
             acc = df_zeros_like(y)
             for w in range(offd.width):
-                bw = DF(buf.hi[local_col[w]], buf.lo[local_col[w]])
-                acc = df_add(acc, df_mul(vals[w], bw))
+                acc = df_add(acc, df_mul(vals[w], buf[local_col[w]]))
             y = df_add(y, acc)
         else:
             vals = jnp.where(offd_block == src, offd.vals,
@@ -157,8 +156,7 @@ def spmv_ring(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc,
         import jax
         x_full = comm.allgather(x_loc)
         if df:
-            t = df_mul(offd.tail_vals, DF(x_full.hi[offd.tail_cols],
-                                          x_full.lo[offd.tail_cols]))
+            t = df_mul(offd.tail_vals, x_full[offd.tail_cols])
             y = df_add(y, DF(
                 jax.ops.segment_sum(t.hi, offd.tail_rows,
                                     num_segments=offd.n_rows),

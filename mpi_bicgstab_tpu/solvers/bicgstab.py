@@ -63,7 +63,8 @@ def _maybe_print_residual(cfg, k, dot_r, dot_zero):
     import jax
 
     def emit(_):
-        jax.debug.print("iter {k}: relres {r:.6e}", k=k,
+        # 1-based iteration label, matching the switching solver's
+        jax.debug.print("iter {k}: relres {r:.6e}", k=k + 1,
                         r=jnp.sqrt(_value(dot_r) / _value(dot_zero)))
         return 0
 

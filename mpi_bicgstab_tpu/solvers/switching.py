@@ -170,15 +170,16 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     stop0 = jnp.zeros((S,), bool)
     hist0 = jnp.full((M,), jnp.nan, dtype)
     seed0 = jnp.int32(seed)
+    pi_eff0 = vones((S,), b)   # last LIVE pi per shift (frozen at stop)
 
     def cond(c):
-        (k, seed_i, x_set, p_set, r, eta, zeta, pi_arc, a_arc, b_arc,
-         w_arc, stop, rTr, dot_r, hist) = c
+        (k, seed_i, x_set, p_set, r, eta, zeta, pi_eff, pi_arc, a_arc,
+         b_arc, w_arc, stop, rTr, dot_r, hist) = c
         return (jnp.sum(stop) < S) & (k < M + 1)           # :374
 
     def body(c):
-        (k, seed_i, x_set, p_set, r, eta, zeta, pi_arc, a_arc, b_arc,
-         w_arc, stop, rTr, dot_r, hist) = c
+        (k, seed_i, x_set, p_set, r, eta, zeta, pi_eff, pi_arc, a_arc,
+         b_arc, w_arc, stop, rTr, dot_r, hist) = c
         sig_seed = sigma[seed_i]
         not_seed = idxS != seed_i
         active = not_seed & ~stop
@@ -223,6 +224,7 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
         p_set = vwhere(active[:, None], p_upd2, p_set)
         eta = vwhere(active, eta2, eta)
         zeta = vwhere(active, zeta2, zeta)
+        pi_eff = vwhere(active, pi_k, pi_eff)
         pi_arc = pi_arc.at[k].set(vwhere(active, pi_k, pi_arc[k]))
         # --- per-shift convergence + worst remaining shift (:450-475) ---
         abs_zp = jnp.where(not_seed,
@@ -236,7 +238,8 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
 
         # --- seed switching (:490-527) ---
         def do_switch(args):
-            (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc) = args
+            (seed_i, r_new, eta, zeta, pi_eff, pi_arc, a_arc, b_arc,
+             w_arc) = args
             from mpi_bicgstab_tpu.solvers.bicgstab import _debug_print_ok
             if getattr(cfg, "verbose_switch", False) and _debug_print_ok():
                 # the reference prints switch diagnostics unconditionally
@@ -271,15 +274,18 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
 
             eta2, zeta2, pi_arc2 = lax.fori_loop(
                 1, k + 1, hist_step, (eta2, zeta2, pi_arc))     # :509-517
-            return (ms, r2, eta2, zeta2, pi_arc2, a2, b2, w2)
+            pi_eff2 = vwhere(recompute, pi_arc2[k], pi_eff)
+            return (ms, r2, eta2, zeta2, pi_eff2, pi_arc2, a2, b2, w2)
 
         def no_switch(args):
             return args
 
         switch_now = stop[seed_i] & (jnp.sum(stop) < S)         # :490
-        (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc) = lax.cond(
+        (seed_i, r_new, eta, zeta, pi_eff, pi_arc, a_arc, b_arc,
+         w_arc) = lax.cond(
             switch_now, do_switch, no_switch,
-            (seed_i, r_new, eta, zeta, pi_arc, a_arc, b_arc, w_arc))
+            (seed_i, r_new, eta, zeta, pi_eff, pi_arc, a_arc, b_arc,
+             w_arc))
 
         hist = hist.at[k - 1].set(vvalue(dot_r))
         from mpi_bicgstab_tpu.solvers.bicgstab import _debug_print_ok
@@ -292,20 +298,21 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
                                            / vvalue(dot_zero)))
                 return 0
             lax.cond(k % cfg.out_iter == 0, _emit, lambda _: 0, 0)
-        return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, pi_arc,
-                a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
+        return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, pi_eff,
+                pi_arc, a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
 
     carry0 = (jnp.int32(1), seed0, x_set0, p_set0, b, eta0, zeta0,
-              pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0, rTr0,
-              rTr0, hist0)
+              pi_eff0, pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0,
+              rTr0, rTr0, hist0)
     out = lax.while_loop(cond, body, carry0)
-    (k, seed_i, x_set, _p, _r, _eta, _zeta, _pi, _aa, _ba, _wa, stop,
-     _rTr, dot_r, hist) = out
+    (k, seed_i, x_set, _p, _r, _eta, _zeta, _pi_eff, _pi, _aa, _ba, _wa,
+     stop, _rTr, dot_r, hist) = out
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
-    # per-shift estimated residuals (DISPLAY_SIGMA_RESIDUAL parity):
-    # the last pi row written is k-1 (k was incremented on loop exit)
+    # per-shift estimated residuals (DISPLAY_SIGMA_RESIDUAL parity);
+    # pi_eff holds each shift's LAST LIVE pi (frozen when it stopped —
+    # the archive row k-1 would read 1.0 for early stoppers)
     scale = jnp.where(idxS != seed_i,
-                      vvalue(vabs(1.0 / (_zeta * _pi[k - 1]))), 1.0)
+                      vvalue(vabs(1.0 / (_zeta * _pi_eff))), 1.0)
     return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
                          final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),

@@ -200,6 +200,27 @@ def test_df32_distributed_ring_halo():
     assert np.linalg.norm(b - csr.matvec(x)) / np.linalg.norm(b) < 1e-11
 
 
+def test_df32_ring_halo_with_tails():
+    """Width-capped ELL spills entries to the COO tail; the ring's DF
+    tail fallback (hi/lo segment sums) must execute and still solve.
+    (Regression: this path once referenced an unimported name.)"""
+    from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+
+    csr = banded_random(1024, [1, -1, 16, -16], seed=5)
+    b = csr.matvec(np.ones(csr.nrows))
+    part = partition_csr(csr, 8, dtype="df32", format="ell", width=1)
+    assert part.offd_tail_vals.hi.shape[0] > 0   # tail actually present
+    res = solve_distributed(part, b, method="bicgstab", halo="ring",
+                            cfg=SolverConfig(tol=1e-12, max_iter=400,
+                                             dtype=jnp.float32))
+    x = df_to_f64(res.x)[: csr.nrows]
+    assert bool(res.converged)
+    # the tail's uncompensated lo sums cap accuracy at this extreme
+    # width cap; structure-level check only
+    assert np.linalg.norm(b - csr.matvec(x)) / np.linalg.norm(b) < 1e-5
+
+
 def test_df32_distributed_hybrid():
     """DIA + ELL straggler blocks combined in DF on the mesh (the
     df_add branch in make_local_spmv)."""

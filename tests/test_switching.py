@@ -106,3 +106,23 @@ def test_switching_512_ladder_driver_config():
     errs = _true_errors(prob.csr, sigma, np.asarray(res.x_set),
                         np.asarray(prob.b))
     assert errs.max() < 1e-7
+
+
+def test_shift_relres_matches_nonswitching_estimates():
+    """Regression: early-converged shifts' pi must be FROZEN at stop
+    time, not read from the (unwritten) final archive row — the two
+    mathematically identical solvers must report identical estimates
+    when no switch occurs."""
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    csr = banded_random(512, [1, -1, 9, -9], seed=2)
+    sigma = np.linspace(0.0, 3.0, 16)
+    prob = build_problem(csr, sigma_seed=0.0)
+    cfg = ShiftedConfig(tol=1e-10, max_iter=600)
+    r1 = solve_shifted(prob.A, prob.b, sigma, seed=0,
+                       method="shifted_lopbicg", cfg=cfg)
+    r2 = solve_shifted(prob.A, prob.b, sigma, seed=0,
+                       method="shifted_lopbicg_switching", cfg=cfg)
+    assert int(r2.final_seed) == 0        # no switch in this setup
+    np.testing.assert_allclose(np.asarray(r2.shift_relres),
+                               np.asarray(r1.shift_relres),
+                               rtol=1e-6)
