@@ -22,6 +22,13 @@ TensorCore, so the step-0 DMA is ordered before every tile's compute.
 
 Rebuilds the hot kernel role of `mult` (reference matrix.c:498-516) on
 the DIA layout; the layout rationale is in ops/dia.py.
+
+Known limitation: with jax_enable_x64 on, offset sets with nonzero
+lane shifts fail Mosaic legalization on real TPU ('failed to legalize
+func.return'; the roll-shift i64 issue is separately forced to int32
+below). The kernel targets the f32 solver pipeline, where x64 is off
+and every tested configuration compiles bit-exact vs the XLA path on
+the chip.
 """
 from __future__ import annotations
 
@@ -30,6 +37,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -99,9 +107,11 @@ def _kernel(x_hbm, vals_ref, y_ref, xp, sem, *, offsets, plr, nr, tr):
         else:
             # one (tr+1)-row window, ONE lane roll (left-roll by s ==
             # right-roll by 128-s; pltpu.roll wants >= 0), then select
-            # between its two row-shifted views for the lane carry
+            # between its two row-shifted views for the lane carry.
+            # int32 shift: under jax_enable_x64 a bare python int traces
+            # as i64, which Mosaic's tpu.dynamic_rotate rejects
             r12 = xp[pl.ds(rs + plr + q, tr + 1), :]
-            rolled = pltpu.roll(r12, _LANES - s, axis=1)
+            rolled = pltpu.roll(r12, np.int32(_LANES - s), axis=1)
             aligned = jnp.where(lane < _LANES - s, rolled[:tr],
                                 rolled[1:])
         acc = acc + vals_ref[w] * aligned
