@@ -62,7 +62,9 @@ def _load_rhs(spec: str, n: int, flag: str = "--rhs") -> "np.ndarray":
         if 1 not in shape:
             raise SystemExit(f"{flag} {spec}: expected a vector, got {shape}")
         b = np.zeros(max(shape))
-        b[rows if shape[1] == 1 else cols] = vals
+        # MM coordinate semantics: duplicate entries SUM (plain fancy
+        # assignment would silently keep only the last write)
+        np.add.at(b, rows if shape[1] == 1 else cols, vals)
     b = np.asarray(b, np.float64).ravel()
     if b.size != n:
         raise SystemExit(f"{flag} has {b.size} entries, matrix has {n} rows")
@@ -242,8 +244,18 @@ def cmd_solve(args):
                              "its own r0, not ||b||); run without "
                              "--checkpoint to record the full curve")
         from mpi_bicgstab_tpu.utils.checkpoint import solve_with_checkpoints
+        # the meta dict doubles as the resume guard (load_checkpoint
+        # expects an exact match): rhs/scale/reorder change the linear
+        # system, so a checkpoint written under different settings must
+        # refuse to resume rather than reuse a foreign cum_rel
+        import hashlib
+        b_hash = (hashlib.sha256(np.ascontiguousarray(
+            b_user if b_user is not None else np.array([]))).hexdigest()[:16]
+            if b_user is not None else "A*ones")
         meta = {"n": int(n_state), "nnz": int(csr.nnz),
-                "matrix": args.matrix, "dtype": args.dtype}
+                "matrix": args.matrix, "dtype": args.dtype,
+                "rhs": b_hash, "scale": args.scale,
+                "reorder": args.reorder, "method": args.method}
         t0 = time.perf_counter()
         res, done, cum_rel = solve_with_checkpoints(
             run_once, args.checkpoint,

@@ -40,7 +40,10 @@ class COOMatrix:
         falls back to lexsort when the fused key would overflow int64."""
         ncols = int(self.shape[1])
         if ncols and int(self.shape[0]) < (2 ** 62) // max(ncols, 1):
-            key = self.row * np.int64(ncols) + self.col
+            # explicit int64 promotion: an int32 row array would otherwise
+            # keep int32 under NumPy 1.x value-based casting and wrap
+            key = self.row.astype(np.int64, copy=False) * np.int64(ncols) \
+                + self.col
             order = np.argsort(key, kind="stable")
         else:
             order = np.lexsort((self.col, self.row))

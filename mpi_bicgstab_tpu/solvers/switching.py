@@ -170,15 +170,19 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     stop0 = jnp.zeros((S,), bool)
     hist0 = jnp.full((M,), jnp.nan, dtype)
     seed0 = jnp.int32(seed)
-    pi_eff0 = vones((S,), b)   # last LIVE pi per shift (frozen at stop)
+    # last LIVE zeta*pi per shift (the full residual scale, frozen at
+    # stop time): carrying the product — not pi alone — keeps the
+    # estimate correct for shifts that stopped before a seed switch
+    # reset zeta to 1 for the recompute
+    zp_eff0 = vones((S,), b)
 
     def cond(c):
-        (k, seed_i, x_set, p_set, r, eta, zeta, pi_eff, pi_arc, a_arc,
+        (k, seed_i, x_set, p_set, r, eta, zeta, zp_eff, pi_arc, a_arc,
          b_arc, w_arc, stop, rTr, dot_r, hist) = c
         return (jnp.sum(stop) < S) & (k < M + 1)           # :374
 
     def body(c):
-        (k, seed_i, x_set, p_set, r, eta, zeta, pi_eff, pi_arc, a_arc,
+        (k, seed_i, x_set, p_set, r, eta, zeta, zp_eff, pi_arc, a_arc,
          b_arc, w_arc, stop, rTr, dot_r, hist) = c
         sig_seed = sigma[seed_i]
         not_seed = idxS != seed_i
@@ -224,7 +228,7 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
         p_set = vwhere(active[:, None], p_upd2, p_set)
         eta = vwhere(active, eta2, eta)
         zeta = vwhere(active, zeta2, zeta)
-        pi_eff = vwhere(active, pi_k, pi_eff)
+        zp_eff = vwhere(active, zeta2 * pi_k, zp_eff)
         pi_arc = pi_arc.at[k].set(vwhere(active, pi_k, pi_arc[k]))
         # --- per-shift convergence + worst remaining shift (:450-475) ---
         abs_zp = jnp.where(not_seed,
@@ -238,7 +242,7 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
 
         # --- seed switching (:490-527) ---
         def do_switch(args):
-            (seed_i, r_new, eta, zeta, pi_eff, pi_arc, a_arc, b_arc,
+            (seed_i, r_new, eta, zeta, zp_eff, pi_arc, a_arc, b_arc,
              w_arc) = args
             from mpi_bicgstab_tpu.solvers.bicgstab import _debug_print_ok
             if getattr(cfg, "verbose_switch", False) and _debug_print_ok():
@@ -256,7 +260,8 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
             b2 = vwhere(mask_i, b_arc * ratio * ratio, b_arc)   # :496
             w2 = vwhere(mask_i, w_arc / (1.0 - w_arc * dsig),
                         w_arc)                                  # :497
-            r2 = r_new / (zeta[ms] * pi_arc[k, ms])             # :499
+            zp_ms = zeta[ms] * pi_arc[k, ms]
+            r2 = r_new / zp_ms                                  # :499
             eta2 = vzeros(eta.shape, eta)                       # :502
             zeta2 = vones(zeta.shape, zeta)                     # :504
             recompute = ~stop & (idxS != ms)                    # :511-512
@@ -274,17 +279,23 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
 
             eta2, zeta2, pi_arc2 = lax.fori_loop(
                 1, k + 1, hist_step, (eta2, zeta2, pi_arc))     # :509-517
-            pi_eff2 = vwhere(recompute, pi_arc2[k], pi_eff)
-            return (ms, r2, eta2, zeta2, pi_eff2, pi_arc2, a2, b2, w2)
+            # rebase frozen scales into the new seed's basis: collinearity
+            # r_j = r_old / zp_j and r2 = r_old / zp_ms give
+            # zp_j_new = zp_j / zp_ms; live shifts get freshly recomputed
+            # values (already in the new basis); the OLD seed had zp = 1
+            zp_eff2 = vwhere(recompute, zeta2 * pi_arc2[k],
+                             zp_eff / zp_ms)
+            zp_eff2 = zp_eff2.at[seed_i].set(1.0 / zp_ms)
+            return (ms, r2, eta2, zeta2, zp_eff2, pi_arc2, a2, b2, w2)
 
         def no_switch(args):
             return args
 
         switch_now = stop[seed_i] & (jnp.sum(stop) < S)         # :490
-        (seed_i, r_new, eta, zeta, pi_eff, pi_arc, a_arc, b_arc,
+        (seed_i, r_new, eta, zeta, zp_eff, pi_arc, a_arc, b_arc,
          w_arc) = lax.cond(
             switch_now, do_switch, no_switch,
-            (seed_i, r_new, eta, zeta, pi_eff, pi_arc, a_arc, b_arc,
+            (seed_i, r_new, eta, zeta, zp_eff, pi_arc, a_arc, b_arc,
              w_arc))
 
         hist = hist.at[k - 1].set(vvalue(dot_r))
@@ -298,21 +309,21 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
                                            / vvalue(dot_zero)))
                 return 0
             lax.cond(k % cfg.out_iter == 0, _emit, lambda _: 0, 0)
-        return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, pi_eff,
+        return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, zp_eff,
                 pi_arc, a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
 
     carry0 = (jnp.int32(1), seed0, x_set0, p_set0, b, eta0, zeta0,
-              pi_eff0, pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0,
+              zp_eff0, pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0,
               rTr0, rTr0, hist0)
     out = lax.while_loop(cond, body, carry0)
-    (k, seed_i, x_set, _p, _r, _eta, _zeta, _pi_eff, _pi, _aa, _ba, _wa,
+    (k, seed_i, x_set, _p, _r, _eta, _zeta, _zp_eff, _pi, _aa, _ba, _wa,
      stop, _rTr, dot_r, hist) = out
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
     # per-shift estimated residuals (DISPLAY_SIGMA_RESIDUAL parity);
-    # pi_eff holds each shift's LAST LIVE pi (frozen when it stopped —
-    # the archive row k-1 would read 1.0 for early stoppers)
+    # zp_eff holds each shift's LAST LIVE zeta*pi (frozen at stop;
+    # live shifts carry their current value)
     scale = jnp.where(idxS != seed_i,
-                      vvalue(vabs(1.0 / (_zeta * _pi_eff))), 1.0)
+                      vvalue(vabs(1.0 / _zp_eff)), 1.0)
     return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
                          final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),

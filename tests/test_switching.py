@@ -126,3 +126,29 @@ def test_shift_relres_matches_nonswitching_estimates():
     np.testing.assert_allclose(np.asarray(r2.shift_relres),
                                np.asarray(r1.shift_relres),
                                rtol=1e-6)
+
+
+def test_shift_relres_sane_after_switch():
+    """Regression (round-2 ADVICE): a shift that converges BEFORE a seed
+    switch must keep a usable residual estimate afterwards — the frozen
+    scale is the full zeta*pi product rebased at each switch, not a
+    frozen pi combined with a post-switch zeta. Every converged shift's
+    estimate must (a) certify convergence and (b) stay within a modest
+    factor of the true residual."""
+    csr, prob = _problem()
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    cfg = ShiftedConfig(tol=1e-11, max_iter=1000)
+    res = solve_shifted(prob.A, prob.b, sigma, seed=4,
+                        method="shifted_lopbicg_switching", cfg=cfg)
+    assert int(res.final_seed) != 4          # a switch DID happen
+    assert bool(np.asarray(res.stop_flags).all())
+    est = np.asarray(res.shift_relres)
+    b = np.asarray(prob.b, np.float64)
+    true_rel = _true_errors(prob.csr, sigma, np.asarray(res.x_set), b)
+    # converged estimates certify the tolerance (give 10x slack for the
+    # estimate-vs-recursive gap)
+    assert (est <= 1e-9).all(), est
+    # and they are estimates OF the true residuals, not arbitrary
+    # numbers: same order of magnitude band
+    assert (true_rel <= np.maximum(est * 1e4, 1e-9)).all(), \
+        (true_rel, est)
