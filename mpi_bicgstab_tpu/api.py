@@ -66,6 +66,48 @@ def solve_shifted(A, b, sigma, seed: int = 0,
     return _solve_shifted_jit(A, b, sigma, method, int(seed), cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _switching_segment_jit(A, b, sigma, cfg, carry, k_stop):
+    from mpi_bicgstab_tpu.solvers.switching import \
+        shifted_lopbicg_switching_segment
+    comm = Comm(None)
+    return shifted_lopbicg_switching_segment(
+        lambda v: generic_spmv(A, v), comm, b, sigma, cfg, carry, k_stop)
+
+
+def solve_shifted_checkpointed(A, b, sigma, seed: int, cfg, path: str,
+                               segment_iters: int, meta: dict):
+    """Seed-switching shifted solve with FULL-CARRY checkpointing: the
+    solver's entire while_loop state is saved to `path` every
+    `segment_iters` iterations and resumed from it when present. The
+    segmented run is BIT-IDENTICAL to an uninterrupted
+    solve_shifted(..., method='shifted_lopbicg_switching') — the carry
+    is the complete state, so segmentation never touches arithmetic
+    (tests/test_checkpoint.py::test_switching_carry_* asserts equality).
+
+    Returns (ShiftedResult, total_iters)."""
+    import numpy as np
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, is_df
+    from mpi_bicgstab_tpu.parallel.comm import Comm as _Comm
+    from mpi_bicgstab_tpu.solvers.switching import init_switching_carry
+    from mpi_bicgstab_tpu.utils.checkpoint import \
+        solve_switching_with_checkpoints
+    if is_df(b):
+        sigma = df_from_f64(np.asarray(sigma, np.float64))
+    else:
+        b = jnp.asarray(b)
+        sigma = jnp.asarray(sigma, b.dtype)
+    if not (0 <= seed < sigma.shape[0]):
+        raise ValueError(f"seed {seed} out of range for "
+                         f"{sigma.shape[0]} shifts")
+    init_carry = init_switching_carry(b, sigma, int(seed), cfg,
+                                      comm=_Comm(None))
+    runner = lambda carry, k_stop: _switching_segment_jit(  # noqa: E731
+        A, b, sigma, cfg, carry, k_stop)
+    return solve_switching_with_checkpoints(
+        runner, init_carry, path, segment_iters, cfg.max_iter, meta)
+
+
 def solve(A, b, x0=None, method: str = "bicgstab",
           cfg: SolverConfig | None = None):
     """Solve A x = b with one of the classic BiCGStab family on the

@@ -346,6 +346,19 @@ def cmd_solve_shifted(args):
             from mpi_bicgstab_tpu.ops.reorder import permute_vector
             b_user = permute_vector(b_user, perm)
 
+    if args.checkpoint:
+        if args.method != "shifted_lopbicg_switching":
+            raise SystemExit("--checkpoint is the seed-switching "
+                             "solver's full-carry mechanism; use "
+                             "--method shifted_lopbicg_switching")
+        if args.sigma_len_sweep or args.repeat != 1:
+            raise SystemExit("--checkpoint cannot be combined with "
+                             "--sigma-len-sweep or --repeat")
+        if args.devices > 1:
+            raise SystemExit("--checkpoint is single-device for the "
+                             "shifted family (the carry is saved "
+                             "unsharded)")
+
     sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
              if args.sigma_len_sweep else [args.sigma_len])
     rows = []
@@ -393,13 +406,28 @@ def cmd_solve_shifted(args):
                 prob.A, b_dev, sigma, seed=seed, method=args.method,
                 cfg=cfg)
 
-        res = runner()
-        jax.block_until_ready(res.x_set)
-        t0 = time.perf_counter()
-        for _ in range(args.repeat):
+        if args.checkpoint:
+            from mpi_bicgstab_tpu.api import solve_shifted_checkpointed
+            meta = {"n": csr.nrows, "nnz": int(csr.nnz),
+                    "matrix": args.matrix, "dtype": args.dtype,
+                    "sigma_len": S, "seed": int(seed),
+                    "reorder": args.reorder,
+                    "rhs": args.rhs or "(A+sigma_seed I)*ones"}
+            t0 = time.perf_counter()
+            res, _done = solve_shifted_checkpointed(
+                prob.A, b_dev, sigma, seed=seed, cfg=cfg,
+                path=args.checkpoint,
+                segment_iters=args.checkpoint_every, meta=meta)
+            jax.block_until_ready(res.x_set)
+            total = time.perf_counter() - t0
+        else:
             res = runner()
             jax.block_until_ready(res.x_set)
-        total = (time.perf_counter() - t0) / args.repeat
+            t0 = time.perf_counter()
+            for _ in range(args.repeat):
+                res = runner()
+                jax.block_until_ready(res.x_set)
+            total = (time.perf_counter() - t0) / args.repeat
         iters = max(int(res.n_iter), 1)
         payload = {
             "method": args.method,
@@ -515,6 +543,12 @@ def build_parser():
     p.add_argument("--check-error", action="store_true",
                    help="compute true per-shift relative errors "
                         "(test_shifted.c DISPLAY_ERROR)")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="full-carry checkpoint every --checkpoint-every "
+                        "iterations; resume is BIT-identical to an "
+                        "uninterrupted solve (shifted_lopbicg_switching "
+                        "single-device only; utils/checkpoint.py)")
+    p.add_argument("--checkpoint-every", type=int, default=200)
     p.set_defaults(fn=cmd_solve_shifted)
 
     p = sub.add_parser("info", help="device census (main.c:22-60)")

@@ -162,16 +162,98 @@ def banded_tough(n: int, offsets, seed: int = 0,
 
 
 def transport_hard(n: int = 1_602_112, seed: int = 0,
-                   dominance: float = 0.46) -> CSRMatrix:
-    """Transport-profile band structure WITHOUT diagonal dominance —
-    the convergence-realistic benchmark (thousands of iterations, pipe
-    stagnation, RR recovery), vs transport_like which matches only the
-    size/density/bandedness profile."""
-    w = int(round(n ** (1 / 3)))
-    offsets = [1, -1, 2, -2, w, -w, w + 1, -(w + 1), w * w, -(w * w),
-               w * w + w, -(w * w + w), w * w + w + 1, -(w * w + w + 1)]
-    offsets = [o for o in offsets if abs(o) < n]
-    return banded_tough(n, offsets, seed=seed, dominance=dominance)
+                   gamma: float = 0.9, theta: float = 25.0,
+                   conv: tuple = (0.6, 0.3, 0.15),
+                   skew: float = 0.2,
+                   rot: tuple = (0.0, 0.0, 0.0)) -> CSRMatrix:
+    """Convergence-realistic Transport-profile benchmark: BiCGStab needs
+    THOUSANDS of iterations (the reference's regime — ~2,600-4,000 on
+    Transport.mtx, README.md:44-51 / doc/residual_result.png), yet the
+    symmetric part is provably positive definite so there is no
+    breakdown, only slow Krylov convergence.
+
+    Construction (all spectra analytic, so difficulty is a dial):
+      * per axis, the 1-D operator T1 = K + theta*K^2 with
+        K = tridiag(-1,2,-1) (Dirichlet): a 5-band matrix POLYNOMIAL in
+        K, so its eigenvectors are K's sine modes exactly and
+        mu_j = kappa_j + theta*kappa_j^2, kappa_j = 4 sin^2(j pi/(2(m+1))).
+      * 3-D Kronecker sum of the three T1's -> 13-diagonal stencil
+        (~13 nnz/row vs Transport's ~14.7), lambda_min = 3*mu_1.
+      * upwind convection `conv` per axis (unsymmetric, PSD symmetric
+        part) + a random SKEW-symmetric perturbation of amplitude `skew`
+        on the +/-1 pairs (changes the Krylov behavior per `seed`,
+        leaves the symmetric part bit-identical).
+      * CENTERED convection `rot` per axis: a constant (+r, -r)
+        skew-symmetric pair — tridiag(-r, d, +r) has eigenvalues
+        d + 2ir cos(theta) with a unimodular diagonal similarity, so
+        `rot` dials a PURELY IMAGINARY spectral spread of +/-2r per
+        axis without touching the symmetric part. Large imaginary
+        parts are exactly what BiCGStab's real degree-1 stabilizer
+        handles worst (the reason BiCGStab(l) exists) — this is the
+        convection-dominated difficulty of the real Transport operator.
+      * diagonal shift -gamma*lambda_min narrows the spectral gap.
+
+    The ITERATION dial is `theta`: the bulk condition number is
+    kappa ~ (4 + 16*theta) / (kappa_1 (1 + theta*kappa_1)) per axis
+    (biharmonic-dominated for large theta, i.e. kappa ~ kappa(K)^2)
+    and BiCGStab needs ~sqrt(kappa) iterations. Because the difficulty
+    is the WHOLE bulk spectrum — not an isolated near-null mode — the
+    drivers' b = A*ones construction cannot suppress it, and
+    convergence is slow but breakdown-free. Measured on the chip (df32,
+    tol 1e-12, classic bicgstab): at 200k rows theta 10/50/150 ->
+    1036/2300/5726 iterations; at 1.6M rows theta=25 -> 2522 — the
+    reference's Transport regime (~2,600-4,000, README.md:44-51).
+    gamma (<1) mildly narrows the gap; gamma>1 flips modes negative
+    (indefinite) where BiCGStab breaks down (measured — avoid); large
+    `rot` likewise breaks the real-omega stabilizer.
+
+    Returns an m^3-row matrix with m = round(n^(1/3))."""
+    m = int(round(n ** (1 / 3)))
+    if m < 5:
+        raise ValueError("transport_hard needs n >= 125")
+    N = m * m * m
+    w = m
+    alpha = 1.0
+    rng = np.random.default_rng(seed)
+    idx = np.arange(N, dtype=np.int64)
+    x = idx % w
+    y = (idx // w) % w
+    z = idx // (w * w)
+    kap1 = 4.0 * np.sin(np.pi / (2.0 * (m + 1))) ** 2
+    cx, cy, cz = conv
+    # exact lambda_min of sym(A)+shift: upwind convection's symmetric
+    # part is (c/2)K per axis exactly (diag c everywhere + tridiag
+    # (1,0,1)/2), so sym(A) = sum_d [(alpha + c_d/2) K + theta K^2]
+    lam_min = (3.0 * alpha + 0.5 * (cx + cy + cz)) * kap1 \
+        + 3.0 * theta * kap1 * kap1
+    # main diagonal: per-axis 2a+6t interior / 2a+5t at the two ends,
+    # + upwind convection, - the spectral-gap shift
+    diag = np.zeros(N)
+    for pos in (x, y, z):
+        diag += 2 * alpha + 6 * theta \
+            - theta * ((pos == 0) | (pos == w - 1))
+    diag += cx + cy + cz - gamma * lam_min
+
+    offs, vals = [0], [diag]
+    off1 = -(alpha + 4 * theta)
+    rx, ry, rz = rot
+    for pos, step, c, r in ((x, 1, cx, rx), (y, w, cy, ry),
+                            (z, w * w, cz, rz)):
+        e = skew * rng.uniform(-1.0, 1.0, N - step) + r
+        # +step: element j <-> entry (j, j+step); valid pos[j] < w-1
+        up_ok = pos[: N - step] < w - 1
+        vals.append(np.where(up_ok, off1 + e, 0.0))
+        offs.append(step)
+        # -step: element j <-> entry (j+step, j); upwind side gets -c
+        vals.append(np.where(up_ok, off1 - c - e, 0.0))
+        offs.append(-step)
+        # +/-2*step: the theta*K^2 outer band, valid pos within 2
+        up2 = pos[: N - 2 * step] < w - 2
+        vals.append(np.where(up2, theta, 0.0))
+        offs.append(2 * step)
+        vals.append(np.where(up2, theta, 0.0))
+        offs.append(-2 * step)
+    return _dia_to_csr(N, offs, vals)
 
 
 def transport_like(n: int = 1_602_112, seed: int = 0) -> CSRMatrix:

@@ -144,21 +144,18 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
                          shift_relres=scale * relres)
 
 
-def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
-                              cfg: ShiftedConfig) -> ShiftedResult:
-    """Seed-switching shifted solver (shifted_switching_solver.c:260-608)."""
+def init_switching_carry(b, sigma, seed: int, cfg: ShiftedConfig,
+                         comm=None):
+    """Initial while_loop carry of the seed-switching solver
+    (shifted_switching_solver.c:297-364) — exposed so checkpoint/resume
+    can rebuild the carry TEMPLATE (comm=None: rTr slots are zeros of
+    the right type/shape) and swap in saved leaves
+    (utils/checkpoint.save_carry / load_carry)."""
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
     n = b.shape[0]
-    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
     M = cfg.max_iter                   # archives sized M+1 (:297-299)
-    idxS = jnp.arange(S)
-    idxM = jnp.arange(M + 1)
-
-    r_hat = b                                    # :346
-    rTr0 = comm.dot(b, b)                        # :344-345
-    dot_zero = rTr0
     x_set0 = vzeros((S, n), b)
     p_set0 = vbroadcast_rows(b, S)               # :348
     eta0 = vzeros((S,), b)                       # :351
@@ -175,11 +172,43 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     # estimate correct for shifts that stopped before a seed switch
     # reset zeta to 1 for the recompute
     zp_eff0 = vones((S,), b)
+    rTr0 = (_switch_dot_zero(comm, b) if comm is not None
+            else vzeros((), b))                  # :344-345
+    return (jnp.int32(1), seed0, x_set0, p_set0, b, eta0, zeta0,
+            zp_eff0, pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0,
+            rTr0, rTr0, hist0)
+
+
+def _switch_dot_zero(comm, b):
+    """(r0, r0) = (b, b) — recomputed identically on every (re)entry
+    since r_hat = b and x0 = 0 (:344-346)."""
+    if comm is None:
+        return None
+    return comm.dot(b, b)
+
+
+def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
+                    k_stop):
+    """Run the seed-switching while_loop from `carry` until every shift
+    stops, k reaches max_iter, or k reaches the traced bound `k_stop`
+    (segmented execution for checkpoint/resume). Returns the final
+    carry; arithmetic is bit-identical however the run is segmented —
+    the carry IS the complete solver state."""
+    dtype = b.dtype
+    sigma = _as_sigma(sigma, b)
+    S = sigma.shape[0]
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    M = cfg.max_iter
+    idxS = jnp.arange(S)
+    idxM = jnp.arange(M + 1)
+
+    r_hat = b                                    # :346
+    dot_zero = _switch_dot_zero(comm, b)         # :344-345
 
     def cond(c):
         (k, seed_i, x_set, p_set, r, eta, zeta, zp_eff, pi_arc, a_arc,
          b_arc, w_arc, stop, rTr, dot_r, hist) = c
-        return (jnp.sum(stop) < S) & (k < M + 1)           # :374
+        return (jnp.sum(stop) < S) & (k < M + 1) & (k < k_stop)   # :374
 
     def body(c):
         (k, seed_i, x_set, p_set, r, eta, zeta, zp_eff, pi_arc, a_arc,
@@ -312,10 +341,15 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
         return (k + 1, seed_i, x_set, p_set, r_new, eta, zeta, zp_eff,
                 pi_arc, a_arc, b_arc, w_arc, stop, rTr_new, dot_r, hist)
 
-    carry0 = (jnp.int32(1), seed0, x_set0, p_set0, b, eta0, zeta0,
-              zp_eff0, pi_arc0, alpha_arc0, beta_arc0, omega_arc0, stop0,
-              rTr0, rTr0, hist0)
-    out = lax.while_loop(cond, body, carry0)
+    return lax.while_loop(cond, body, carry)
+
+
+def _switching_finish(out, comm, b, sigma) -> ShiftedResult:
+    """Carry -> ShiftedResult (the reference's exit prints, :555-598)."""
+    sigma = _as_sigma(sigma, b)
+    S = sigma.shape[0]
+    idxS = jnp.arange(S)
+    dot_zero = _switch_dot_zero(comm, b)
     (k, seed_i, x_set, _p, _r, _eta, _zeta, _zp_eff, _pi, _aa, _ba, _wa,
      stop, _rTr, dot_r, hist) = out
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
@@ -329,6 +363,35 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
                          stop_flags=stop, final_seed=seed_i,
                          shift_relres=scale * relres)
+
+
+def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
+                              cfg: ShiftedConfig) -> ShiftedResult:
+    """Seed-switching shifted solver (shifted_switching_solver.c:260-608)."""
+    carry0 = init_switching_carry(b, sigma, seed, cfg, comm=comm)
+    out = _switching_loop(spmv, comm, b, sigma, cfg, carry0,
+                          k_stop=jnp.int32(cfg.max_iter + 1))
+    return _switching_finish(out, comm, b, sigma)
+
+
+def shifted_lopbicg_switching_segment(spmv, comm, b, sigma,
+                                      cfg: ShiftedConfig, carry,
+                                      k_stop):
+    """One SEGMENT of the seed-switching solve: run from `carry` until
+    k reaches the traced bound `k_stop` (or global termination). Returns
+    (ShiftedResult, carry). Feeding the carry back into another segment
+    reproduces the uninterrupted solve BIT-EXACTLY — the carry is the
+    complete while_loop state, so segmentation never touches arithmetic
+    (unlike the classic family's iterate-restart checkpoint, which
+    rebuilds the Krylov space). Serialize the carry with
+    utils.checkpoint.save_carry / load_carry.
+
+    The reference has no checkpointing at all (SURVEY §5: any fault
+    aborts the PJM job); this is the TPU-production answer for its
+    longest-running solver family."""
+    out = _switching_loop(spmv, comm, b, sigma, cfg, carry,
+                          k_stop=jnp.asarray(k_stop, jnp.int32))
+    return _switching_finish(out, comm, b, sigma), out
 
 
 SWITCHING_SOLVERS = {

@@ -10,10 +10,21 @@ exchange for a checkpoint that is one vector instead of the full
 recurrence state, valid across solver variants, dtypes, device counts,
 and code versions.
 
-CLASSIC FAMILY ONLY: the shifted solvers derive every shift from one
-Krylov sequence with x0 = 0, and restarting from a nonzero x_set breaks
-the residual-collinearity assumption the recurrences stand on — so no
-checkpoint hooks are offered there.
+Two mechanisms:
+
+* Classic family — ITERATE checkpoint (save_checkpoint/load_checkpoint/
+  solve_with_checkpoints): restart from x0 = x_checkpoint rebuilds the
+  Krylov space exactly; one vector, valid across variants/dtypes/device
+  counts. NOT applicable to the shifted family: its recurrences require
+  x0 = 0 for every shift (residual collinearity).
+
+* Seed-switching shifted solver — FULL-CARRY checkpoint (save_carry/
+  load_carry/solve_switching_with_checkpoints): the solver's entire
+  while_loop carry (x_set, p_set, r, scalar archives, stop flags, seed)
+  is a pytree of device arrays; serializing it and resuming via
+  solvers.switching.shifted_lopbicg_switching_segment reproduces the
+  uninterrupted solve BIT-EXACTLY (tests/test_checkpoint.py asserts
+  equality), at the cost of a state-shaped (not vector-shaped) file.
 
 Format: a single .npz with the iterate, iteration counter, and metadata
 for sanity checks on resume. DF (double-float) iterates store their
@@ -75,6 +86,96 @@ def load_checkpoint(path: str, expect: dict | None = None):
                 f"checkpoint {path} was written for {k}={header.get(k)!r}, "
                 f"refusing to resume a run with {k}={v!r}")
     return x, int(header["n_iter_done"]), header
+
+
+def _atomic_savez(path: str, **arrays):
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def save_carry(path: str, carry, meta: dict):
+    """Atomically serialize a solver while_loop carry (any pytree of
+    arrays / DF pairs) — the full-state checkpoint of the seed-switching
+    shifted solver."""
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    header = dict(format=2, kind="carry", n_leaves=len(leaves),
+                  treedef=str(treedef), **meta)
+    arrays = {f"leaf_{i}": np.asarray(leaf)
+              for i, leaf in enumerate(leaves)}
+    _atomic_savez(path, header=json.dumps(header), **arrays)
+
+
+def load_carry(path: str, template, expect: dict | None = None):
+    """Returns the carry pytree (device arrays, structure taken from
+    `template` — e.g. solvers.switching.init_switching_carry(...)), or
+    None if the file is absent. Raises on any metadata / structure /
+    shape / dtype mismatch rather than resuming the wrong run."""
+    import jax
+    import jax.numpy as jnp
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        header = json.loads(str(z["header"]))
+        saved = [z[f"leaf_{i}"] for i in range(header["n_leaves"])]
+    if header.get("format") != 2 or header.get("kind") != "carry":
+        raise ValueError(f"{path} is not a carry checkpoint")
+    for k, v in (expect or {}).items():
+        if header.get(k) != v:
+            raise ValueError(
+                f"carry checkpoint {path} was written for "
+                f"{k}={header.get(k)!r}, refusing to resume a run with "
+                f"{k}={v!r}")
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    if header["treedef"] != str(treedef) or \
+            len(saved) != len(leaves_t):
+        raise ValueError(f"carry checkpoint {path} has a different "
+                         "solver-state structure (solver version or "
+                         "configuration changed)")
+    out = []
+    for i, (s, t) in enumerate(zip(saved, leaves_t)):
+        if s.shape != t.shape or s.dtype != np.asarray(t).dtype:
+            raise ValueError(
+                f"carry leaf {i}: checkpoint has {s.shape}/{s.dtype}, "
+                f"solver expects {t.shape}/{np.asarray(t).dtype}")
+        out.append(jnp.asarray(s))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def solve_switching_with_checkpoints(segment_runner, init_carry, path: str,
+                                     segment_iters: int, max_iter: int,
+                                     meta: dict):
+    """Run the seed-switching solver in segments of `segment_iters`
+    iterations, saving the FULL carry after each; resumes from `path`
+    when present. segment_runner(carry, k_stop) -> (ShiftedResult,
+    carry). The segmented run is bit-identical to an uninterrupted one.
+
+    Returns (result, total_iters)."""
+    carry = load_carry(path, init_carry, expect=meta)
+    if carry is None:
+        carry = init_carry
+    res = None
+    while True:
+        k = int(np.asarray(carry[0]))           # next iteration index
+        done = k - 1                            # :559 reports k-1
+        all_stopped = bool(np.asarray(carry[12]).all())
+        if all_stopped or done >= max_iter:
+            if res is None:
+                # checkpoint alone satisfies the run: produce the result
+                # with a zero-length segment
+                res, carry = segment_runner(carry, k)
+            break
+        res, carry = segment_runner(carry, k + segment_iters)
+        save_carry(path, carry, meta)
+    return res, int(np.asarray(carry[0])) - 1
 
 
 def solve_with_checkpoints(runner, path: str, segment_iters: int,
