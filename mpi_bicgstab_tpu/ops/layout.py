@@ -55,19 +55,31 @@ def build_operator(csr, format: str = "auto", dtype=None,
 
     format:
       'auto'   — DIA if the top diagonals cover everything, hybrid if
-                 they cover >= 50%, else pure ELL
+                 they cover >= 50%; else windowed-ELL when the matrix
+                 has column locality (>= 95% of nnz inside per-row-tile
+                 1024-col windows, f32/f64 only); else gather-ELL
       'dia'    — force DIA (+ ELL tail if any remainder)
+      'window' — force windowed-ELL (ops/window_ell.py)
       'ell'    — force gather-ELL (the faithful-to-reference layout;
                  slow on TPU, useful for A/B benchmarking)
     """
-    if format not in ("auto", "dia", "ell", "hybrid"):
+    if format not in ("auto", "dia", "ell", "hybrid", "window"):
         raise ValueError(f"unknown format {format!r}")
     if format == "ell":
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
+    if format == "window":
+        from mpi_bicgstab_tpu.ops.window_ell import csr_to_window_ell
+        return csr_to_window_ell(csr, dtype=dtype)
 
     offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
                                           min_fill=dia_min_fill)
     if format == "auto" and (not offsets or coverage < 0.5):
+        if dtype != "df32" and csr.nrows % 1024 == 0:
+            from mpi_bicgstab_tpu.ops.window_ell import (
+                csr_to_window_ell, window_ell_stats)
+            stats = window_ell_stats(csr)
+            if stats["window_frac"] >= 0.95:
+                return csr_to_window_ell(csr, dtype=dtype)
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
 
     dia, remainder = csr_to_dia(csr, offsets, dtype=dtype)
@@ -95,6 +107,10 @@ def spmv(op, x):
             from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
             return ell_spmv_df(op, x)
         return ell_spmv(op, x)
+    from mpi_bicgstab_tpu.ops.window_ell import WindowEllMatrix
+    if isinstance(op, WindowEllMatrix):
+        from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv
+        return window_spmv(op, x, interpret=jax.default_backend() == "cpu")
     if isinstance(op, HybridMatrix):
         if is_df(op.dia.vals):
             from mpi_bicgstab_tpu.ops.dia import dia_spmv_df

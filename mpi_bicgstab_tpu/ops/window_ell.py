@@ -1,0 +1,248 @@
+"""Windowed-ELL: the TPU-native format for UNSTRUCTURED (non-bandable)
+sparse matrices whose rows still have column LOCALITY — FEM meshes,
+graphs with community structure, block-clustered systems. RCM cannot
+band such matrices (round-1 VERDICT's perf cliff) but their columns
+cluster, which is exactly what this format exploits.
+
+Hardware background (measured on the v5e, scripts/probe_gather.py):
+XLA's element gather runs at ~0.13 Gelem/s — useless. Mosaic exposes
+exactly two fast dynamic gathers via jnp.take_along_axis in Pallas:
+  * sublane gather on a MATCHED [8,128] pair  (tpu.dynamic_gather dim 0)
+  * lane gather [H,128] within 128 lanes      (tpu.dynamic_gather dim 1)
+Both are vreg-window-limited, so a kernel can gather arbitrarily only
+within an 8-sublane x 128-lane window (1024 consecutive elements of x).
+
+Format: rows in tiles of 1024 (8 sublanes x 128 lanes; row r sits at
+lane r%128, sublane (r//128)%8 of tile r//1024). Each row-tile t gets a
+1024-aligned column WINDOW chosen at build time;
+every stored entry's column must fall in its tile's window (entries
+outside spill to a COO tail). Entries are assigned to slabs w so that
+within each (tile, sublane-row, slab) the 128 lane classes c%128 are
+hit at most once ("lane-injective"): the kernel can then resolve an
+arbitrary (sublane, lane) source per slot with TWO chained hardware
+gathers (see pallas_window_spmv.py). Assignment rule: w = rank of the
+entry among entries of the same (tile, sublane-row, lane-class) —
+injective by construction; W' = max class occupancy (~Poisson(nnz/row)
+max), capped by `max_width` with overflow spilled to the tail.
+
+vs the reference: this plays the role of `mult` (matrix.c:498-516) for
+matrices where the DIA path (ops/dia.py) does not apply; the reference's
+CSR scalar loop needs no such structure because A64FX cores gather from
+L2 natively — the TPU's vector ISA does not, hence the format.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROWS_PER_TILE = 1024          # 8 sublanes x 128 lanes
+WINDOW_COLS = 1024            # 8 sublanes of x2d
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["sub_sel", "lane_idx", "vals", "window_base",
+                      "tail_rows", "tail_cols", "tail_vals"],
+         meta_fields=["n_rows", "n_cols", "width", "x_rows"])
+@dataclasses.dataclass(frozen=True)
+class WindowEllMatrix:
+    """Slab-major windowed ELL.
+
+    sub_sel:  int8 [W, T, 8, 128] — stage-1 sublane selector s'' (see
+              kernel: s''[i, lane] = window-sublane of the slot whose
+              lane_idx is `lane`; arbitrary where that lane is unused)
+    lane_idx: int8 [W, T, 8, 128] — target lane (column % 128) per slot
+    vals:     [W, T, 8, 128] — coefficients (0 where padded)
+    window_base: int32 [T] — tile's window position in 1024-col
+              blocks (= Pallas x2d block index)
+    tail_*:   COO spill (out-of-window / over-width entries), padded to
+              a static size; handled by a segment-sum outside the kernel
+    """
+
+    sub_sel: jax.Array
+    lane_idx: jax.Array
+    vals: jax.Array
+    window_base: jax.Array
+    tail_rows: jax.Array
+    tail_cols: jax.Array
+    tail_vals: jax.Array
+    n_rows: int
+    n_cols: int
+    width: int
+    x_rows: int      # static [R,128] height the kernel's x view needs
+
+    @property
+    def n_tiles(self) -> int:
+        return self.window_base.shape[0]
+
+    @property
+    def tail_size(self) -> int:
+        return self.tail_vals.shape[0]
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nnz_stored(self) -> int:
+        return self.vals.size + self.tail_size
+
+
+def _choose_windows(csr, n_tiles):
+    """Per-row-tile window base in WINDOW BLOCKS (units of 1024 columns
+    = one [8,128] x2d block — Pallas BlockSpec index maps are in block
+    units): the 1024-aligned window holding the tile's median column."""
+    n = csr.nrows
+    bases = np.zeros(n_tiles, dtype=np.int64)
+    max_base = max(-(-csr.shape[1] // WINDOW_COLS) - 1, 0)
+    for t in range(n_tiles):
+        lo, hi = csr.ptr[t * ROWS_PER_TILE], \
+            csr.ptr[min((t + 1) * ROWS_PER_TILE, n)]
+        cols = csr.col[lo:hi]
+        if cols.size == 0:
+            continue
+        bases[t] = min(max(int(np.median(cols)) // WINDOW_COLS, 0),
+                       max_base)
+    return bases
+
+
+def _edge_color(group, row_slot, lane_cls, eligible, max_width):
+    """Greedy parallel edge coloring: per `group` (tile x sublane-row),
+    color entries so no two share (group, row_slot) or (group,
+    lane_cls) within a color. Vectorized: each pass selects the first
+    remaining entry per (group, row_slot), then drops lane-class
+    conflicts; ~2*Delta passes. Returns color per entry (-1 = spill)."""
+    N = group.size
+    color = np.full(N, -1, dtype=np.int64)
+    gr = group * 128 + row_slot
+    gl = group * 128 + lane_cls
+    remaining = np.flatnonzero(eligible)
+    # pre-sort once by row-slot group; keep stable order thereafter
+    remaining = remaining[np.argsort(gr[remaining], kind="stable")]
+    for w in range(max_width):
+        if remaining.size == 0:
+            break
+        keys = gr[remaining]
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        cand = remaining[first]
+        # resolve lane-class conflicts among this pass's candidates
+        o2 = np.argsort(gl[cand], kind="stable")
+        c2 = cand[o2]
+        k2 = gl[c2]
+        keep2 = np.r_[True, k2[1:] != k2[:-1]]
+        chosen = c2[keep2]
+        color[chosen] = w
+        mask = np.ones(N, dtype=bool)
+        mask[chosen] = False
+        remaining = remaining[mask[remaining]]
+    return color
+
+
+def csr_to_window_ell(csr, max_width: int = 16, dtype=None,
+                      tail_pad: int = 0,
+                      window_base=None) -> WindowEllMatrix:
+    """Build the windowed-ELL layout from a host CSRMatrix.
+
+    Entries whose column falls outside the row-tile's window, or whose
+    (tile, sublane-row, lane-class) already holds `max_width` entries,
+    spill to the COO tail. The caller decides whether the tail fraction
+    makes this layout worthwhile (ops/layout.py auto-selection)."""
+    n, n_cols = csr.shape
+    if n % ROWS_PER_TILE:
+        raise ValueError(
+            f"windowed-ELL needs n_rows % {ROWS_PER_TILE} == 0 (got "
+            f"{n}); pad with models.problem.pad_csr_identity(csr, 1024)")
+    n_tiles = n // ROWS_PER_TILE
+    n_pad = n
+    bases = (_choose_windows(csr, n_tiles) if window_base is None
+             else np.asarray(window_base, np.int64))
+
+    lengths = np.diff(csr.ptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    cols = csr.col
+    vals = csr.val
+    t_of = rows // ROWS_PER_TILE
+    c_local = cols - bases[t_of] * WINDOW_COLS
+    in_win = (c_local >= 0) & (c_local < WINDOW_COLS)
+
+    # slab assignment = greedy bipartite edge coloring per (tile,
+    # sublane-row): every slab must use each ROW slot at most once (it
+    # holds that row's w-th entry) AND each LANE CLASS at most once
+    # (sub_sel is indexed by lane class). Entries are edges row->class;
+    # Koenig guarantees max-degree colors suffice; the greedy pass
+    # below uses at most ~2*max_degree, with overflow spilled to the
+    # COO tail via max_width.
+    sub_row = (rows // 128) % 8                     # i in [0,8)
+    lane_cls = cols % 128
+    rank = _edge_color(t_of * 8 + sub_row, rows % 128, lane_cls,
+                       in_win, max_width)
+
+    ok = in_win & (rank >= 0)
+    W = int(rank[ok].max() + 1) if ok.any() else 1
+
+    df_mode = dtype == "df32"
+    vals_dtype = np.float64 if df_mode else (dtype or vals.dtype)
+    sub_sel = np.zeros((W, n_tiles, 8, 128), dtype=np.int8)
+    lane_idx = np.zeros((W, n_tiles, 8, 128), dtype=np.int8)
+    val_arr = np.zeros((W, n_tiles, 8, 128), dtype=vals_dtype)
+
+    w_ok = rank[ok]
+    t_ok = t_of[ok]
+    i_ok = sub_row[ok]
+    j_ok = rows[ok] % 128                  # the slot's own lane
+    lam = lane_cls[ok]                      # the target lane
+    s_true = (c_local[ok] // 128).astype(np.int8)
+    # stage-2 lane gather reads lane lam; stage-1 must therefore place
+    # the right window-sublane AT lane lam: sub_sel[w,t,i,lam] = s_true.
+    # lane-injectivity of lam within (w,t,i) makes this well-defined.
+    sub_sel[w_ok, t_ok, i_ok, lam] = s_true
+    lane_idx[w_ok, t_ok, i_ok, j_ok] = lam.astype(np.int8)
+    val_arr[w_ok, t_ok, i_ok, j_ok] = vals[ok]
+
+    spill = ~ok
+    n_tail = int(spill.sum())
+    tail_size = max(n_tail, tail_pad)
+    t_rows = np.full(tail_size, max(n - 1, 0), dtype=np.int32)
+    t_cols = np.zeros(tail_size, dtype=np.int32)
+    t_vals = np.zeros(tail_size, dtype=vals_dtype)
+    if n_tail:
+        t_rows[:n_tail] = rows[spill]
+        t_cols[:n_tail] = cols[spill]
+        t_vals[:n_tail] = vals[spill]
+
+    if df_mode:
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64
+        put_v = df_from_f64
+    else:
+        put_v = jnp.asarray
+    return WindowEllMatrix(
+        sub_sel=jnp.asarray(sub_sel), lane_idx=jnp.asarray(lane_idx),
+        vals=put_v(val_arr),
+        window_base=jnp.asarray(bases, jnp.int32),
+        tail_rows=jnp.asarray(t_rows), tail_cols=jnp.asarray(t_cols),
+        tail_vals=put_v(t_vals),
+        n_rows=n_pad, n_cols=n_cols, width=W,
+        x_rows=max(-(-n_cols // 128),
+                   (int(bases.max()) + 1) * (WINDOW_COLS // 128)))
+
+
+def window_ell_stats(csr, max_width: int = 16) -> dict:
+    """Coverage diagnostics for layout auto-selection (cheap dry run of
+    the assignment, no arrays built)."""
+    n = csr.nrows
+    n_tiles = -(-n // ROWS_PER_TILE)
+    bases = _choose_windows(csr, n_tiles)
+    lengths = np.diff(csr.ptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    t_of = rows // ROWS_PER_TILE
+    c_local = csr.col - bases[t_of] * WINDOW_COLS
+    in_win = (c_local >= 0) & (c_local < WINDOW_COLS)
+    frac = float(in_win.mean()) if rows.size else 1.0
+    return {"window_frac": frac, "n_tiles": n_tiles}

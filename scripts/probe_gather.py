@@ -44,7 +44,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    n = 1_602_048            # x size (multiple of 128)
+    n = 1_605_632            # x size; R = n/128 = 12544 = 64*196
     R = n // 128
     M = 12_845_056           # gathered elements (~8 nnz/row), mult of 1024
     K = M // 128
@@ -66,7 +66,7 @@ def main():
     def chain1d(x, idx, K):
         def body(_, c):
             acc, ix = c
-            g = jnp.take(x, ix, mode="promise_in_bounds")
+            g = jnp.take(x, ix, mode="fill", fill_value=0)
             s = g[0] * 1e-30
             ix = ix + jnp.int32(s)          # runtime 0, not foldable
             return acc + g[::65536].sum(), ix
@@ -83,7 +83,7 @@ def main():
         def body(_, c):
             acc, ix = c
             g = jnp.take_along_axis(x2d, ix, axis=0,
-                                    mode="promise_in_bounds")
+                                    mode="fill", fill_value=0)
             s = g[0, 0] * 1e-30
             ix = ix + jnp.int32(s)
             return acc + g[::4096].sum(), ix
@@ -100,21 +100,25 @@ def main():
     Mw = M // R  # elements per window chunk (exact split for the probe)
     loc = jnp.asarray(rng.integers(0, 128, size=(R, Mw)).astype(np.int32))
 
+    C = 64                      # windows per scan chunk (VMEM-sized)
+    i128 = jnp.arange(128, dtype=jnp.int32)
+
     @jax.jit
     def chain_oh(x2d, loc, K):
-        i128 = jnp.arange(128, dtype=jnp.int32)
+        locc = loc.reshape(R // C, C, Mw)
+        xwc = x2d.reshape(R // C, C, 128).astype(jnp.bfloat16)
 
-        def body(_, c):
-            acc, lc = c
-            oh = (lc[..., None] == i128).astype(jnp.bfloat16)  # [R,Mw,128]
-            xg = jnp.einsum("rmk,rk->rm", oh,
-                            x2d.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            s = xg[0, 0] * 1e-30
-            lc = lc + jnp.int32(s)
-            return acc + xg[::512, 0].sum(), lc
-        acc, _ = lax.fori_loop(0, K, body, (jnp.float32(0), loc))
-        return acc
+        def body(_, acc):
+            def chunk(carry, args):
+                lc_c, xw_c = args
+                lc_c = lc_c + jnp.int32(carry * 1e-30)
+                oh = (lc_c[..., None] == i128).astype(jnp.bfloat16)
+                xg = jnp.einsum("cmk,ck->cm", oh, xw_c,
+                                preferred_element_type=jnp.float32)
+                return carry + xg[:, 0].sum(), None
+            acc, _ = lax.scan(chunk, acc, (locc, xwc))
+            return acc
+        return lax.fori_loop(0, K, body, jnp.float32(0))
 
     t = slope(lambda KK: functools.partial(
         lambda: jax.block_until_ready(chain_oh(x2d, loc, KK))))
@@ -135,7 +139,8 @@ def main():
             def body(i, acc):
                 ix = (idx_ref[...] + jnp.int32(acc[0, 0] * 1e-30)) % W
                 g = jnp.take_along_axis(src_ref[...], ix, axis=0)
-                return acc + g[:8]
+                # consume EVERY gathered row so nothing is DCE'd
+                return acc + g.reshape(32, 8, 128).sum(axis=0)
             out_ref[...] = lax.fori_loop(0, reps_in, body,
                                          jnp.zeros((8, 128), jnp.float32))
 
@@ -146,8 +151,6 @@ def main():
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )
-        jf = jax.jit(lambda: f(src, pidx).sum())
-
         def mk(KK):
             g = jax.jit(lambda: sum(f(src, pidx * (i % 2 + 1) % W).sum()
                                     for i in range(KK)))

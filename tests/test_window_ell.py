@@ -1,0 +1,96 @@
+"""Windowed-ELL layout + Pallas kernel (ops/window_ell.py,
+ops/pallas_window_spmv.py): the unstructured fast path. Correctness via
+interpret mode on CPU against dense; the solver integration via
+layout auto-selection."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpi_bicgstab_tpu.models.generators import clustered_random
+from mpi_bicgstab_tpu.ops.layout import build_operator, spmv
+from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv
+from mpi_bicgstab_tpu.ops.window_ell import (WindowEllMatrix,
+                                             csr_to_window_ell,
+                                             window_ell_stats)
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="interpret-mode suite is CPU-only (chip runs are benched "
+           "separately; interpret over the axon relay hangs)")
+
+
+def _mat(n=2048, seed=3, global_frac=0.003):
+    return clustered_random(n, seed=seed, global_frac=global_frac)
+
+
+def test_format_roundtrip_dense():
+    csr = _mat()
+    A = csr_to_window_ell(csr)
+    assert isinstance(A, WindowEllMatrix)
+    # every nnz is represented exactly once: stored + tail == dense
+    x = np.random.default_rng(0).standard_normal(csr.nrows)
+    y_ref = csr.matvec(x)
+    y = window_spmv(A, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(y_ref).max())
+
+
+def test_lane_injectivity_invariant():
+    """Within each (slab, tile, sublane-row), stored lane classes are
+    unique — the invariant the two-gather composition relies on."""
+    csr = _mat(n=1024)
+    A = csr_to_window_ell(csr)
+    vals = np.asarray(A.vals)
+    lanes = np.asarray(A.lane_idx)
+    for w in range(A.width):
+        for i in range(8):
+            used = vals[w, 0, i] != 0.0
+            lam = lanes[w, 0, i][used]
+            assert len(np.unique(lam)) == lam.size
+
+
+def test_window_stats_and_auto_selection():
+    csr = _mat()
+    stats = window_ell_stats(csr)
+    assert stats["window_frac"] > 0.95
+    op = build_operator(csr, format="auto", dtype=np.float32)
+    assert isinstance(op, WindowEllMatrix)
+    # but the uniform-random matrix keeps the gather-ELL path
+    from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+    from mpi_bicgstab_tpu.ops.ell import EllMatrix
+    csr_u = random_diag_dominant(2048, seed=1)
+    op_u = build_operator(csr_u, format="auto", dtype=np.float32)
+    assert isinstance(op_u, EllMatrix)
+
+
+def test_spmv_via_layout_dispatch():
+    csr = _mat()
+    op = build_operator(csr, format="window", dtype=np.float64)
+    x = np.random.default_rng(1).standard_normal(csr.nrows)
+    y = spmv(op, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), csr.matvec(x), rtol=1e-9)
+
+
+def test_solver_on_clustered_matrix():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = _mat()
+    prob = build_problem(csr, dtype=jnp.float64, format="window")
+    res = solve(prob.A, prob.b, method="bicgstab",
+                cfg=SolverConfig(tol=1e-11, max_iter=300))
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.x) - prob.exact_solution()).max()
+    assert err < 1e-8
+
+
+def test_spill_goes_to_tail():
+    # crank global entries so the tail is exercised heavily
+    csr = _mat(global_frac=0.2)
+    A = csr_to_window_ell(csr)
+    assert A.tail_size > 0
+    x = np.random.default_rng(2).standard_normal(csr.nrows)
+    y = window_spmv(A, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), csr.matvec(x), rtol=1e-5,
+                               atol=1e-4)
