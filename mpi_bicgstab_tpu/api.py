@@ -18,7 +18,7 @@ from mpi_bicgstab_tpu.utils.config import SolverConfig
 
 @partial(jax.jit, static_argnames=("method", "cfg"))
 def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
-    comm = Comm(None)
+    comm = Comm(None, serialize=cfg.serialize_comm)
     return CLASSIC_SOLVERS[method](lambda v: generic_spmv(A, v), comm, b,
                                    x0, cfg)
 

@@ -156,6 +156,51 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
             "nnz": csr.nnz, "spmv_equiv_nnz_per_s": 2 * csr.nnz / sec}
 
 
+def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
+                  iters=60):
+    """The reference's nooverlap A/B (shifted_switching_solver.c:611-
+    1016 exists purely for this measurement): time/iter with the
+    default dependency-order build vs with optimization barriers
+    forcing every collective/dot batch to complete before the compute
+    that hides it (SolverConfig.serialize_comm). The gap is what the
+    XLA latency-hiding scheduler's overlap actually buys on this
+    hardware — measured, not asserted."""
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+    b_host = csr.matvec(np.ones(csr.nrows))
+    K1, K2 = max(2, iters // 6), iters
+
+    def make(serialize):
+        if devices > 1:
+            from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+            from mpi_bicgstab_tpu.parallel.partition import partition_csr
+            part = partition_csr(csr, devices, dtype=np.dtype(dtype))
+
+            def make_chain(K):
+                cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype,
+                                   serialize_comm=serialize)
+                return lambda: solve_distributed(
+                    part, b_host, method=method, cfg=cfg).final_relres
+        else:
+            from mpi_bicgstab_tpu.api import solve
+            from mpi_bicgstab_tpu.models.problem import build_problem
+            prob = build_problem(csr, dtype=dtype, multiple=1024)
+
+            def make_chain(K):
+                cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype,
+                                   serialize_comm=serialize)
+                return lambda: solve(prob.A, prob.b, method=method,
+                                     cfg=cfg).final_relres
+        return make_chain
+
+    t_overlap = _slope_time(make(False), K1=K1, K2=K2, reps=3)
+    t_serial = _slope_time(make(True), K1=K1, K2=K2, reps=3)
+    return {"overlap_method": method,
+            "time_per_iter_overlap_s": t_overlap,
+            "time_per_iter_serialized_s": t_serial,
+            "overlap_gain": t_serial / t_overlap}
+
+
 def run_bench(args):
     """CLI `bench` entry; prints a JSON line per requested benchmark."""
     import jax
@@ -178,5 +223,8 @@ def run_bench(args):
     if "iter" in what:
         out.update(bench_iteration(csr, dtype, args.devices,
                                    iters=args.iters))
+    if "overlap" in what:
+        out.update(bench_overlap(csr, dtype, args.devices,
+                                 iters=args.iters))
     print(json.dumps(out))
     return 0

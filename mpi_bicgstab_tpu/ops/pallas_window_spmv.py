@@ -13,9 +13,12 @@ fast dynamic gathers Mosaic has, see window_ell.py's header):
 correct because the build made lane classes injective per (tile,
 sublane-row, slab), so sub_sel is well defined at lane lane_idx[i,j].
 
-The window itself is fetched by the Mosaic pipeline: the x2d BlockSpec's
-index_map reads the per-tile window base from a scalar-prefetch operand,
-so the [8,128] window DMA overlaps the previous tile's compute.
+Structure (v2 — the v1 one-tile-per-grid-step layout was grid-overhead
+bound at ~1 Gnnz/s): the iterate is DMA'd HBM->VMEM once and stays
+resident (6.4 MB at 1.6M rows); each grid step processes TB=16 row
+tiles x all W slabs from double-buffered metadata blocks, slicing each
+tile's [8,128] window out of the resident iterate with a dynamic
+sublane slice (base indices scalar-prefetched).
 
 Role: the unstructured-matrix `mult` (reference matrix.c:498-516).
 Measured on the v5e: see docs/RESULTS_TPU.md (round 2).
@@ -34,59 +37,79 @@ from mpi_bicgstab_tpu.ops.window_ell import WindowEllMatrix
 
 _LANES = 128
 _SUB = 8
+_TB = 16           # row tiles per grid step
 
 
-def _kernel(base_ref, x2d_ref, ss_ref, li_ref, v_ref, y_ref):
-    w = pl.program_id(1)
+def _kernel(base_ref, x_hbm, ss_ref, li_ref, v_ref, y_ref, xv, sem,
+            *, W, TB):
+    step = pl.program_id(0)
 
-    @pl.when(w == 0)
+    @pl.when(step == 0)
     def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
+        dma = pltpu.make_async_copy(x_hbm, xv, sem)
+        dma.start()
+        dma.wait()
 
-    window = x2d_ref[...]                                   # [8,128]
-    ss = ss_ref[0, 0].astype(jnp.int32)                     # [8,128]
-    li = li_ref[0, 0].astype(jnp.int32)
-    t1 = jnp.take_along_axis(window, ss, axis=0)
-    xg = jnp.take_along_axis(t1, li, axis=1)
-    y_ref[...] = y_ref[...] + (v_ref[0, 0] * xg)[None]
+    for tb in range(TB):
+        base = base_ref[step * TB + tb]
+        win = xv[pl.ds(pl.multiple_of(base * _SUB, _SUB), _SUB), :]
+        acc = jnp.zeros((_SUB, _LANES), v_ref.dtype)
+        for w in range(W):
+            ss = ss_ref[w, tb].astype(jnp.int32)
+            li = li_ref[w, tb].astype(jnp.int32)
+            t1 = jnp.take_along_axis(win, ss, axis=0)
+            xg = jnp.take_along_axis(t1, li, axis=1)
+            acc = acc + v_ref[w, tb] * xg
+        y_ref[tb] = acc
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _window_spmv_f32(sub_sel, lane_idx, vals, window_base, x2d,
-                     interpret: bool = False):
+def _window_spmv_core(sub_sel, lane_idx, vals, window_base, x2d,
+                      interpret: bool = False):
     W, T = vals.shape[:2]
+    TB = _TB
+    Tp = -(-T // TB) * TB
+    if Tp != T:
+        pad = [(0, 0), (0, Tp - T), (0, 0), (0, 0)]
+        sub_sel = jnp.pad(sub_sel, pad)
+        lane_idx = jnp.pad(lane_idx, pad)
+        vals = jnp.pad(vals, pad)
+        window_base = jnp.pad(window_base, (0, Tp - T))
+    R = x2d.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, W),
+        grid=(Tp // TB,),
         in_specs=[
-            pl.BlockSpec((_SUB, _LANES),
-                         lambda t, w, base: (base[t], 0),
+            pl.BlockSpec(memory_space=pl.ANY),         # x2d stays HBM
+            pl.BlockSpec((W, TB, _SUB, _LANES),
+                         lambda s, base: (0, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _SUB, _LANES),
-                         lambda t, w, base: (w, t, 0, 0),
+            pl.BlockSpec((W, TB, _SUB, _LANES),
+                         lambda s, base: (0, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _SUB, _LANES),
-                         lambda t, w, base: (w, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _SUB, _LANES),
-                         lambda t, w, base: (w, t, 0, 0),
+            pl.BlockSpec((W, TB, _SUB, _LANES),
+                         lambda s, base: (0, s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _SUB, _LANES),
-                               lambda t, w, base: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, _SUB, _LANES),
+                               lambda s, base: (s, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, _LANES), vals.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     y = pl.pallas_call(
-        _kernel,
+        partial(_kernel, W=W, TB=TB),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, _SUB, _LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tp, _SUB, _LANES), vals.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * vals.size,
             bytes_accessed=vals.size * 6 + x2d.size * 4,
             transcendentals=0),
         interpret=interpret,
     )(window_base, x2d, sub_sel, lane_idx, vals)
-    return y.reshape(T * _SUB * _LANES)
+    return y[:T].reshape(T * _SUB * _LANES)
 
 
 def _x_to_2d(x, n_cols: int, R: int):
@@ -104,26 +127,10 @@ def window_spmv(A: WindowEllMatrix, x: jax.Array,
     XLA gather+segment-sum path — small by construction (ops/layout.py
     only selects this format when the tail fraction is tiny)."""
     x2d = _x_to_2d(x.astype(A.vals.dtype), A.n_cols, A.x_rows)
-    y = _window_spmv_f32(A.sub_sel, A.lane_idx, A.vals, A.window_base,
-                         x2d, interpret=interpret)
+    y = _window_spmv_core(A.sub_sel, A.lane_idx, A.vals, A.window_base,
+                          x2d, interpret=interpret)
     if A.tail_size:
         tail = A.tail_vals * x[A.tail_cols]
         y = y + jax.ops.segment_sum(tail, A.tail_rows,
                                     num_segments=A.n_rows)
     return y
-
-
-def window_spmv_df(A: WindowEllMatrix, x, interpret: bool = False):
-    """Double-float y = A @ x: gathers run on hi/lo with the same
-    indices; products/sums use DF arithmetic outside the kernel would
-    lose the fusion, so hi/lo each run the f32 kernel on the SPLIT
-    products: y = sum_w v*xg is NOT DF-associative per slab — instead
-    gather hi/lo and do the DF multiply-accumulate in XLA over slab
-    outputs would need per-slab gathers. v1: gather hi and lo through
-    the kernel with vals set to the DF product parts is not exact;
-    therefore DF mode routes each COMPONENT gather through the kernel
-    with unit vals and does DF math outside (2 kernel calls + W-slab
-    DF fma), trading some fusion for exactness."""
-    raise NotImplementedError(
-        "df32 windowed-ELL lands with the df32 kernel pass; "
-        "build_operator keeps df32 unstructured matrices on gather-ELL")

@@ -145,7 +145,7 @@ def _edge_color(group, row_slot, lane_cls, eligible, max_width):
     return color
 
 
-def csr_to_window_ell(csr, max_width: int = 16, dtype=None,
+def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
                       tail_pad: int = 0,
                       window_base=None) -> WindowEllMatrix:
     """Build the windowed-ELL layout from a host CSRMatrix.

@@ -25,10 +25,26 @@ from mpi_bicgstab_tpu.ops import blas
 
 
 class Comm:
-    """Collectives over one named mesh axis (or none, single device)."""
+    """Collectives over one named mesh axis (or none, single device).
 
-    def __init__(self, axis: str | None = None):
+    serialize=True is the reference's *_nooverlap mode: seq() inserts
+    optimization barriers so collectives/dot batches must complete
+    before the compute that would otherwise hide them — the A/B that
+    measures what the XLA latency-hiding scheduler's overlap buys
+    (reference shifted_switching_solver.c:611-1016)."""
+
+    def __init__(self, axis: str | None = None, serialize: bool = False):
         self.axis = axis
+        self.serialize = serialize
+
+    def seq(self, *xs):
+        """Identity by default; under serialize, ties all arguments into
+        one optimization_barrier group so none can be reordered across
+        the others (forcing a Wait where the reference placed one)."""
+        if not self.serialize:
+            return xs if len(xs) > 1 else xs[0]
+        out = lax.optimization_barrier(xs)
+        return out if len(xs) > 1 else out[0]
 
     # -- reductions -----------------------------------------------------
     def allreduce(self, x):

@@ -51,6 +51,7 @@ def spmv_dia_halo(vals_loc, offsets: tuple, halo: int, comm: Comm, x_loc,
                           x_loc)
         xh = _tmap(lambda p, x, nx: jnp.concatenate([p, x, nx]),
                    prev_tail, x_loc, next_head)
+        xh = comm.seq(xh)      # nooverlap: halo exchange completes first
     elif halo > 0:
         xh = _tmap(lambda a: jnp.pad(a, (halo, halo)), x_loc)
     else:
@@ -74,6 +75,7 @@ def spmv_dia_gather(vals_loc, offsets: tuple, comm: Comm, x_loc):
     from mpi_bicgstab_tpu.ops.precision import df_add, df_mul, is_df
     df = is_df(x_loc)
     x_full = comm.allgather(x_loc)
+    x_full = comm.seq(x_full)
     n_loc = x_loc.shape[0]
     lo = -min(0, min(offsets)) if offsets else 0
     hi = max(0, max(offsets)) if offsets else 0
@@ -93,9 +95,14 @@ def spmv_dia_gather(vals_loc, offsets: tuple, comm: Comm, x_loc):
 
 
 def spmv_allgather(diag: EllMatrix, offd: EllMatrix, comm: Comm, x_loc):
-    """y_loc = A_loc_diag @ x_loc + A_loc_offd @ allgather(x)."""
+    """y_loc = A_loc_diag @ x_loc + A_loc_offd @ allgather(x).
+
+    Under comm.serialize the gather must COMPLETE before the diag
+    multiply starts (the reference's nooverlap A/B — normally the diag
+    multiply hides the gather, matrix.c:432-437)."""
     from mpi_bicgstab_tpu.ops.precision import df_add, is_df
     x_full = comm.allgather(x_loc)
+    x_loc, x_full = comm.seq(x_loc, x_full)
     if is_df(x_loc):
         from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
         return df_add(ell_spmv_df(diag, x_loc), ell_spmv_df(offd, x_full))

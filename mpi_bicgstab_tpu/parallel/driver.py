@@ -169,7 +169,7 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
     def run(*args):
         mat = args[:-3]
         b_loc, x0_loc, sg = args[-3:]
-        comm = Comm(ROWS)
+        comm = Comm(ROWS, serialize=getattr(cfg, "serialize_comm", False))
         spmv = make_local_spmv(p, mat, comm, halo)
         if not shifted:
             return CLASSIC_SOLVERS[method](spmv, comm, b_loc, x0_loc, cfg)

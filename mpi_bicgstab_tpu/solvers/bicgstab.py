@@ -229,6 +229,7 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         q = r - alpha * s                               # solver.c:361
         y = w - alpha * z                               # solver.c:362
         qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:363-364
+        z, qTy, yTy = comm.seq(z, qTy, yTy)  # nooverlap A/B (cfg flag)
         v = spmv(z)                      # overlaps the dots, solver.c:365
         omega = qTy / yTy                               # solver.c:369
         x = x + alpha * p + omega * q                   # solver.c:370-371
@@ -237,6 +238,8 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
             (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
         )                                               # solver.c:373,377-380
+        (w, dot_r, rTr_new, rhTw, rhTs, rhTz) = comm.seq(
+            w, dot_r, rTr_new, rhTw, rhTs, rhTz)
         t = spmv(w)                      # overlaps the dots, solver.c:381
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:387
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:388
@@ -306,6 +309,7 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         q = r - alpha * s                               # solver.c:510
         y = w - alpha * z                               # solver.c:511
         qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:512-513
+        z, qTy, yTy = comm.seq(z, qTy, yTy)
         v = spmv(z)                                     # solver.c:514
         omega = qTy / yTy                               # solver.c:518
         x = x + alpha * p + omega * q                   # solver.c:519-520
@@ -325,6 +329,8 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
             (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
         )                                               # solver.c:533-538
+        (w, dot_r, rTr_new, rhTw, rhTs, rhTz) = comm.seq(
+            w, dot_r, rTr_new, rhTw, rhTs, rhTz)
         t = spmv(w)                                     # solver.c:539
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:545
         alpha = rTr_new / (rhTw + beta * (rhTs - omega * rhTz))  # solver.c:546

@@ -39,6 +39,14 @@ class SolverConfig:
     record_history: bool = True
     out_iter: int = 0   # print relres every N iters (DISPLAY_RESIDUAL,
                         # solver.c:8-9,122-126); 0 = silent
+    serialize_comm: bool = False
+    # ^ the reference's *_nooverlap variants as a flag
+    #   (shifted_switching_solver.c:611-1016 exist purely to measure what
+    #   comm/compute overlap buys): optimization_barriers force every
+    #   collective/dot batch to COMPLETE before the compute that would
+    #   otherwise hide it. A/B against the default measures the overlap
+    #   the XLA latency-hiding scheduler provides (benchmarks runner
+    #   --what overlap; docs/RESULTS_TPU.md round 2).
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
@@ -61,6 +69,7 @@ class ShiftedConfig:
     verbose_switch: bool = False  # print seed-switch events (the
                         # reference prints them unconditionally,
                         # shifted_switching_solver.c:519-526)
+    serialize_comm: bool = False  # nooverlap mode (see SolverConfig)
 
     def replace(self, **kw) -> "ShiftedConfig":
         return dataclasses.replace(self, **kw)
