@@ -37,7 +37,10 @@ def _launch(extra, timeout=240):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # do NOT inherit PYTHONPATH: this environment injects a
+    # sitecustomize that re-pins JAX_PLATFORMS to the TPU relay, which
+    # would silently turn the workers into single-process TPU runs
+    env["PYTHONPATH"] = REPO
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
