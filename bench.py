@@ -51,6 +51,13 @@ def main():
                          iters=iters)
     it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
                             iters=30)
+    # df32 = the reference-parity precision (its arithmetic is all-f64)
+    spmv_df = bench_spmv(csr, "df32", devices=1, iters=max(iters // 2, 20))
+    # unstructured-but-clustered fast path (windowed-ELL Pallas kernel;
+    # RCM cannot band this matrix — ops/window_ell.py)
+    from mpi_bicgstab_tpu.models.generators import clustered_random
+    csr_w = clustered_random(200_704 if small else 200_704)
+    spmv_w = bench_spmv(csr_w, dtype, devices=1, iters=iters)
 
     out = {
         "metric": "spmv_nnz_per_s",
@@ -67,6 +74,9 @@ def main():
         # the reference's all-f64 arithmetic is the honest comparison
         # point for this one
         "df32_pipe_time_per_iter_s": round(it_df["time_per_iter_s"], 6),
+        "df32_spmv_nnz_per_s": round(spmv_df["spmv_nnz_per_s"], 1),
+        "window_spmv_nnz_per_s": round(spmv_w["spmv_nnz_per_s"], 1),
+        "window_layout": spmv_w.get("spmv_layout"),
         "matrix_gen_time_s": round(gen_time, 2),
     }
     print(json.dumps(out))

@@ -98,18 +98,34 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
         from mpi_bicgstab_tpu.ops.layout import spmv as generic_spmv
         prob = build_problem(csr, dtype=dtype, multiple=1024)
         A = prob.A
-        x0 = jnp.asarray(rng.standard_normal(prob.n), dtype=dtype)
+        if dtype == "df32":
+            from mpi_bicgstab_tpu.ops.precision import df_from_f64
+            x0 = df_from_f64(rng.standard_normal(prob.n))
 
-        def make_chain(K):
-            @jax.jit
-            def chain(v):
-                def body(i, v):
-                    y = generic_spmv(A, v)
-                    return y / (1.0 + jnp.sum(jnp.abs(y)))
+            def make_chain(K):
+                @jax.jit
+                def chain(v):
+                    def body(i, v):
+                        y = generic_spmv(A, v)
+                        return y * (1.0 / (1.0 + jnp.sum(jnp.abs(y.hi))))
 
-                return jnp.sum(lax.fori_loop(0, K, body, v))
+                    out = lax.fori_loop(0, K, body, v)
+                    return jnp.sum(out.hi)
 
-            return lambda: chain(x0)
+                return lambda: chain(x0)
+        else:
+            x0 = jnp.asarray(rng.standard_normal(prob.n), dtype=dtype)
+
+            def make_chain(K):
+                @jax.jit
+                def chain(v):
+                    def body(i, v):
+                        y = generic_spmv(A, v)
+                        return y / (1.0 + jnp.sum(jnp.abs(y)))
+
+                    return jnp.sum(lax.fori_loop(0, K, body, v))
+
+                return lambda: chain(x0)
 
     sec = _slope_time(make_chain, K1=max(2, iters // 6), K2=iters)
     layout = type(_single_op(csr, dtype)).__name__ if devices == 1 else None
@@ -119,7 +135,8 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
 
 def _single_op(csr, dtype):
     from mpi_bicgstab_tpu.ops.layout import build_operator
-    return build_operator(csr, dtype=np.dtype(dtype))
+    return build_operator(csr, dtype=dtype if dtype == "df32"
+                          else np.dtype(dtype))
 
 
 def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",

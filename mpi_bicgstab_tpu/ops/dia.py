@@ -144,7 +144,15 @@ def dia_spmv_df(A: DiaMatrix, x) -> "DF":
     """Double-float y = A @ x: A.vals and x are DF pairs (ops/precision).
     Same static-slice structure as dia_spmv, with error-free-transform
     multiply-adds — the TPU-native stand-in for the reference's all-f64
-    kernel (mult, matrix.c:498-516)."""
+    kernel (mult, matrix.c:498-516).
+
+    Deliberately the straight df_add(df_mul(...)) chain: it is pure
+    elementwise code that XLA fuses into ONE pass over the val streams,
+    making the kernel HBM-BOUND (measured 43.8 Gnnz/s at Transport
+    scale) — a round-2 rewrite that pre-split the iterate to save ~40%
+    of the flops materialized two extra full-length arrays and ran 2.5x
+    SLOWER (17.2 Gnnz/s). On this hardware the df32 SpMV's flops are
+    free; bytes are not."""
     from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_mul,
                                                 df_zeros)
     lo, hi = A.pad

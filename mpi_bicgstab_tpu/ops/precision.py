@@ -320,6 +320,36 @@ def df_div(a: DF, b: DF) -> DF:
     return DF(s1, s2)
 
 
+def df_fma(y, a, b) -> DF:
+    """Fused y + a*b with ONE compensation step (no per-step
+    renormalization): p,e = two_prod(a.hi,b.hi); e += cross terms;
+    hi,e2 = two_sum(y.hi, p); lo = y.lo + e + e2; quick renorm.
+
+    ~27 flops vs ~45 for df_add(y, df_mul(a, b)). The deferred-
+    renormalization error is ~2^-24 of the LOW parts per call — i.e.
+    ~2^-48 relative per fma, the same order as the fully renormalized
+    chain. This is the workhorse of the df32 SpMV slabs and the solver
+    vector updates (VERDICT round-1: close the df32/f32 gap)."""
+    a, b = _as_df(a), _as_df(b)
+    y = _as_df(y)
+    if _cpu_exact_mode():
+        return _split64(_to64(y) + _to64(a) * _to64(b))
+    p, e = two_prod(a.hi, b.hi)
+    e = e + (a.hi * b.lo + a.lo * b.hi)
+    hi, e2 = two_sum(y.hi, p)
+    lo = y.lo + (e + e2)
+    return DF(*quick_two_sum(hi, lo))
+
+
+def vfma(y, a, b):
+    """Generic y + a*b: df_fma when any operand is a DF pair, plain
+    arithmetic otherwise — lets solver bodies use the fast fused form
+    while remaining dtype-generic (identical expression for f32/f64)."""
+    if is_df(y) or is_df(a) or is_df(b):
+        return df_fma(y, a, b)
+    return y + a * b
+
+
 def df_abs(a: DF) -> DF:
     neg = a.hi < 0
     return DF(jnp.where(neg, -a.hi, a.hi), jnp.where(neg, -a.lo, a.lo))

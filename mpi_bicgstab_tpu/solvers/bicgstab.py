@@ -34,7 +34,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from mpi_bicgstab_tpu.ops.precision import (df_zeros_like, is_df,
+from mpi_bicgstab_tpu.ops.precision import (df_zeros_like, is_df, vfma,
                                             vvalue as _value)
 from mpi_bicgstab_tpu.solvers.base import SolveResult
 from mpi_bicgstab_tpu.utils.config import SolverConfig
@@ -114,16 +114,16 @@ def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
         s = spmv(p)                                     # solver.c:88
         rTs = comm.dot(r_hat, s)                        # solver.c:89-91
         alpha = rTr / rTs                               # solver.c:93
-        q = r - alpha * s                               # solver.c:94
+        q = vfma(r, -alpha, s)                          # solver.c:94
         y = spmv(q)                                     # solver.c:96
         qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:97-102
         omega = qTy / yTy                               # solver.c:104
-        x = x + alpha * p + omega * q                   # solver.c:105-106
-        r_new = q - omega * y                           # solver.c:107
+        x = vfma(vfma(x, alpha, p), omega, q)           # solver.c:105-106
+        r_new = vfma(q, -omega, y)                      # solver.c:107
         dot_r, rTr_new = comm.dots((r_new, r_new),
                                    (r_hat, r_new))      # solver.c:108-114
         beta = (alpha / omega) * (rTr_new / rTr)        # solver.c:116
-        p = r_new + beta * (p - omega * s)              # solver.c:117-119
+        p = vfma(r_new, beta, vfma(p, -omega, s))       # solver.c:117-119
         hist = hist.at[k].set(_value(dot_r))
         _maybe_print_residual(cfg, k, dot_r, dot_zero)
         return (k + 1, x, r_new, p, rTr_new, dot_r, hist)
@@ -164,15 +164,15 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
 
     def body(c):
         k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist = c
-        p = r + beta * (p - omega * s)                  # solver.c:217-219
-        s = w + beta * (s - omega * z)                  # solver.c:220-222
+        p = vfma(r, beta, vfma(p, -omega, s))           # solver.c:217-219
+        s = vfma(w, beta, vfma(s, -omega, z))           # solver.c:220-222
         z = spmv(s)                                     # solver.c:224
-        q = r - alpha * s                               # solver.c:225
-        y = w - alpha * z                               # solver.c:226
+        q = vfma(r, -alpha, s)                          # solver.c:225
+        y = vfma(w, -alpha, z)                          # solver.c:226
         qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:227-230
         omega = qTy / yTy                               # solver.c:232
-        x = x + alpha * p + omega * q                   # solver.c:233-234
-        r = q - omega * y                               # solver.c:235
+        x = vfma(vfma(x, alpha, p), omega, q)           # solver.c:233-234
+        r = vfma(q, -omega, y)                          # solver.c:235
         w = spmv(r)                                     # solver.c:238
         dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
             (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
@@ -223,18 +223,18 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     def body(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
-        p = r + beta * (p - omega * s)                  # solver.c:352-354
-        s = w + beta * (s - omega * z)                  # solver.c:355-357
-        z = t + beta * (z - omega * v)                  # solver.c:358-360
-        q = r - alpha * s                               # solver.c:361
-        y = w - alpha * z                               # solver.c:362
+        p = vfma(r, beta, vfma(p, -omega, s))           # solver.c:352-354
+        s = vfma(w, beta, vfma(s, -omega, z))           # solver.c:355-357
+        z = vfma(t, beta, vfma(z, -omega, v))           # solver.c:358-360
+        q = vfma(r, -alpha, s)                          # solver.c:361
+        y = vfma(w, -alpha, z)                          # solver.c:362
         qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:363-364
         z, qTy, yTy = comm.seq(z, qTy, yTy)  # nooverlap A/B (cfg flag)
         v = spmv(z)                      # overlaps the dots, solver.c:365
         omega = qTy / yTy                               # solver.c:369
-        x = x + alpha * p + omega * q                   # solver.c:370-371
-        r = q - omega * y                               # solver.c:372
-        w = y - omega * (t - alpha * v)                 # solver.c:374-375
+        x = vfma(vfma(x, alpha, p), omega, q)           # solver.c:370-371
+        r = vfma(q, -omega, y)                          # solver.c:372
+        w = vfma(y, -omega, vfma(t, -alpha, v))         # solver.c:374-375
         dot_r, rTr_new, rhTw, rhTs, rhTz = comm.dots(
             (r, r), (r_hat, r), (r_hat, w), (r_hat, s), (r_hat, z)
         )                                               # solver.c:373,377-380
@@ -292,7 +292,7 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
          hist) = c
         is_rr = (k % krr == 0) & (k > 0) & (k <= krr * nrr)  # solver.c:498
 
-        p = r + beta * (p - omega * s)                  # solver.c:494-496
+        p = vfma(r, beta, vfma(p, -omega, s))           # solver.c:494-496
 
         def sz_replace(_):
             s2 = spmv(p)                                # solver.c:499
@@ -300,19 +300,19 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
             return s2, z2
 
         def sz_recur(_):
-            s2 = w + beta * (s - omega * z)             # solver.c:502-504
-            z2 = t + beta * (z - omega * v)             # solver.c:505-507
+            s2 = vfma(w, beta, vfma(s, -omega, z))      # solver.c:502-504
+            z2 = vfma(t, beta, vfma(z, -omega, v))      # solver.c:505-507
             return s2, z2
 
         s, z = lax.cond(is_rr, sz_replace, sz_recur, None)
 
-        q = r - alpha * s                               # solver.c:510
-        y = w - alpha * z                               # solver.c:511
+        q = vfma(r, -alpha, s)                          # solver.c:510
+        y = vfma(w, -alpha, z)                          # solver.c:511
         qTy, yTy = comm.dots((q, y), (y, y))            # solver.c:512-513
         z, qTy, yTy = comm.seq(z, qTy, yTy)
         v = spmv(z)                                     # solver.c:514
         omega = qTy / yTy                               # solver.c:518
-        x = x + alpha * p + omega * q                   # solver.c:519-520
+        x = vfma(vfma(x, alpha, p), omega, q)           # solver.c:519-520
 
         def rw_replace(_):
             r2 = b - spmv(x)                            # solver.c:523-525
@@ -320,8 +320,8 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
             return r2, w2
 
         def rw_recur(_):
-            r2 = q - omega * y                          # solver.c:528
-            w2 = y - omega * (t - alpha * v)            # solver.c:529-530
+            r2 = vfma(q, -omega, y)                     # solver.c:528
+            w2 = vfma(y, -omega, vfma(t, -alpha, v))    # solver.c:529-530
             return r2, w2
 
         r, w = lax.cond(is_rr, rw_replace, rw_recur, None)

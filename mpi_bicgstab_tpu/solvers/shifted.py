@@ -42,7 +42,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from mpi_bicgstab_tpu.ops.precision import (is_df, vabs,
+from mpi_bicgstab_tpu.ops.precision import (vfma,  # noqa: F401
+                                            is_df, vabs,
                                             vbroadcast_rows, vones, vvalue,
                                             vwhere, vzeros)
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult
@@ -121,7 +122,8 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
         rTs = comm.dot(r_hat, s)                # :91
         # shift p part 1 (:92-96)
         beta_sh = (xi_curr / xi_old) ** 2 * beta[0]
-        p_upd = beta_sh[:, None] * p_set + (tau * xi_curr)[:, None] * r[None, :]
+        p_upd = vfma(beta_sh[:, None] * p_set,
+                     (tau * xi_curr)[:, None], r[None, :])
         p_set = vwhere(mask[:, None], p_upd, p_set)
         r_old = r                               # :97
         alpha_old = alpha[0]                    # :98
@@ -136,11 +138,11 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
             + xi_old * alpha_old * (1.0 + a0 * sigma))
         alpha_sh = (xi_new / xi_curr) * a0
         w0 = qTy / yTy                          # omega[0], :117
-        x_set = x_set.at[0].add(a0 * p_set[0] + w0 * q)   # :118-119
+        x_set = x_set.at[0].add(vfma(a0 * p_set[0], w0, q))  # :118-119
         # shift x / p part 2 (:120-126)
         omega_sh = w0 / (1.0 + w0 * sigma)      # :121
-        x_upd = (omega_sh * tau * xi_new)[:, None] * q[None, :] \
-            + alpha_sh[:, None] * p_set
+        x_upd = vfma(alpha_sh[:, None] * p_set,
+                     (omega_sh * tau * xi_new)[:, None], q[None, :])
         x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
         p_upd2 = (omega_sh * tau * xi_new / alpha_sh)[:, None] * q[None, :] \
             - (omega_sh * tau * xi_curr / alpha_sh)[:, None] * r_old[None, :]
@@ -155,7 +157,8 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
                              jnp.max(jnp.where(mask, abs_xi, 0.0)))
         xi_old = vwhere(mask, xi_curr, xi_old)      # :143
         xi_curr = vwhere(mask, xi_new, xi_curr)     # :144
-        p_set = p_set.at[0].set(r_new + b0 * (p_set[0] - w0 * s))  # :145-147
+        p_set = p_set.at[0].set(
+            vfma(r_new, b0, vfma(p_set[0], -w0, s)))      # :145-147
         alpha = vwhere(mask, alpha_sh, alpha).at[0].set(a0)
         beta = vwhere(mask, beta_sh, beta).at[0].set(b0)
         omega = vwhere(mask, omega_sh, omega).at[0].set(w0)
@@ -217,15 +220,15 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
         rTs = comm.dot(r_hat, s)                         # :263
         # shift p part 1 (:264-269)
         beta_sh = (pi_old / pi_new) ** 2 * beta[seed]
-        p_upd = beta_sh[:, None] * p_set \
-            + (1.0 / (pi_new * zeta))[:, None] * r[None, :]
+        p_upd = vfma(beta_sh[:, None] * p_set,
+                     (1.0 / (pi_new * zeta))[:, None], r[None, :])
         p_set = vwhere(mask[:, None], p_upd, p_set)
         pi_old = pi_new                                  # :270
         r_old = r                                        # :271
         alpha_old = alpha[seed]                          # :272
         beta_old = beta[seed]                            # :273
         a_s = rTr / rTs                                  # :276
-        q = r - a_s * s                                  # :277
+        q = vfma(r, -a_s, s)                             # :277
         y = spmv(q) + sig_seed * q                       # :278-279
         qTq, qTy = comm.dots((q, q), (q, y))             # :281-282
         # pi/eta recurrence (:283-289)
@@ -236,24 +239,26 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
         eta = vwhere(mask, eta2, eta)
         pi_new = vwhere(mask, pi_new2, pi_new)
         w_s = qTq / qTy                                  # :293
-        x_set = x_set.at[seed].add(a_s * p_set[seed] + w_s * q)  # :294-295
+        x_set = x_set.at[seed].add(
+            vfma(a_s * p_set[seed], w_s, q))                 # :294-295
         # shift x / p part 2 (:296-304); q is `r` in the C code there
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))        # :298
-        x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
-            + alpha_sh[:, None] * p_set
+        x_upd = vfma(alpha_sh[:, None] * p_set,
+                     (omega_sh / (pi_new2 * zeta))[:, None], q[None, :])
         x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
         p_upd2 = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
             - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
         p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
         zeta = vwhere(mask,
                       (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :303
-        r_new = q - w_s * y                              # :305
+        r_new = vfma(q, -w_s, y)                         # :305
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :306-308
         b_s = (a_s / w_s) * (rTr_new / rTr)              # :312
         abs_zp = vvalue(vabs(1.0 / (zeta * pi_new2)))    # :316
         max_zp = jnp.maximum(jnp.asarray(1.0, dtype),
                              jnp.max(jnp.where(mask, abs_zp, 0.0)))
-        p_set = p_set.at[seed].set(r_new + b_s * (p_set[seed] - w_s * s))  # :319-321
+        p_set = p_set.at[seed].set(
+            vfma(r_new, b_s, vfma(p_set[seed], -w_s, s)))    # :319-321
         alpha = vwhere(mask, alpha_sh, alpha).at[seed].set(a_s)
         beta = vwhere(mask, beta_sh, beta).at[seed].set(b_s)
         omega = vwhere(mask, omega_sh, omega).at[seed].set(w_s)
@@ -332,8 +337,8 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
         z = t + b_s * (z - w_s * v)                      # :801-803
         # shift p part 1 (:804-809)
         beta_sh = (pi_old / pi_new) ** 2 * b_s
-        p_upd = beta_sh[:, None] * p_set \
-            + (1.0 / (pi_new * zeta))[:, None] * r[None, :]
+        p_upd = vfma(beta_sh[:, None] * p_set,
+                     (1.0 / (pi_new * zeta))[:, None], r[None, :])
         p_set = vwhere(mask[:, None], p_upd, p_set)
         r_old = r                                        # :810
         q = r - a_s * s                                  # :811
@@ -354,8 +359,8 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
         x_set = x_set.at[seed].add(a_s * p_set[seed] + w_s * q)  # :830-831
         # shift x / p part 2 (:832-840)
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))        # :834
-        x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
-            + alpha_sh[:, None] * p_set
+        x_upd = vfma(alpha_sh[:, None] * p_set,
+                     (omega_sh / (pi_new2 * zeta))[:, None], q[None, :])
         x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
         p_upd2 = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
             - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from mpi_bicgstab_tpu.ops.precision import (vabs, vbroadcast_rows, vcat,
-                                            vones, vvalue, vwhere, vzeros)
+                                            vfma, vones, vvalue, vwhere,
+                                            vzeros)
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult
 from mpi_bicgstab_tpu.solvers.shifted import _as_sigma
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
@@ -89,37 +90,39 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         s = spmv(p_seed) + sig_seed * p_seed    # :113-114
         rTs = comm.dot(r_hat, s)                # :116
         a_s = rTr / rTs                         # :119
-        q = r - a_s * s                         # :120
+        q = vfma(r, -a_s, s)                    # :120
         y = spmv(q) + sig_seed * q              # :121-122
         qTq, qTy = comm.dots((q, q), (q, y))    # :123-124
         w_s = qTq / qTy                         # :128
-        x_set = x_set.at[seed].add(a_s * p_seed + w_s * q)  # :129-130
+        x_set = x_set.at[seed].add(vfma(a_s * p_seed, w_s, q))  # :129-130
         # fused shift update (:136-149)
         eta2 = (beta_old / alpha_old) * a_s * eta \
             - (sig_seed - sigma) * a_s * pi_old
         pi_new2 = eta2 + pi_old
         alpha_sh = (pi_old / pi_new2) * a_s
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))
-        x_upd = (omega_sh / (pi_new2 * zeta))[:, None] * q[None, :] \
-            + alpha_sh[:, None] * p_set
+        x_upd = vfma(alpha_sh[:, None] * p_set,
+                     (omega_sh / (pi_new2 * zeta))[:, None], q[None, :])
         x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
-        p_upd = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
-            - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
+        p_upd = vfma(
+            (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :],
+            -(omega_sh / (alpha_sh * zeta * pi_old))[:, None],
+            r_old[None, :])
         p_set = p_set + vwhere(active[:, None], p_upd, 0.0)
         zeta2 = (1.0 - w_s * (sig_seed - sigma)) * zeta
         eta = vwhere(active, eta2, eta)
         pi_new = vwhere(active, pi_new2, pi_new)
         zeta = vwhere(active, zeta2, zeta)
         alpha = vwhere(active, alpha_sh, alpha).at[seed].set(a_s)
-        r_new = q - w_s * y                     # :156
+        r_new = vfma(q, -w_s, y)                # :156
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :157-159
         b_s = (a_s / w_s) * (rTr_new / rTr)     # :163
         p_set = p_set.at[seed].set(
-            r_new + b_s * (p_set[seed] - w_s * s))      # :164-166
+            vfma(r_new, b_s, vfma(p_set[seed], -w_s, s)))   # :164-166
         # shift p part (:168-174) — uses the UPDATED zeta
         beta_sh = (pi_old / pi_new) ** 2 * b_s
-        p_upd2 = beta_sh[:, None] * p_set \
-            + (1.0 / (pi_new * zeta))[:, None] * r_new[None, :]
+        p_upd2 = vfma(beta_sh[:, None] * p_set,
+                      (1.0 / (pi_new * zeta))[:, None], r_new[None, :])
         p_set = vwhere(active[:, None], p_upd2, p_set)
         beta = vwhere(active, beta_sh, beta).at[seed].set(b_s)
         # per-shift convergence (:184-203)
@@ -223,18 +226,18 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
         rTs = comm.dot(r_hat, s)                 # :388
         a_k = rTr / rTs                          # :391
         a_arc = a_arc.at[k].set(a_k)
-        q = r - a_k * s                          # :392 (q_loc_copy :393)
+        q = vfma(r, -a_k, s)                     # :392 (q_loc_copy :393)
         y = spmv(q) + sig_seed * q               # :396-404
         qTq, qTy = comm.dots((q, q), (q, y))     # :405-406
         w_k = qTq / qTy                          # :410
         w_arc = w_arc.at[k].set(w_k)
-        x_set = x_set.at[seed_i].add(a_k * p_seed + w_k * q)  # :411-412
-        r_new = q - w_k * y                      # :413
+        x_set = x_set.at[seed_i].add(vfma(a_k * p_seed, w_k, q))  # :411-412
+        r_new = vfma(q, -w_k, y)                 # :413
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :414-416
         b_k = (a_k / w_k) * (rTr_new / rTr)      # :420
         b_arc = b_arc.at[k].set(b_k)
         p_set = p_set.at[seed_i].set(
-            r_new + b_k * (p_set[seed_i] - w_k * s))       # :421-423
+            vfma(r_new, b_k, vfma(p_set[seed_i], -w_k, s)))    # :421-423
         # --- fused shift update (:429-445) ---
         pi_prev = pi_arc[k - 1]                  # pi_archive[j, k-1]
         a_km1 = a_arc[k - 1]
@@ -244,16 +247,20 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
         pi_k = eta2 + pi_prev                               # :434
         alpha_sh = (pi_prev / pi_k) * a_k                   # :435
         omega_sh = w_k / (1.0 - w_k * (sig_seed - sigma))   # :436
-        x_upd = (omega_sh / (pi_k * zeta))[:, None] * q[None, :] \
-            + alpha_sh[:, None] * p_set                     # :437-438
+        x_upd = vfma(alpha_sh[:, None] * p_set,
+                     (omega_sh / (pi_k * zeta))[:, None],
+                     q[None, :])                            # :437-438
         x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
-        p_upd = (omega_sh / (alpha_sh * zeta * pi_k))[:, None] * q[None, :] \
-            - (omega_sh / (alpha_sh * zeta * pi_prev))[:, None] * r_old[None, :]
+        p_upd = vfma(
+            (omega_sh / (alpha_sh * zeta * pi_k))[:, None] * q[None, :],
+            -(omega_sh / (alpha_sh * zeta * pi_prev))[:, None],
+            r_old[None, :])
         p_set = p_set + vwhere(active[:, None], p_upd, 0.0)  # :439-440
         zeta2 = (1.0 - w_k * (sig_seed - sigma)) * zeta     # :441
         beta_sh = (pi_prev / pi_k) ** 2 * b_k               # :442
-        p_upd2 = beta_sh[:, None] * p_set \
-            + (1.0 / (pi_k * zeta2))[:, None] * r_new[None, :]  # :443-444
+        p_upd2 = vfma(beta_sh[:, None] * p_set,
+                      (1.0 / (pi_k * zeta2))[:, None],
+                      r_new[None, :])                           # :443-444
         p_set = vwhere(active[:, None], p_upd2, p_set)
         eta = vwhere(active, eta2, eta)
         zeta = vwhere(active, zeta2, zeta)
