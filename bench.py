@@ -51,13 +51,22 @@ def main():
                          iters=iters)
     it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
                             iters=30)
-    # df32 = the reference-parity precision (its arithmetic is all-f64)
-    spmv_df = bench_spmv(csr, "df32", devices=1, iters=max(iters // 2, 20))
+    # df32 = the reference-parity precision (its arithmetic is all-f64);
+    # secondary sections are fault-tolerant so the headline metric
+    # always prints
+    try:
+        spmv_df = bench_spmv(csr, "df32", devices=1,
+                             iters=max(iters // 2, 20))
+    except Exception:  # noqa: BLE001
+        spmv_df = {"spmv_nnz_per_s": float("nan")}
     # unstructured-but-clustered fast path (windowed-ELL Pallas kernel;
     # RCM cannot band this matrix — ops/window_ell.py)
-    from mpi_bicgstab_tpu.models.generators import clustered_random
-    csr_w = clustered_random(200_704 if small else 200_704)
-    spmv_w = bench_spmv(csr_w, dtype, devices=1, iters=iters)
+    try:
+        from mpi_bicgstab_tpu.models.generators import clustered_random
+        csr_w = clustered_random(200_704)
+        spmv_w = bench_spmv(csr_w, dtype, devices=1, iters=iters)
+    except Exception:  # noqa: BLE001
+        spmv_w = {"spmv_nnz_per_s": float("nan"), "spmv_layout": None}
 
     out = {
         "metric": "spmv_nnz_per_s",

@@ -176,4 +176,12 @@ def use_pallas_for(A) -> bool:
     choice = _env_choice()
     if choice not in ("1", "on", "true"):
         return False
+    import jax
+    if jax.config.jax_enable_x64 and jax.default_backend() == "tpu":
+        # PERMANENT FENCE for the known Mosaic hazard: under x64,
+        # kernels with nonzero lane-shift rolls fail legalization on
+        # real TPUs ('failed to legalize func.return'); the f32
+        # production pipeline never enables x64 on device. Verified by
+        # scripts/chip_pallas_check.py (which runs x64-off).
+        return False
     return isinstance(A, DiaMatrix) and available(A)
