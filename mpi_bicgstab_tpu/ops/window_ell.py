@@ -146,8 +146,9 @@ def _edge_color(group, row_slot, lane_cls, eligible, max_width):
 
 
 def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
-                      tail_pad: int = 0,
-                      window_base=None) -> WindowEllMatrix:
+                      tail_pad: int = 0, window_base=None,
+                      force_width: int | None = None,
+                      force_x_rows: int | None = None) -> WindowEllMatrix:
     """Build the windowed-ELL layout from a host CSRMatrix.
 
     Entries whose column falls outside the row-tile's window, or whose
@@ -186,6 +187,10 @@ def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
 
     ok = in_win & (rank >= 0)
     W = int(rank[ok].max() + 1) if ok.any() else 1
+    if force_width is not None:
+        if W > force_width:
+            raise ValueError(f"force_width {force_width} < needed {W}")
+        W = force_width   # equalize shard widths for stacked layouts
 
     df_mode = dtype == "df32"
     vals_dtype = np.float64 if df_mode else (dtype or vals.dtype)
@@ -229,8 +234,9 @@ def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
         tail_rows=jnp.asarray(t_rows), tail_cols=jnp.asarray(t_cols),
         tail_vals=put_v(t_vals),
         n_rows=n_pad, n_cols=n_cols, width=W,
-        x_rows=max(-(-n_cols // 128),
-                   (int(bases.max()) + 1) * (WINDOW_COLS // 128)))
+        x_rows=force_x_rows if force_x_rows is not None else
+        max(-(-n_cols // 128),
+            (int(bases.max()) + 1) * (WINDOW_COLS // 128)))
 
 
 def window_ell_stats(csr, max_width: int = 16) -> dict:

@@ -34,7 +34,7 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
                     halo_strategy: str = "allgather"):
     """Compose the per-shard SpMV from the present blocks (called inside
     shard_map; mat_args are the local shard arrays)."""
-    dia_vals, blocks, rest = part.unpack(mat_args)
+    dia_vals, window, blocks, rest = part.unpack(mat_args)
     assert not rest
 
     def spmv(x_loc):
@@ -45,10 +45,25 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
                                   comm, x_loc, part.n_devices)
             else:
                 y = spmv_dia_gather(dia_vals, part.dia_offsets, comm, x_loc)
+        if window is not None:
+            # windowed-ELL Pallas kernel on the square diag block
+            # (local columns); offd long-range coupling rides the ELL
+            # all_gather path below
+            import jax as _jax
+            from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv
+            y = window_spmv(window, x_loc,
+                            interpret=_jax.default_backend() == "cpu")
         if blocks is not None:
             diag, offd = blocks
             if halo_strategy == "ring":
                 y2 = spmv_ring(diag, offd, comm, x_loc, part.n_devices)
+            elif window is not None:
+                # diag slot is a zero placeholder when the window layout
+                # carries the block — multiply only the offd part
+                from mpi_bicgstab_tpu.ops.spmv import ell_spmv as _ell
+                x_full = comm.allgather(x_loc)
+                x_full = comm.seq(x_full)
+                y2 = _ell(offd, x_full)
             else:
                 y2 = spmv_allgather(diag, offd, comm, x_loc)
             if y is None:
@@ -75,9 +90,16 @@ def put_partitioned(part: PartitionedMatrix, mesh) -> PartitionedMatrix:
     holding its own blocks, like each MPI rank after loading)."""
     slab = NamedSharding(mesh, _SLAB)
     vec = NamedSharding(mesh, _VEC)
+    tile = NamedSharding(mesh, P(None, ROWS, None, None))
     kw = {}
     if part.has_dia:
         kw["dia_vals"] = _put(part.dia_vals, slab)
+    if part.has_window:
+        for f in ("win_sub", "win_lane", "win_vals"):
+            kw[f] = _put(getattr(part, f), tile)
+        for f in ("win_base", "win_tail_rows", "win_tail_cols",
+                  "win_tail_vals"):
+            kw[f] = _put(getattr(part, f), vec)
     if part.has_ell:
         for f in ("diag_cols", "diag_vals", "offd_cols", "offd_vals"):
             kw[f] = _put(getattr(part, f), slab)
@@ -140,7 +162,9 @@ def _skeleton(part: PartitionedMatrix) -> PartitionedMatrix:
           for f in ("dia_vals", "diag_cols", "diag_vals", "diag_tail_rows",
                     "diag_tail_cols", "diag_tail_vals", "offd_cols",
                     "offd_vals", "offd_tail_rows", "offd_tail_cols",
-                    "offd_tail_vals")}
+                    "offd_tail_vals", "win_sub", "win_lane", "win_vals",
+                    "win_base", "win_tail_rows", "win_tail_cols",
+                    "win_tail_vals")}
     return part.replace(**kw)
 
 
@@ -151,7 +175,8 @@ class _HashableSkeleton:
         self.part = part
         self._key = (part.dia_offsets, part.halo, part.dia_mode,
                      part.n_devices, part.n_loc, part.n_global,
-                     part.n_logical, part.has_dia, part.has_ell)
+                     part.n_logical, part.has_dia, part.has_ell,
+                     part.has_window, part.win_width)
 
     def __hash__(self):
         return hash(self._key)

@@ -36,12 +36,14 @@ _DIA_FIELDS = ("dia_vals",)
 _ELL_FIELDS = ("diag_cols", "diag_vals", "diag_tail_rows", "diag_tail_cols",
                "diag_tail_vals", "offd_cols", "offd_vals", "offd_tail_rows",
                "offd_tail_cols", "offd_tail_vals")
+_WIN_FIELDS = ("win_sub", "win_lane", "win_vals", "win_base",
+               "win_tail_rows", "win_tail_cols", "win_tail_vals")
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=list(_DIA_FIELDS + _ELL_FIELDS),
+         data_fields=list(_DIA_FIELDS + _ELL_FIELDS + _WIN_FIELDS),
          meta_fields=["dia_offsets", "halo", "dia_mode", "n_devices",
-                      "n_loc", "n_global", "n_logical"])
+                      "n_loc", "n_global", "n_logical", "win_width"])
 @dataclasses.dataclass(frozen=True)
 class PartitionedMatrix:
     """Stacked per-shard blocks; either part may be None.
@@ -54,6 +56,13 @@ class PartitionedMatrix:
     """
 
     dia_vals: object
+    win_sub: object      # windowed-ELL DIAG blocks: [W, T_total, 8, 128]
+    win_lane: object     # (shard dim 1 = row tiles); see ops/window_ell
+    win_vals: object
+    win_base: object     # [T_total] per-tile window base (shard dim 0)
+    win_tail_rows: object   # [n_dev * tail] LOCAL rows/cols (shard dim 0)
+    win_tail_cols: object
+    win_tail_vals: object
     diag_cols: object
     diag_vals: object
     diag_tail_rows: object
@@ -65,6 +74,7 @@ class PartitionedMatrix:
     offd_tail_cols: object
     offd_tail_vals: object
     dia_offsets: tuple
+    win_width: int
     halo: int
     dia_mode: str        # 'halo' | 'gather' | 'none'
     n_devices: int
@@ -80,19 +90,31 @@ class PartitionedMatrix:
     def has_ell(self) -> bool:
         return self.diag_cols is not None
 
+    @property
+    def has_window(self) -> bool:
+        return self.win_vals is not None
+
     def arrays(self):
         """Flat tuple of the present device arrays (stable order)."""
         out = []
         if self.has_dia:
             out.append(self.dia_vals)
+        if self.has_window:
+            out.extend(getattr(self, f) for f in _WIN_FIELDS)
         if self.has_ell:
             out.extend(getattr(self, f) for f in _ELL_FIELDS)
         return tuple(out)
 
     def specs(self, slab_spec, vec_spec):
+        from jax.sharding import PartitionSpec as P
+        rows_axis = slab_spec[1]          # the mesh axis name (or None)
+        tile_spec = P(None, rows_axis, None, None)
         out = []
         if self.has_dia:
             out.append(slab_spec)
+        if self.has_window:
+            out.extend([tile_spec, tile_spec, tile_spec, vec_spec,
+                        vec_spec, vec_spec, vec_spec])
         if self.has_ell:
             out.extend([slab_spec, slab_spec, vec_spec, vec_spec, vec_spec,
                         slab_spec, slab_spec, vec_spec, vec_spec, vec_spec])
@@ -104,6 +126,16 @@ class PartitionedMatrix:
         rest-of-args)."""
         args = list(args)
         dia_vals = args.pop(0) if self.has_dia else None
+        window = None
+        if self.has_window:
+            from mpi_bicgstab_tpu.ops.window_ell import WindowEllMatrix
+            ws, wl, wv, wb, wtr, wtc, wtv = args[:7]
+            args = args[7:]
+            window = WindowEllMatrix(
+                sub_sel=ws, lane_idx=wl, vals=wv, window_base=wb,
+                tail_rows=wtr, tail_cols=wtc, tail_vals=wtv,
+                n_rows=self.n_loc, n_cols=self.n_loc,
+                width=self.win_width, x_rows=self.n_loc // 128)
         blocks = None
         if self.has_ell:
             dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv = args[:10]
@@ -112,7 +144,7 @@ class PartitionedMatrix:
             offd = EllMatrix(oc, ov, otr, otc, otv, self.n_loc,
                              self.n_global)
             blocks = (diag, offd)
-        return dia_vals, blocks, tuple(args)
+        return dia_vals, window, blocks, tuple(args)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -201,6 +233,8 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 halo = 0
 
     ell_fields = dict.fromkeys(_ELL_FIELDS)
+    win_fields = dict.fromkeys(_WIN_FIELDS)
+    win_width = 0
     if remainder is not None and (remainder is csr or remainder.nnz > 0):
         if host_dtype is not None:
             remainder = CSRMatrix(remainder.ptr, remainder.col,
@@ -213,6 +247,60 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                                               n_loc))
             offd_blocks.append(_csr_row_block(remainder, s, e, s, e, False,
                                               n_global))
+        # windowed-ELL diag blocks (ops/window_ell.py): the unstructured
+        # fast path, distributed — each shard's square diag block gets
+        # the two-gather Pallas layout when its columns cluster; the
+        # offd remainder (long-range coupling) stays on the
+        # all_gather ELL path
+        use_window = (dia_mode == "none" and not df_mode
+                      and format in ("auto", "window")
+                      and n_loc % 1024 == 0)
+        if use_window and format == "auto":
+            from mpi_bicgstab_tpu.ops.window_ell import window_ell_stats
+            use_window = all(
+                window_ell_stats(b)["window_frac"] >= 0.95
+                for b in diag_blocks)
+        if use_window:
+            from mpi_bicgstab_tpu.ops.window_ell import csr_to_window_ell
+            wins = [csr_to_window_ell(b, dtype=host_dtype,
+                                      force_x_rows=n_loc // 128)
+                    for b in diag_blocks]
+            win_width = max(w.width for w in wins)
+            tail_cap = max(w.tail_size for w in wins)
+
+            def padW(a):
+                a = np.asarray(a)
+                return np.pad(a, [(0, win_width - a.shape[0])] +
+                              [(0, 0)] * (a.ndim - 1))
+
+            def padT(a, fill=0):
+                a = np.asarray(a)
+                return np.pad(a, (0, tail_cap - a.shape[0]),
+                              constant_values=fill)
+
+            win_fields = dict(
+                win_sub=np.concatenate([padW(w.sub_sel) for w in wins],
+                                       axis=1),
+                win_lane=np.concatenate([padW(w.lane_idx) for w in wins],
+                                        axis=1),
+                win_vals=np.concatenate([padW(w.vals) for w in wins],
+                                        axis=1),
+                win_base=np.concatenate([np.asarray(w.window_base)
+                                         for w in wins]),
+                win_tail_rows=np.concatenate(
+                    [padT(w.tail_rows, max(n_loc - 1, 0)) for w in wins]),
+                win_tail_cols=np.concatenate(
+                    [padT(w.tail_cols) for w in wins]),
+                win_tail_vals=np.concatenate(
+                    [padT(w.tail_vals) for w in wins]),
+            )
+            # diag entries now live in the window layout; keep only a
+            # zero-width placeholder in the diag ELL slot
+            diag_blocks = [CSRMatrix(np.zeros(n_loc + 1, np.int64),
+                                     np.zeros(0, np.int64),
+                                     np.zeros(0, remainder.val.dtype),
+                                     (n_loc, n_loc))
+                           for _ in range(n_devices)]
         dc, dv, dtr, dtc, dtv = _stack_ell_blocks(diag_blocks, width)
         oc, ov, otr, otc, otv = _stack_ell_blocks(offd_blocks, width)
         if df_mode:
@@ -226,7 +314,7 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                                otv)))
 
     return PartitionedMatrix(
-        dia_vals=dia_vals, **ell_fields,
-        dia_offsets=dia_offsets, halo=halo, dia_mode=dia_mode,
-        n_devices=n_devices, n_loc=n_loc, n_global=n_global,
-        n_logical=n_logical)
+        dia_vals=dia_vals, **ell_fields, **win_fields,
+        dia_offsets=dia_offsets, win_width=win_width, halo=halo,
+        dia_mode=dia_mode, n_devices=n_devices, n_loc=n_loc,
+        n_global=n_global, n_logical=n_logical)
