@@ -39,6 +39,10 @@ def _load_matrix(spec: str, dtype):
             csr = G.transport_like(n)
         elif kind == "transport-hard":
             csr = G.transport_hard(n)   # realistic long convergence
+        elif kind == "clustered":
+            # unstructured-but-clustered (windowed-ELL fast path);
+            # n rounds down to a multiple of 1024
+            csr = G.clustered_random(max(n // 1024, 1) * 1024)
         elif kind == "banded":
             w = max(2, int(round(n ** (1 / 3))))
             csr = G.banded_random(n, [1, -1, w, -w, w * w, -w * w], seed=0)
@@ -542,7 +546,10 @@ def build_parser():
                    help="comma list, e.g. 8,32,128,512 (main_seed_diff.c)")
     p.add_argument("--check-error", action="store_true",
                    help="compute true per-shift relative errors "
-                        "(test_shifted.c DISPLAY_ERROR)")
+                        "(test_shifted.c DISPLAY_ERROR). Recommended "
+                        "for solves beyond ~500 iterations: the "
+                        "estimated residuals drift from the truth over "
+                        "long runs (docs/RESULTS_TPU.md, round 2)")
     p.add_argument("--checkpoint", default=None, metavar="FILE",
                    help="full-carry checkpoint every --checkpoint-every "
                         "iterations; resume is BIT-identical to an "

@@ -57,7 +57,7 @@ def build_operator(csr, format: str = "auto", dtype=None,
       'auto'   — DIA if the top diagonals cover everything, hybrid if
                  they cover >= 50%; else windowed-ELL when the matrix
                  has column locality (>= 95% of nnz inside per-row-tile
-                 1024-col windows, f32/f64 only); else gather-ELL
+                 1024-col windows; f32/f64/df32); else gather-ELL
       'dia'    — force DIA (+ ELL tail if any remainder)
       'window' — force windowed-ELL (ops/window_ell.py)
       'ell'    — force gather-ELL (the faithful-to-reference layout;
@@ -74,7 +74,7 @@ def build_operator(csr, format: str = "auto", dtype=None,
     offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
                                           min_fill=dia_min_fill)
     if format == "auto" and (not offsets or coverage < 0.5):
-        if dtype != "df32" and csr.nrows % 1024 == 0:
+        if csr.nrows % 1024 == 0:
             from mpi_bicgstab_tpu.ops.window_ell import (
                 csr_to_window_ell, window_ell_stats)
             stats = window_ell_stats(csr)
@@ -109,8 +109,12 @@ def spmv(op, x):
         return ell_spmv(op, x)
     from mpi_bicgstab_tpu.ops.window_ell import WindowEllMatrix
     if isinstance(op, WindowEllMatrix):
-        from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv
-        return window_spmv(op, x, interpret=jax.default_backend() == "cpu")
+        from mpi_bicgstab_tpu.ops.pallas_window_spmv import (
+            window_spmv, window_spmv_df)
+        interp = jax.default_backend() == "cpu"
+        if is_df(op.vals):
+            return window_spmv_df(op, x, interpret=interp)
+        return window_spmv(op, x, interpret=interp)
     if isinstance(op, HybridMatrix):
         if is_df(op.dia.vals):
             from mpi_bicgstab_tpu.ops.dia import dia_spmv_df

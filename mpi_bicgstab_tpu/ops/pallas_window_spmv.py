@@ -119,6 +119,110 @@ def _x_to_2d(x, n_cols: int, R: int):
     return xp.reshape(R, _LANES)
 
 
+def _df_kernel(base_ref, xh_hbm, xl_hbm, ss_ref, li_ref, vh_ref, vl_ref,
+               yh_ref, yl_ref, xvh, xvl, semh, seml, *, W, TB):
+    """Double-float variant: same two-gather structure on the hi/lo
+    pairs, DF multiply-accumulate in-kernel (Mosaic preserves the
+    error-free transforms bit-exactly — ops/precision.py header)."""
+    from mpi_bicgstab_tpu.ops.precision import DF, df_add, df_mul
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        d1 = pltpu.make_async_copy(xh_hbm, xvh, semh)
+        d2 = pltpu.make_async_copy(xl_hbm, xvl, seml)
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+    for tb in range(TB):
+        base = base_ref[step * TB + tb]
+        winh = xvh[pl.ds(pl.multiple_of(base * _SUB, _SUB), _SUB), :]
+        winl = xvl[pl.ds(pl.multiple_of(base * _SUB, _SUB), _SUB), :]
+        acc = DF(jnp.zeros((_SUB, _LANES), jnp.float32),
+                 jnp.zeros((_SUB, _LANES), jnp.float32))
+        for w in range(W):
+            ss = ss_ref[w, tb].astype(jnp.int32)
+            li = li_ref[w, tb].astype(jnp.int32)
+            gh = jnp.take_along_axis(
+                jnp.take_along_axis(winh, ss, axis=0), li, axis=1)
+            gl = jnp.take_along_axis(
+                jnp.take_along_axis(winl, ss, axis=0), li, axis=1)
+            acc = df_add(acc, df_mul(DF(vh_ref[w, tb], vl_ref[w, tb]),
+                                     DF(gh, gl)))
+        yh_ref[tb] = acc.hi
+        yl_ref[tb] = acc.lo
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _window_spmv_df_core(sub_sel, lane_idx, vals_hi, vals_lo,
+                         window_base, x2dh, x2dl, interpret: bool = False):
+    W, T = vals_hi.shape[:2]
+    TB = _TB
+    Tp = -(-T // TB) * TB
+    if Tp != T:
+        pad = [(0, 0), (0, Tp - T), (0, 0), (0, 0)]
+        sub_sel = jnp.pad(sub_sel, pad)
+        lane_idx = jnp.pad(lane_idx, pad)
+        vals_hi = jnp.pad(vals_hi, pad)
+        vals_lo = jnp.pad(vals_lo, pad)
+        window_base = jnp.pad(window_base, (0, Tp - T))
+    R = x2dh.shape[0]
+    tile = lambda: pl.BlockSpec((W, TB, _SUB, _LANES),  # noqa: E731
+                                lambda s, base: (0, s, 0, 0),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  tile(), tile(), tile(), tile()],
+        out_specs=(pl.BlockSpec((TB, _SUB, _LANES),
+                                lambda s, base: (s, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TB, _SUB, _LANES),
+                                lambda s, base: (s, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((R, _LANES), jnp.float32),
+            pltpu.VMEM((R, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    yh, yl = pl.pallas_call(
+        partial(_df_kernel, W=W, TB=TB),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((Tp, _SUB, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((Tp, _SUB, _LANES), jnp.float32)),
+        interpret=interpret,
+    )(window_base, x2dh, x2dl, sub_sel, lane_idx, vals_hi, vals_lo)
+    n = T * _SUB * _LANES
+    return yh[:T].reshape(n), yl[:T].reshape(n)
+
+
+def window_spmv_df(A: WindowEllMatrix, x, interpret: bool = False):
+    """Double-float y = A @ x over the windowed-ELL layout (A.vals and
+    x are DF pairs). Tail spill goes through the XLA DF gather path."""
+    from mpi_bicgstab_tpu.ops.precision import DF, df_add, df_mul
+    x2dh = _x_to_2d(x.hi, A.n_cols, A.x_rows)
+    x2dl = _x_to_2d(x.lo, A.n_cols, A.x_rows)
+    yh, yl = _window_spmv_df_core(A.sub_sel, A.lane_idx, A.vals.hi,
+                                  A.vals.lo, A.window_base, x2dh, x2dl,
+                                  interpret=interpret)
+    y = DF(yh, yl)
+    if A.tail_size:
+        xt = DF(x.hi[A.tail_cols], x.lo[A.tail_cols])
+        t = df_mul(A.tail_vals, xt)
+        y = df_add(y, DF(
+            jax.ops.segment_sum(t.hi, A.tail_rows,
+                                num_segments=A.n_rows),
+            jax.ops.segment_sum(t.lo, A.tail_rows,
+                                num_segments=A.n_rows)))
+    return y
+
+
 def window_spmv(A: WindowEllMatrix, x: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """y = A @ x (f32/f64 values). x: [n_cols] -> y: [n_rows].

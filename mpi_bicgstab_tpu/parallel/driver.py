@@ -50,9 +50,12 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
             # (local columns); offd long-range coupling rides the ELL
             # all_gather path below
             import jax as _jax
-            from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv
-            y = window_spmv(window, x_loc,
-                            interpret=_jax.default_backend() == "cpu")
+            from mpi_bicgstab_tpu.ops.pallas_window_spmv import (
+                window_spmv, window_spmv_df)
+            from mpi_bicgstab_tpu.ops.precision import is_df as _is_df
+            fn = window_spmv_df if _is_df(x_loc) else window_spmv
+            y = fn(window, x_loc,
+                   interpret=_jax.default_backend() == "cpu")
         if blocks is not None:
             diag, offd = blocks
             if halo_strategy == "ring":
@@ -60,10 +63,13 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
             elif window is not None:
                 # diag slot is a zero placeholder when the window layout
                 # carries the block — multiply only the offd part
-                from mpi_bicgstab_tpu.ops.spmv import ell_spmv as _ell
+                from mpi_bicgstab_tpu.ops.precision import is_df as _idf
+                from mpi_bicgstab_tpu.ops.spmv import (ell_spmv as _ell,
+                                                       ell_spmv_df as
+                                                       _ell_df)
                 x_full = comm.allgather(x_loc)
                 x_full = comm.seq(x_full)
-                y2 = _ell(offd, x_full)
+                y2 = (_ell_df if _idf(x_full) else _ell)(offd, x_full)
             else:
                 y2 = spmv_allgather(diag, offd, comm, x_loc)
             if y is None:

@@ -252,7 +252,7 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
         # the two-gather Pallas layout when its columns cluster; the
         # offd remainder (long-range coupling) stays on the
         # all_gather ELL path
-        use_window = (dia_mode == "none" and not df_mode
+        use_window = (dia_mode == "none"
                       and format in ("auto", "window")
                       and n_loc % 1024 == 0)
         if use_window and format == "auto":
@@ -262,37 +262,46 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 for b in diag_blocks)
         if use_window:
             from mpi_bicgstab_tpu.ops.window_ell import csr_to_window_ell
-            wins = [csr_to_window_ell(b, dtype=host_dtype,
-                                      force_x_rows=n_loc // 128)
-                    for b in diag_blocks]
+            wins = [csr_to_window_ell(
+                b, dtype="df32" if df_mode else host_dtype,
+                force_x_rows=n_loc // 128)
+                for b in diag_blocks]
             win_width = max(w.width for w in wins)
             tail_cap = max(w.tail_size for w in wins)
 
             def padW(a):
+                from mpi_bicgstab_tpu.ops.precision import DF, is_df
+                if is_df(a):
+                    return DF(padW(a.hi), padW(a.lo))
                 a = np.asarray(a)
                 return np.pad(a, [(0, win_width - a.shape[0])] +
                               [(0, 0)] * (a.ndim - 1))
 
             def padT(a, fill=0):
+                from mpi_bicgstab_tpu.ops.precision import DF, is_df
+                if is_df(a):
+                    return DF(padT(a.hi, fill), padT(a.lo, fill))
                 a = np.asarray(a)
                 return np.pad(a, (0, tail_cap - a.shape[0]),
                               constant_values=fill)
 
+            def cat(parts, axis=0):
+                from mpi_bicgstab_tpu.ops.precision import DF, is_df
+                if any(is_df(p) for p in parts):
+                    return DF(np.concatenate([p.hi for p in parts], axis),
+                              np.concatenate([p.lo for p in parts], axis))
+                return np.concatenate(parts, axis)
+
             win_fields = dict(
-                win_sub=np.concatenate([padW(w.sub_sel) for w in wins],
-                                       axis=1),
-                win_lane=np.concatenate([padW(w.lane_idx) for w in wins],
-                                        axis=1),
-                win_vals=np.concatenate([padW(w.vals) for w in wins],
-                                        axis=1),
+                win_sub=cat([padW(w.sub_sel) for w in wins], axis=1),
+                win_lane=cat([padW(w.lane_idx) for w in wins], axis=1),
+                win_vals=cat([padW(w.vals) for w in wins], axis=1),
                 win_base=np.concatenate([np.asarray(w.window_base)
                                          for w in wins]),
-                win_tail_rows=np.concatenate(
+                win_tail_rows=cat(
                     [padT(w.tail_rows, max(n_loc - 1, 0)) for w in wins]),
-                win_tail_cols=np.concatenate(
-                    [padT(w.tail_cols) for w in wins]),
-                win_tail_vals=np.concatenate(
-                    [padT(w.tail_vals) for w in wins]),
+                win_tail_cols=cat([padT(w.tail_cols) for w in wins]),
+                win_tail_vals=cat([padT(w.tail_vals) for w in wins]),
             )
             # diag entries now live in the window layout; keep only a
             # zero-width placeholder in the diag ELL slot

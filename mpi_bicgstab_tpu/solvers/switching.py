@@ -29,6 +29,16 @@ TPU design notes:
   * faithfulness: like the reference, rTr is NOT rescaled with r at a
     switch (:499 scales r only); the next seed alpha therefore matches
     the reference's trajectory exactly.
+
+ACCURACY LIMIT AT LONG ITERATION COUNTS (measured, round 2 — see
+docs/RESULTS_TPU.md): the per-shift solutions are built from
+collinearity recurrences that are never re-anchored to the true
+residuals, so their TRUE error drifts above the estimated residual over
+thousands of iterations — ~4.7e-11 in f64 and ~1e-3 in df32 at ~1,800
+iterations on transport_hard. For long ladders validate with
+--check-error; prefer f64 (CPU) or expect ~1e-6-class true accuracy
+from df32 in this regime. (The reference never measures this; its
+true-error check is compile-time disabled, test_shifted.c:10.)
 """
 from __future__ import annotations
 

@@ -144,3 +144,51 @@ def test_distributed_window_spmv_exact():
     y_ref = csr.matvec(x[: csr.nrows])
     np.testing.assert_allclose(y[: csr.nrows], y_ref, rtol=1e-9,
                                atol=1e-9 * np.abs(y_ref).max())
+
+
+def test_window_spmv_df32_matches_f64():
+    from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv_df
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_to_f64
+    csr = _mat()
+    A = csr_to_window_ell(csr, dtype="df32")
+    x = np.random.default_rng(4).standard_normal(csr.nrows)
+    y = df_to_f64(window_spmv_df(A, df_from_f64(x), interpret=True))
+    y_ref = csr.matvec(x)
+    # DF unit roundoff ~2^-49; SpMV row sums stay within a few ulps
+    np.testing.assert_allclose(y, y_ref, rtol=1e-13,
+                               atol=1e-13 * np.abs(y_ref).max())
+
+
+def test_df32_solver_on_clustered_matrix():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.ops.window_ell import WindowEllMatrix
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = _mat()
+    prob = build_problem(csr, dtype="df32")
+    assert isinstance(prob.A, WindowEllMatrix)
+    res = solve(prob.A, prob.b, method="bicgstab",
+                cfg=SolverConfig(tol=1e-11, max_iter=300,
+                                 dtype=jnp.float32))
+    assert bool(res.converged)
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64
+    err = np.abs(df_to_f64(res.x) - prob.exact_solution()).max()
+    assert err < 1e-8, err
+
+
+def test_distributed_window_df32():
+    import numpy as np
+    from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = clustered_random(8192, seed=7)
+    part = partition_csr(csr, 8, dtype="df32")
+    assert part.has_window
+    b = csr.matvec(np.ones(csr.nrows))
+    res = solve_distributed(part, b, method="bicgstab",
+                            cfg=SolverConfig(tol=1e-11, max_iter=400,
+                                             dtype=jnp.float32))
+    assert bool(res.converged)
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64
+    err = np.abs(df_to_f64(res.x) - 1.0).max()
+    assert err < 1e-8, err
