@@ -213,13 +213,19 @@ def window_spmv_df(A: WindowEllMatrix, x, interpret: bool = False):
                                   interpret=interpret)
     y = DF(yh, yl)
     if A.tail_size:
-        xt = DF(x.hi[A.tail_cols], x.lo[A.tail_cols])
-        t = df_mul(A.tail_vals, xt)
-        y = df_add(y, DF(
-            jax.ops.segment_sum(t.hi, A.tail_rows,
-                                num_segments=A.n_rows),
-            jax.ops.segment_sum(t.lo, A.tail_rows,
-                                num_segments=A.n_rows)))
+        # one segment_sum PER DUPLICATE-RANK LEVEL: within a level each
+        # row appears at most once, so the f32 segment_sum only PLACES
+        # values (exact); the cross-level combination is a DF add.
+        # A flat segment_sum was measured losing the low parts
+        # (5.7e-9 rel error on multi-entry tail rows).
+        for d in range(A.tail_rows.shape[0]):
+            xt = DF(x.hi[A.tail_cols[d]], x.lo[A.tail_cols[d]])
+            t = df_mul(DF(A.tail_vals.hi[d], A.tail_vals.lo[d]), xt)
+            y = df_add(y, DF(
+                jax.ops.segment_sum(t.hi, A.tail_rows[d],
+                                    num_segments=A.n_rows),
+                jax.ops.segment_sum(t.lo, A.tail_rows[d],
+                                    num_segments=A.n_rows)))
     return y
 
 
@@ -234,7 +240,7 @@ def window_spmv(A: WindowEllMatrix, x: jax.Array,
     y = _window_spmv_core(A.sub_sel, A.lane_idx, A.vals, A.window_base,
                           x2d, interpret=interpret)
     if A.tail_size:
-        tail = A.tail_vals * x[A.tail_cols]
-        y = y + jax.ops.segment_sum(tail, A.tail_rows,
+        tail = (A.tail_vals * x[A.tail_cols]).reshape(-1)
+        y = y + jax.ops.segment_sum(tail, A.tail_rows.reshape(-1),
                                     num_segments=A.n_rows)
     return y

@@ -58,8 +58,14 @@ class WindowEllMatrix:
     vals:     [W, T, 8, 128] — coefficients (0 where padded)
     window_base: int32 [T] — tile's window position in 1024-col
               blocks (= Pallas x2d block index)
-    tail_*:   COO spill (out-of-window / over-width entries), padded to
-              a static size; handled by a segment-sum outside the kernel
+    tail_*:   COO spill (out-of-window / over-width entries), shaped
+              [8, cap] by DUPLICATE RANK within each row: level d holds
+              each row's d-th tail entry, so a segment-sum per level
+              never ADDS two entries (exact placement) and the df32
+              path can combine levels with DF adds — an f32 segment_sum
+              over a flat tail was measured losing the low parts
+              (5.7e-9 rel error) exactly on multi-entry tail rows.
+              Padded entries: row n_rows-1, col 0, val 0.
     """
 
     sub_sel: jax.Array
@@ -80,7 +86,9 @@ class WindowEllMatrix:
 
     @property
     def tail_size(self) -> int:
-        return self.tail_vals.shape[0]
+        """Static tail capacity (levels x cap; zero-val padded)."""
+        import numpy as _np
+        return int(_np.prod(self.tail_vals.shape))
 
     @property
     def shape(self):
@@ -213,14 +221,36 @@ def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
 
     spill = ~ok
     n_tail = int(spill.sum())
-    tail_size = max(n_tail, tail_pad)
-    t_rows = np.full(tail_size, max(n - 1, 0), dtype=np.int32)
-    t_cols = np.zeros(tail_size, dtype=np.int32)
-    t_vals = np.zeros(tail_size, dtype=vals_dtype)
-    if n_tail:
-        t_rows[:n_tail] = rows[spill]
-        t_cols[:n_tail] = cols[spill]
-        t_vals[:n_tail] = vals[spill]
+    # duplicate-rank levels: rank d = the entry's occurrence index
+    # within its row (among tail entries)
+    TAIL_LEVELS = 8
+    sp_rows = rows[spill]
+    order_t = np.argsort(sp_rows, kind="stable")
+    rs = sp_rows[order_t]
+    starts_t = np.r_[0, np.flatnonzero(np.diff(rs)) + 1]
+    gid = np.zeros(rs.size, dtype=np.int64)
+    gid[starts_t[1:]] = 1
+    gid = np.cumsum(gid)
+    rank_t = np.arange(rs.size) - starts_t[gid]
+    if rank_t.size and rank_t.max() >= TAIL_LEVELS:
+        raise ValueError(
+            f"a row has more than {TAIL_LEVELS} tail entries — the "
+            "matrix has too little window locality for this layout "
+            "(use gather-ELL / format='ell')")
+    counts = np.bincount(rank_t, minlength=TAIL_LEVELS) if rank_t.size         else np.zeros(TAIL_LEVELS, dtype=np.int64)
+    cap = max(int(counts.max()) if rank_t.size else 0, tail_pad, 1)
+    t_rows = np.full((TAIL_LEVELS, cap), max(n - 1, 0), dtype=np.int32)
+    t_cols = np.zeros((TAIL_LEVELS, cap), dtype=np.int32)
+    t_vals = np.zeros((TAIL_LEVELS, cap), dtype=vals_dtype)
+    sp_cols = cols[spill][order_t]
+    sp_vals = vals[spill][order_t]
+    for d in range(TAIL_LEVELS):
+        sel = rank_t == d
+        k = int(sel.sum())
+        if k:
+            t_rows[d, :k] = rs[sel]
+            t_cols[d, :k] = sp_cols[sel]
+            t_vals[d, :k] = sp_vals[sel]
 
     if df_mode:
         from mpi_bicgstab_tpu.ops.precision import df_from_f64

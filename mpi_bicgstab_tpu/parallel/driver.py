@@ -103,9 +103,10 @@ def put_partitioned(part: PartitionedMatrix, mesh) -> PartitionedMatrix:
     if part.has_window:
         for f in ("win_sub", "win_lane", "win_vals"):
             kw[f] = _put(getattr(part, f), tile)
-        for f in ("win_base", "win_tail_rows", "win_tail_cols",
-                  "win_tail_vals"):
-            kw[f] = _put(getattr(part, f), vec)
+        kw["win_base"] = _put(part.win_base, vec)
+        tailsh = NamedSharding(mesh, P(None, ROWS))
+        for f in ("win_tail_rows", "win_tail_cols", "win_tail_vals"):
+            kw[f] = _put(getattr(part, f), tailsh)
     if part.has_ell:
         for f in ("diag_cols", "diag_vals", "offd_cols", "offd_vals"):
             kw[f] = _put(getattr(part, f), slab)

@@ -113,8 +113,9 @@ class PartitionedMatrix:
         if self.has_dia:
             out.append(slab_spec)
         if self.has_window:
+            tail_spec = P(None, rows_axis)
             out.extend([tile_spec, tile_spec, tile_spec, vec_spec,
-                        vec_spec, vec_spec, vec_spec])
+                        tail_spec, tail_spec, tail_spec])
         if self.has_ell:
             out.extend([slab_spec, slab_spec, vec_spec, vec_spec, vec_spec,
                         slab_spec, slab_spec, vec_spec, vec_spec, vec_spec])
@@ -267,7 +268,7 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 force_x_rows=n_loc // 128)
                 for b in diag_blocks]
             win_width = max(w.width for w in wins)
-            tail_cap = max(w.tail_size for w in wins)
+            tail_cap = max(w.tail_rows.shape[1] for w in wins)
 
             def padW(a):
                 from mpi_bicgstab_tpu.ops.precision import DF, is_df
@@ -281,8 +282,8 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 from mpi_bicgstab_tpu.ops.precision import DF, is_df
                 if is_df(a):
                     return DF(padT(a.hi, fill), padT(a.lo, fill))
-                a = np.asarray(a)
-                return np.pad(a, (0, tail_cap - a.shape[0]),
+                a = np.asarray(a)   # [levels, cap] -> pad the cap axis
+                return np.pad(a, ((0, 0), (0, tail_cap - a.shape[1])),
                               constant_values=fill)
 
             def cat(parts, axis=0):
@@ -299,9 +300,12 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 win_base=np.concatenate([np.asarray(w.window_base)
                                          for w in wins]),
                 win_tail_rows=cat(
-                    [padT(w.tail_rows, max(n_loc - 1, 0)) for w in wins]),
-                win_tail_cols=cat([padT(w.tail_cols) for w in wins]),
-                win_tail_vals=cat([padT(w.tail_vals) for w in wins]),
+                    [padT(w.tail_rows, max(n_loc - 1, 0)) for w in wins],
+                    axis=1),
+                win_tail_cols=cat([padT(w.tail_cols) for w in wins],
+                                  axis=1),
+                win_tail_vals=cat([padT(w.tail_vals) for w in wins],
+                                  axis=1),
             )
             # diag entries now live in the window layout; keep only a
             # zero-width placeholder in the diag ELL slot

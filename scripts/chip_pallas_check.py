@@ -59,6 +59,16 @@ def main():
     print(json.dumps({"kernel": "window_spmv", "rel_err": rel}),
           flush=True)
     ok &= rel < 1e-5
+
+    # --- df32 windowed-ELL kernel (DF pairs through the two gathers) --
+    from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv_df
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_to_f64
+    Wdf = csr_to_window_ell(csr_w, dtype="df32")
+    ydf = df_to_f64(window_spmv_df(Wdf, df_from_f64(xw)))
+    rel_df = float(np.abs(ydf - y_ref).max() / np.abs(y_ref).max())
+    print(json.dumps({"kernel": "window_spmv_df", "rel_err": rel_df}),
+          flush=True)
+    ok &= rel_df < 1e-12
     print(json.dumps({"chip_pallas_check": "OK" if ok else "FAIL"}))
     return 0 if ok else 1
 
