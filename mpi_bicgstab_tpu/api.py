@@ -108,6 +108,34 @@ def solve_shifted_checkpointed(A, b, sigma, seed: int, cfg, path: str,
         runner, init_carry, path, segment_iters, cfg.max_iter, meta)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _refine_jit(A, b, sigma, x_set, cfg):
+    from mpi_bicgstab_tpu.solvers.refine import refine_shifted
+    comm = Comm(None)
+    return refine_shifted(lambda v: generic_spmv(A, v), comm, b, sigma,
+                          x_set, cfg)
+
+
+def refine_shifted_solutions(A, b, sigma, x_set, cfg=None):
+    """Polish per-shift solutions with a batched BiCGStab over the
+    shift axis until every TRUE residual ||b - (A + sigma_j) x_j||
+    meets cfg.tol * ||b|| (solvers/refine.py — the re-anchoring pass
+    the shifted recurrences lack; see the measured drift in
+    docs/RESULTS_TPU.md). Returns (x_set, n_iter, true_relres[S])."""
+    import numpy as np
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, is_df
+    if is_df(b):
+        sigma = df_from_f64(np.asarray(sigma, np.float64))
+    else:
+        b = jnp.asarray(b)
+        sigma = jnp.asarray(sigma, b.dtype)
+    if cfg is None:
+        from mpi_bicgstab_tpu.ops.precision import vvalue
+        cfg = SolverConfig(tol=1e-10, max_iter=500,
+                           dtype=vvalue(b).dtype)
+    return _refine_jit(A, b, sigma, x_set, cfg)
+
+
 def solve(A, b, x0=None, method: str = "bicgstab",
           cfg: SolverConfig | None = None):
     """Solve A x = b with one of the classic BiCGStab family on the

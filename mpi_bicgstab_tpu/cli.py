@@ -433,6 +433,25 @@ def cmd_solve_shifted(args):
                 jax.block_until_ready(res.x_set)
             total = (time.perf_counter() - t0) / args.repeat
         iters = max(int(res.n_iter), 1)
+        refine_info = {}
+        if args.refine:
+            if args.devices > 1:
+                raise SystemExit("--refine is single-device (the "
+                                 "batched polish runs on one chip)")
+            import dataclasses as _dc
+            from mpi_bicgstab_tpu.api import refine_shifted_solutions
+            from mpi_bicgstab_tpu.utils.config import SolverConfig
+            rcfg = SolverConfig(tol=tol, max_iter=args.max_iter,
+                                dtype=cfg_dtype)
+            x2, rk, rres = refine_shifted_solutions(
+                prob.A, b_dev, sigma, res.x_set, rcfg)
+            jax.block_until_ready(x2 if not hasattr(x2, "hi") else x2.hi)
+            res = _dc.replace(res, x_set=x2)
+            refine_info = {
+                "refine_iters": int(rk),
+                "max_true_relres_after_refine":
+                    float(np.asarray(rres).max()),
+            }
         payload = {
             "method": args.method,
             "matrix": args.matrix,
@@ -448,6 +467,7 @@ def cmd_solve_shifted(args):
             "all_converged": bool(np.asarray(res.stop_flags).all()),
             "total_time_s": round(total, 6),
             "avg_time_per_iter_s": round(total / iters, 9),
+            **refine_info,
         }
         _dump_history(args, res)
         if args.write_solution:
@@ -544,6 +564,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=255)
     p.add_argument("--sigma-len-sweep", default=None,
                    help="comma list, e.g. 8,32,128,512 (main_seed_diff.c)")
+    p.add_argument("--refine", action="store_true",
+                   help="after the shifted solve, polish every shift "
+                        "with a batched BiCGStab until the TRUE "
+                        "per-shift residuals meet --tol "
+                        "(solvers/refine.py) — fixes the estimate-vs-"
+                        "truth drift of long runs (docs/RESULTS_TPU.md)")
     p.add_argument("--check-error", action="store_true",
                    help="compute true per-shift relative errors "
                         "(test_shifted.c DISPLAY_ERROR). Recommended "
