@@ -116,24 +116,37 @@ def _refine_jit(A, b, sigma, x_set, cfg):
                           x_set, cfg)
 
 
-def refine_shifted_solutions(A, b, sigma, x_set, cfg=None):
+def refine_shifted_solutions(A, b, sigma, x_set, cfg=None,
+                             chunk: int = 128):
     """Polish per-shift solutions with a batched BiCGStab over the
     shift axis until every TRUE residual ||b - (A + sigma_j) x_j||
     meets cfg.tol * ||b|| (solvers/refine.py — the re-anchoring pass
     the shifted recurrences lack; see the measured drift in
-    docs/RESULTS_TPU.md). Returns (x_set, n_iter, true_relres[S])."""
+    docs/RESULTS_TPU.md). Ladders wider than `chunk` refine in chunks
+    (the batched state is ~5 [S, n] vectors — chunking keeps wide
+    ladders inside HBM). Returns (x_set, n_iter, true_relres[S])."""
     import numpy as np
-    from mpi_bicgstab_tpu.ops.precision import df_from_f64, is_df
+    from mpi_bicgstab_tpu.ops.precision import (df_from_f64, is_df,
+                                                vcat, vvalue)
     if is_df(b):
         sigma = df_from_f64(np.asarray(sigma, np.float64))
     else:
         b = jnp.asarray(b)
         sigma = jnp.asarray(sigma, b.dtype)
     if cfg is None:
-        from mpi_bicgstab_tpu.ops.precision import vvalue
         cfg = SolverConfig(tol=1e-10, max_iter=500,
                            dtype=vvalue(b).dtype)
-    return _refine_jit(A, b, sigma, x_set, cfg)
+    S = sigma.shape[0]
+    if S <= chunk:
+        return _refine_jit(A, b, sigma, x_set, cfg)
+    outs, iters, rels = [], 0, []
+    for s0 in range(0, S, chunk):
+        sl = slice(s0, min(s0 + chunk, S))
+        x2, k, rr = _refine_jit(A, b, sigma[sl], x_set[sl], cfg)
+        outs.append(x2)
+        iters = max(iters, int(k))
+        rels.append(rr)
+    return vcat(outs, 0), iters, jnp.concatenate(rels)
 
 
 def solve(A, b, x0=None, method: str = "bicgstab",

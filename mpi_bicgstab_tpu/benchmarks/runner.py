@@ -187,28 +187,30 @@ def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
     b_host = csr.matvec(np.ones(csr.nrows))
     K1, K2 = max(2, iters // 6), iters
 
-    def make(serialize):
-        if devices > 1:
-            from mpi_bicgstab_tpu.parallel.driver import solve_distributed
-            from mpi_bicgstab_tpu.parallel.partition import partition_csr
-            part = partition_csr(csr, devices, dtype=np.dtype(dtype))
+    if devices > 1:
+        from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+        from mpi_bicgstab_tpu.parallel.partition import partition_csr
+        part = partition_csr(csr, devices, dtype=np.dtype(dtype))
 
+        def make(serialize):
             def make_chain(K):
                 cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype,
                                    serialize_comm=serialize)
                 return lambda: solve_distributed(
                     part, b_host, method=method, cfg=cfg).final_relres
-        else:
-            from mpi_bicgstab_tpu.api import solve
-            from mpi_bicgstab_tpu.models.problem import build_problem
-            prob = build_problem(csr, dtype=dtype, multiple=1024)
+            return make_chain
+    else:
+        from mpi_bicgstab_tpu.api import solve
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
 
+        def make(serialize):
             def make_chain(K):
                 cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype,
                                    serialize_comm=serialize)
                 return lambda: solve(prob.A, prob.b, method=method,
                                      cfg=cfg).final_relres
-        return make_chain
+            return make_chain
 
     t_overlap = _slope_time(make(False), K1=K1, K2=K2, reps=3)
     t_serial = _slope_time(make(True), K1=K1, K2=K2, reps=3)

@@ -362,6 +362,11 @@ def cmd_solve_shifted(args):
             raise SystemExit("--checkpoint is single-device for the "
                              "shifted family (the carry is saved "
                              "unsharded)")
+        if args.checkpoint_every < 1:
+            raise SystemExit("--checkpoint-every must be >= 1")
+    if args.refine and args.devices > 1:
+        raise SystemExit("--refine is single-device (the batched "
+                         "polish runs on one chip)")
 
     sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
              if args.sigma_len_sweep else [args.sigma_len])
@@ -412,11 +417,16 @@ def cmd_solve_shifted(args):
 
         if args.checkpoint:
             from mpi_bicgstab_tpu.api import solve_shifted_checkpointed
+            import hashlib
+            b_hash = hashlib.sha256(
+                np.ascontiguousarray(np.asarray(b, np.float64))
+            ).hexdigest()[:16]
             meta = {"n": csr.nrows, "nnz": int(csr.nnz),
                     "matrix": args.matrix, "dtype": args.dtype,
                     "sigma_len": S, "seed": int(seed),
-                    "reorder": args.reorder,
-                    "rhs": args.rhs or "(A+sigma_seed I)*ones"}
+                    "sigma_max": float(args.sigma_max),
+                    "tol": float(tol), "reorder": args.reorder,
+                    "rhs": b_hash}
             t0 = time.perf_counter()
             res, _done = solve_shifted_checkpointed(
                 prob.A, b_dev, sigma, seed=seed, cfg=cfg,
@@ -435,9 +445,6 @@ def cmd_solve_shifted(args):
         iters = max(int(res.n_iter), 1)
         refine_info = {}
         if args.refine:
-            if args.devices > 1:
-                raise SystemExit("--refine is single-device (the "
-                                 "batched polish runs on one chip)")
             import dataclasses as _dc
             from mpi_bicgstab_tpu.api import refine_shifted_solutions
             from mpi_bicgstab_tpu.utils.config import SolverConfig

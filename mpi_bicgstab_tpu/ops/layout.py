@@ -79,7 +79,10 @@ def build_operator(csr, format: str = "auto", dtype=None,
                 csr_to_window_ell, window_ell_stats)
             stats = window_ell_stats(csr)
             if stats["window_frac"] >= 0.95:
-                return csr_to_window_ell(csr, dtype=dtype)
+                try:
+                    return csr_to_window_ell(csr, dtype=dtype)
+                except ValueError:
+                    pass    # hub rows overflow the tail levels
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
 
     dia, remainder = csr_to_dia(csr, offsets, dtype=dtype)

@@ -222,8 +222,11 @@ def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
     spill = ~ok
     n_tail = int(spill.sum())
     # duplicate-rank levels: rank d = the entry's occurrence index
-    # within its row (among tail entries)
-    TAIL_LEVELS = 8
+    # within its row (among tail entries); level count adapts to the
+    # deepest row (hub rows in graph-like matrices can spill many
+    # entries), capped so a pathological structure falls back to
+    # gather-ELL via the auto-selection's try/except
+    MAX_TAIL_LEVELS = 64
     sp_rows = rows[spill]
     order_t = np.argsort(sp_rows, kind="stable")
     rs = sp_rows[order_t]
@@ -232,19 +235,21 @@ def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
     gid[starts_t[1:]] = 1
     gid = np.cumsum(gid)
     rank_t = np.arange(rs.size) - starts_t[gid]
-    if rank_t.size and rank_t.max() >= TAIL_LEVELS:
+    n_levels = int(rank_t.max()) + 1 if rank_t.size else 0
+    if n_levels > MAX_TAIL_LEVELS:
         raise ValueError(
-            f"a row has more than {TAIL_LEVELS} tail entries — the "
-            "matrix has too little window locality for this layout "
+            f"a row has {n_levels} tail entries (> {MAX_TAIL_LEVELS}) — "
+            "too little window locality for this layout "
             "(use gather-ELL / format='ell')")
-    counts = np.bincount(rank_t, minlength=TAIL_LEVELS) if rank_t.size         else np.zeros(TAIL_LEVELS, dtype=np.int64)
+    counts = (np.bincount(rank_t, minlength=max(n_levels, 1))
+              if rank_t.size else np.zeros(1, dtype=np.int64))
     cap = max(int(counts.max()) if rank_t.size else 0, tail_pad, 1)
-    t_rows = np.full((TAIL_LEVELS, cap), max(n - 1, 0), dtype=np.int32)
-    t_cols = np.zeros((TAIL_LEVELS, cap), dtype=np.int32)
-    t_vals = np.zeros((TAIL_LEVELS, cap), dtype=vals_dtype)
+    t_rows = np.full((n_levels, cap), max(n - 1, 0), dtype=np.int32)
+    t_cols = np.zeros((n_levels, cap), dtype=np.int32)
+    t_vals = np.zeros((n_levels, cap), dtype=vals_dtype)
     sp_cols = cols[spill][order_t]
     sp_vals = vals[spill][order_t]
-    for d in range(TAIL_LEVELS):
+    for d in range(n_levels):
         sel = rank_t == d
         k = int(sel.sum())
         if k:
@@ -269,9 +274,10 @@ def csr_to_window_ell(csr, max_width: int = 24, dtype=None,
             (int(bases.max()) + 1) * (WINDOW_COLS // 128)))
 
 
-def window_ell_stats(csr, max_width: int = 16) -> dict:
-    """Coverage diagnostics for layout auto-selection (cheap dry run of
-    the assignment, no arrays built)."""
+def window_ell_stats(csr) -> dict:
+    """Coverage diagnostics for layout auto-selection (window fraction
+    only — over-width coloring spill is caught by the try/except around
+    the actual build in ops/layout.py / parallel/partition.py)."""
     n = csr.nrows
     n_tiles = -(-n // ROWS_PER_TILE)
     bases = _choose_windows(csr, n_tiles)

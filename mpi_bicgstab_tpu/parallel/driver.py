@@ -60,17 +60,10 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
             diag, offd = blocks
             if halo_strategy == "ring":
                 y2 = spmv_ring(diag, offd, comm, x_loc, part.n_devices)
-            elif window is not None:
-                # diag slot is a zero placeholder when the window layout
-                # carries the block — multiply only the offd part
-                from mpi_bicgstab_tpu.ops.precision import is_df as _idf
-                from mpi_bicgstab_tpu.ops.spmv import (ell_spmv as _ell,
-                                                       ell_spmv_df as
-                                                       _ell_df)
-                x_full = comm.allgather(x_loc)
-                x_full = comm.seq(x_full)
-                y2 = (_ell_df if _idf(x_full) else _ell)(offd, x_full)
             else:
+                # when the window layout carries the diag block, the
+                # diag slot is a zero-width placeholder and contributes
+                # exactly zero through the same shared code path
                 y2 = spmv_allgather(diag, offd, comm, x_loc)
             if y is None:
                 y = y2

@@ -263,12 +263,17 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 for b in diag_blocks)
         if use_window:
             from mpi_bicgstab_tpu.ops.window_ell import csr_to_window_ell
-            wins = [csr_to_window_ell(
-                b, dtype="df32" if df_mode else host_dtype,
-                force_x_rows=n_loc // 128)
-                for b in diag_blocks]
+            try:
+                wins = [csr_to_window_ell(
+                    b, dtype="df32" if df_mode else host_dtype,
+                    force_x_rows=n_loc // 128)
+                    for b in diag_blocks]
+            except ValueError:
+                use_window = False    # hub rows: gather-ELL fallback
+        if use_window:
             win_width = max(w.width for w in wins)
             tail_cap = max(w.tail_rows.shape[1] for w in wins)
+            tail_lv = max(w.tail_rows.shape[0] for w in wins)
 
             def padW(a):
                 from mpi_bicgstab_tpu.ops.precision import DF, is_df
@@ -282,8 +287,10 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                 from mpi_bicgstab_tpu.ops.precision import DF, is_df
                 if is_df(a):
                     return DF(padT(a.hi, fill), padT(a.lo, fill))
-                a = np.asarray(a)   # [levels, cap] -> pad the cap axis
-                return np.pad(a, ((0, 0), (0, tail_cap - a.shape[1])),
+                a = np.asarray(a)   # [levels, cap]: pad BOTH axes to the
+                # per-shard maxima (level padding is val=0/row n-1 inert)
+                return np.pad(a, ((0, tail_lv - a.shape[0]),
+                                  (0, tail_cap - a.shape[1])),
                               constant_values=fill)
 
             def cat(parts, axis=0):

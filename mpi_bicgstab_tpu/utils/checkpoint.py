@@ -159,6 +159,8 @@ def solve_switching_with_checkpoints(segment_runner, init_carry, path: str,
     carry). The segmented run is bit-identical to an uninterrupted one.
 
     Returns (result, total_iters)."""
+    if segment_iters < 1:
+        raise ValueError("segment_iters must be >= 1")
     carry = load_carry(path, init_carry, expect=meta)
     if carry is None:
         carry = init_carry
@@ -198,6 +200,8 @@ def solve_with_checkpoints(runner, path: str, segment_iters: int,
     the residual relative to the ORIGINAL ||b|| (the quantity the
     un-checkpointed solve reports); result is None when the checkpoint
     alone already satisfies the run (converged or out of budget)."""
+    if segment_iters < 1:
+        raise ValueError("segment_iters must be >= 1")
     resumed = load_checkpoint(path, expect=meta)
     x0 = None
     done = 0
