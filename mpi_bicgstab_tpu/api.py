@@ -18,6 +18,12 @@ from mpi_bicgstab_tpu.utils.config import SolverConfig
 
 @partial(jax.jit, static_argnames=("method", "cfg"))
 def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
+    if method == "pipe_bicgstab" and not cfg.serialize_comm:
+        from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused
+        if fused.available(A, cfg.dtype):
+            # both iteration phases fused into the DIA SpMV tile pass
+            # (updates + dot partials ride the band multiply)
+            return fused.pipe_bicgstab_fused(A, b, x0, cfg)
     comm = Comm(None, serialize=cfg.serialize_comm)
     return CLASSIC_SOLVERS[method](lambda v: generic_spmv(A, v), comm, b,
                                    x0, cfg)

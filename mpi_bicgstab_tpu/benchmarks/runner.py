@@ -212,8 +212,20 @@ def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
                                      cfg=cfg).final_relres
             return make_chain
 
-    t_overlap = _slope_time(make(False), K1=K1, K2=K2, reps=3)
-    t_serial = _slope_time(make(True), K1=K1, K2=K2, reps=3)
+    # pin the XLA build for BOTH sides: the fused Pallas pipe kernel
+    # (ops/pallas_fused_pipe) has no serialized twin, so letting it in
+    # would conflate kernel fusion with collective overlap
+    import os
+    prev = os.environ.get("MBT_FUSED_PIPE")
+    os.environ["MBT_FUSED_PIPE"] = "0"
+    try:
+        t_overlap = _slope_time(make(False), K1=K1, K2=K2, reps=3)
+        t_serial = _slope_time(make(True), K1=K1, K2=K2, reps=3)
+    finally:
+        if prev is None:
+            os.environ.pop("MBT_FUSED_PIPE", None)
+        else:
+            os.environ["MBT_FUSED_PIPE"] = prev
     return {"overlap_method": method,
             "time_per_iter_overlap_s": t_overlap,
             "time_per_iter_serialized_s": t_serial,

@@ -69,6 +69,26 @@ def main():
     print(json.dumps({"kernel": "window_spmv_df", "rel_err": rel_df}),
           flush=True)
     ok &= rel_df < 1e-12
+    # --- fused pipe iteration (VERDICT #4) vs XLA pipe -----------------
+    import os
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fp
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    import jax.numpy as _jnp
+    cfg = SolverConfig(tol=1e-5, max_iter=100, dtype=_jnp.float32)
+    assert fp.available(prob.A, _jnp.float32)
+    res_f = fp.pipe_bicgstab_fused(prob.A, prob.b,
+                                   _jnp.zeros_like(prob.b), cfg)
+    os.environ["MBT_FUSED_PIPE"] = "0"
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    os.environ.pop("MBT_FUSED_PIPE", None)
+    same = abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    print(json.dumps({"kernel": "pipe_bicgstab_fused",
+                      "iters": int(res_f.n_iter),
+                      "xla_iters": int(res_x.n_iter),
+                      "relres": float(res_f.final_relres),
+                      "trajectory_match": bool(same)}), flush=True)
+    ok &= same and bool(res_f.converged)
     print(json.dumps({"chip_pallas_check": "OK" if ok else "FAIL"}))
     return 0 if ok else 1
 
