@@ -10,6 +10,11 @@ JSON line per kernel.
 
 Usage: python scripts/chip_pallas_check.py       (needs the TPU backend)
 """
+import os as _os
+import sys as _os_sys
+_os_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -17,6 +17,11 @@ Launch (2-process CPU smoke, what tests/test_multihost.py does):
 On a real TPU pod slice, drop the env vars (each host sees its local
 chips; ICI carries the collectives) and run one process per host.
 """
+import os as _os
+import sys as _os_sys
+_os_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

@@ -16,6 +16,11 @@ Each probe gathers M elements; report Gelem/s. Data dependence between
 chain steps goes through the INDEX array (derived from the running
 accumulator) so XLA cannot hoist the gather out of the timing loop.
 """
+import os as _os
+import sys as _os_sys
+_os_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import functools
 import json
 import sys

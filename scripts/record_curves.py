@@ -8,6 +8,11 @@ prints a JSON summary row per method with the TRUE residual
 
 Usage: python scripts/record_curves.py [n] [dtype] [tol] [max_iter]
 """
+import os as _os
+import sys as _os_sys
+_os_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -8,6 +8,11 @@ XLA compiles ONCE and every solve is data-only.
 
 Usage: python scripts/tune_hard.py [n] [gamma1,gamma2,...]
 """
+import os as _os
+import sys as _os_sys
+_os_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import json
 import sys
 import time
