@@ -24,6 +24,11 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
             # both iteration phases fused into the DIA SpMV tile pass
             # (updates + dot partials ride the band multiply)
             return fused.pipe_bicgstab_fused(A, b, x0, cfg)
+        from mpi_bicgstab_tpu.ops import pallas_fused_pipe_df as fused_df
+        if fused_df.available(A, cfg.dtype):
+            # df32: iteration BODIES fused (updates + compensated dot
+            # partials); the DF SpMVs stay on the HBM-bound XLA path
+            return fused_df.pipe_bicgstab_fused_df(A, b, x0, cfg)
     comm = Comm(None, serialize=cfg.serialize_comm)
     return CLASSIC_SOLVERS[method](lambda v: generic_spmv(A, v), comm, b,
                                    x0, cfg)

@@ -58,6 +58,9 @@ def available(A, dtype) -> bool:
         return False
     if not isinstance(A, DiaMatrix) or dtype != jnp.float32:
         return False
+    from mpi_bicgstab_tpu.ops.precision import is_df
+    if is_df(A.vals):
+        return False          # df32 operators route to the _df variant
     if jax.default_backend() != "tpu":
         return False          # compiled-Mosaic path; XLA covers CPU
     if jax.config.jax_enable_x64:

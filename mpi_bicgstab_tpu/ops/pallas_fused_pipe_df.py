@@ -1,0 +1,337 @@
+"""df32 pipelined-BiCGStab with FUSED iteration bodies (VERDICT #5).
+
+The df32 pipe iteration measured ~4.1 ms vs ~0.78 ms f32: the two DIA
+SpMVs are HBM-bound (0.55 ms each, ops/dia.dia_spmv_df) but the
+BLAS-1/dot body pays XLA fusion boundaries between every double-float
+op chain. Here each phase's body runs as ONE Pallas kernel over
+[tr,128] tiles — all updates and compensated dot partials in a single
+pass, the error-free transforms verified bit-exact in Mosaic — while
+the SpMVs stay on the XLA path:
+
+  body A: z' = t + beta (z - omega v); p' = r + beta (p - omega s)
+          s' = w + beta (s - omega z); q = r - alpha s'
+          y = w - alpha z'; partials (q,y), (y,y)
+  [XLA]   v' = A z'
+  body B: w' = y - omega'(t - alpha v'); x' = x + alpha p' + omega' q
+          r' = q - omega' y; partials (r',r'), (rh,r'), (rh,w'),
+          (rh,s'), (rh,z')
+  [XLA]   t' = A w'
+
+Dot partials are DF pairs stored in per-grid-step lane slots and
+combined with DF adds in XLA (per-tile pairwise df_sum inside the
+kernel keeps the compensation).
+
+Gated by available(); MBT_FUSED_DF=0 opts out. Measured on the v5e:
+docs/RESULTS_TPU.md (round 2).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpi_bicgstab_tpu.ops.dia import DiaMatrix
+
+_LANES = 128
+_SUB = 8
+_TR = 64           # tile rows (sublanes) per grid step
+
+
+def available(A, dtype) -> bool:
+    import os
+    from mpi_bicgstab_tpu.ops.precision import is_df
+    if os.environ.get("MBT_FUSED_DF", "").lower() in ("0", "off"):
+        return False
+    if not isinstance(A, DiaMatrix) or not is_df(A.vals):
+        return False
+    if jax.default_backend() != "tpu" or jax.config.jax_enable_x64:
+        return False
+    return dtype == jnp.float32 and A.n_rows == A.n_cols
+
+
+def _df(h, l):
+    from mpi_bicgstab_tpu.ops.precision import DF
+    return DF(h, l)
+
+
+def _df_scalar(h, l):
+    """(1,1)-shaped DF from SMEM scalars: Mosaic's tpu.bitcast (inside
+    two_prod's bitmask split) requires VECTOR operands, so 0-d DF
+    scalars must not reach the EFT ops in-kernel."""
+    from mpi_bicgstab_tpu.ops.precision import DF
+    return DF(jnp.full((1, 1), h, jnp.float32),
+              jnp.full((1, 1), l, jnp.float32))
+
+
+def _dot_row_df(pairs):
+    """Pack DF dot partials into lane slots of a [1,8,128] pair:
+    partial k sits at lanes (2k, 2k+1) = (hi, lo)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _SUB, _LANES), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, _SUB, _LANES), 1)
+    d = jnp.zeros((1, _SUB, _LANES), jnp.float32)
+    for k, df_scalar in enumerate(pairs):
+        d = d + jnp.where((sub == 0) & (lane == 2 * k), df_scalar.hi, 0.0)
+        d = d + jnp.where((sub == 0) & (lane == 2 * k + 1),
+                          df_scalar.lo, 0.0)
+    return d
+
+
+def _tile_df_dot(u, v):
+    """Compensated dot of two DF [tr,128] tiles -> DF scalar: exact
+    products (two_prod), then pairwise two_sum halving over sublanes
+    and lanes — error ~log2(n) DF-unit steps, same class as
+    ops/precision.df_dot."""
+    from mpi_bicgstab_tpu.ops.precision import DF, two_prod, two_sum
+    p, e = two_prod(u.hi, v.hi)
+    e = e + (u.hi * v.lo + u.lo * v.hi)
+    h = p.shape[0]
+    while h > 1:
+        half = h // 2
+        s, e2 = two_sum(p[:half], p[half:h])
+        e = e[:half] + e[half:h] + e2
+        p = s
+        h = half
+    # lane reduction: full-width rolls instead of narrowing slices —
+    # sub-128-lane slicing triggers Mosaic relayouts that measured
+    # ~1000x slower (only lane 0 is meaningful after the halvings;
+    # the garbage lanes ride along harmlessly)
+    w_ = p.shape[1]
+    while w_ > 1:
+        half = w_ // 2
+        pr = pltpu.roll(p, _LANES - half, axis=1)
+        er = pltpu.roll(e, _LANES - half, axis=1)
+        s, e2 = two_sum(p, pr)
+        e = e + er + e2
+        p = s
+        w_ = half
+    return DF(p[0, 0], e[0, 0])
+
+
+def _body_a_kernel(sc_ref, rh_, rl_, ph_, pl_, sh_, sl_, wh_, wl_,
+                   zh_, zl_, th_, tl_, vh_, vl_,
+                   p2h, p2l, s2h, s2l, z2h, z2l, qh, ql, yh, yl,
+                   dots_ref):
+    from mpi_bicgstab_tpu.ops.precision import df_fma
+    alpha = _df_scalar(sc_ref[0], sc_ref[1])
+    beta = _df_scalar(sc_ref[2], sc_ref[3])
+    omega = _df_scalar(sc_ref[4], sc_ref[5])
+    r = _df(rh_[...], rl_[...])
+    p = _df(ph_[...], pl_[...])
+    s = _df(sh_[...], sl_[...])
+    w = _df(wh_[...], wl_[...])
+    z = _df(zh_[...], zl_[...])
+    t = _df(th_[...], tl_[...])
+    v = _df(vh_[...], vl_[...])
+    p2 = df_fma(r, beta, df_fma(p, -omega, s))      # solver.c:352-354
+    s2 = df_fma(w, beta, df_fma(s, -omega, z))      # solver.c:355-357
+    z2 = df_fma(t, beta, df_fma(z, -omega, v))      # solver.c:358-360
+    q = df_fma(r, -alpha, s2)                       # solver.c:361
+    y = df_fma(w, -alpha, z2)                       # solver.c:362
+    p2h[...], p2l[...] = p2.hi, p2.lo
+    s2h[...], s2l[...] = s2.hi, s2.lo
+    z2h[...], z2l[...] = z2.hi, z2.lo
+    qh[...], ql[...] = q.hi, q.lo
+    yh[...], yl[...] = y.hi, y.lo
+    dots_ref[...] = _dot_row_df([
+        _tile_df_dot(q, y), _tile_df_dot(y, y)])
+
+
+def _body_b_kernel(sc_ref, xh_, xl_, p2h_, p2l_, qh_, ql_, yh_, yl_,
+                   th_, tl_, vh_, vl_, rhh_, rhl_, s2h_, s2l_,
+                   z2h_, z2l_,
+                   x2h, x2l, r2h, r2l, w2h, w2l, dots_ref):
+    from mpi_bicgstab_tpu.ops.precision import df_fma
+    alpha = _df_scalar(sc_ref[0], sc_ref[1])
+    omega = _df_scalar(sc_ref[2], sc_ref[3])
+    x = _df(xh_[...], xl_[...])
+    p2 = _df(p2h_[...], p2l_[...])
+    q = _df(qh_[...], ql_[...])
+    y = _df(yh_[...], yl_[...])
+    t = _df(th_[...], tl_[...])
+    v2 = _df(vh_[...], vl_[...])
+    rh = _df(rhh_[...], rhl_[...])
+    s2 = _df(s2h_[...], s2l_[...])
+    z2 = _df(z2h_[...], z2l_[...])
+    x2 = df_fma(df_fma(x, alpha, p2), omega, q)     # solver.c:370-371
+    r2 = df_fma(q, -omega, y)                       # solver.c:372
+    w2 = df_fma(y, -omega, df_fma(t, -alpha, v2))   # solver.c:374-375
+    x2h[...], x2l[...] = x2.hi, x2.lo
+    r2h[...], r2l[...] = r2.hi, r2.lo
+    w2h[...], w2l[...] = w2.hi, w2.lo
+    dots_ref[...] = _dot_row_df([
+        _tile_df_dot(r2, r2), _tile_df_dot(rh, r2),
+        _tile_df_dot(rh, w2), _tile_df_dot(rh, s2),
+        _tile_df_dot(rh, z2)])
+
+
+def _tile_specs(n_in, n_out, tr):
+    tile = lambda: pl.BlockSpec((tr, _LANES), lambda i: (i, 0),  # noqa
+                                memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] \
+        + [tile() for _ in range(n_in)]
+    out_specs = tuple([tile() for _ in range(n_out)]
+                      + [pl.BlockSpec((1, _SUB, _LANES),
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)])
+    return in_specs, out_specs
+
+
+def _df_streams(*dfs):
+    out = []
+    for d in dfs:
+        out.append(d.hi.reshape(-1, _LANES))
+        out.append(d.lo.reshape(-1, _LANES))
+    return out
+
+
+def _sum_dot_rows(dots, k):
+    """[G,8,128] per-step DF partials -> k DF scalars (DF-summed)."""
+    from mpi_bicgstab_tpu.ops.precision import DF, df_renorm
+    row = dots[:, 0]                       # [G, 128]
+    outs = []
+    for j in range(k):
+        s = DF(jnp.sum(row[:, 2 * j]), jnp.sum(row[:, 2 * j + 1]))
+        outs.append(df_renorm(s))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_body_a(r, p, s, w, z, t, v, scalars, interpret=False):
+    """scalars: [a.hi, a.lo, b.hi, b.lo, o.hi, o.lo]. Returns
+    (p2, s2, z2, q, y, qTy, yTy) as DF."""
+    from mpi_bicgstab_tpu.ops.precision import DF
+    n = r.hi.shape[0]
+    tr = _TR
+    G = n // _LANES // tr
+    in_specs, out_specs = _tile_specs(14, 10, tr)
+    outs = pl.pallas_call(
+        _body_a_kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32)]
+            * 10
+            + [jax.ShapeDtypeStruct((G, _SUB, _LANES), jnp.float32)]),
+        interpret=interpret,
+    )(scalars, *_df_streams(r, p, s, w, z, t, v))
+    flat = lambda h, l: DF(h.reshape(n), l.reshape(n))  # noqa: E731
+    p2 = flat(outs[0], outs[1])
+    s2 = flat(outs[2], outs[3])
+    z2 = flat(outs[4], outs[5])
+    q = flat(outs[6], outs[7])
+    y = flat(outs[8], outs[9])
+    qTy, yTy = _sum_dot_rows(outs[10], 2)
+    return p2, s2, z2, q, y, qTy, yTy
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_body_b(x, p2, q, y, t, v2, r_hat, s2, z2, scalars,
+                 interpret=False):
+    """scalars: [a.hi, a.lo, o.hi, o.lo]. Returns (x2, r2, w2, dot_r,
+    rTr, rhTw, rhTs, rhTz) as DF."""
+    from mpi_bicgstab_tpu.ops.precision import DF
+    n = x.hi.shape[0]
+    tr = _TR
+    G = n // _LANES // tr
+    in_specs, out_specs = _tile_specs(18, 6, tr)
+    outs = pl.pallas_call(
+        _body_b_kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32)]
+            * 6
+            + [jax.ShapeDtypeStruct((G, _SUB, _LANES), jnp.float32)]),
+        interpret=interpret,
+    )(scalars, *_df_streams(x, p2, q, y, t, v2, r_hat, s2, z2))
+    flat = lambda h, l: DF(h.reshape(n), l.reshape(n))  # noqa: E731
+    x2 = flat(outs[0], outs[1])
+    r2 = flat(outs[2], outs[3])
+    w2 = flat(outs[4], outs[5])
+    d = _sum_dot_rows(outs[6], 5)
+    return (x2, r2, w2) + tuple(d)
+
+
+def pipe_bicgstab_fused_df(A: DiaMatrix, b, x0, cfg, interpret=False):
+    """df32 pipelined BiCGStab with fused iteration bodies; the two DF
+    DIA SpMVs stay on the (HBM-bound) XLA path. Mathematically the
+    reference pipe_bicgstab with identical update order; dots reduce
+    per 8192-element tile with full compensation. Pads internally to
+    the tile grid (zero rows are inert)."""
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_dot, df_stack,
+                                                df_zeros, vvalue)
+    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from jax import lax
+
+    n0 = b.hi.shape[0]
+    blk = _TR * _LANES
+    n = -(-n0 // blk) * blk
+    vals = A.vals
+    if n != n0:
+        vals = DF(jnp.pad(vals.hi, ((0, 0), (0, n - n0))),
+                  jnp.pad(vals.lo, ((0, 0), (0, n - n0))))
+        b = DF(jnp.pad(b.hi, (0, n - n0)), jnp.pad(b.lo, (0, n - n0)))
+        x0 = DF(jnp.pad(x0.hi, (0, n - n0)),
+                jnp.pad(x0.lo, (0, n - n0)))
+    Ap = DiaMatrix(vals, A.offsets, n, n)
+
+    tol2 = jnp.asarray(cfg.tol, jnp.float32) ** 2
+    max_iter = cfg.max_iter
+
+    r0 = b - dia_spmv_df(Ap, x0)
+    r_hat = r0
+    w0 = dia_spmv_df(Ap, r0)
+    t0 = dia_spmv_df(Ap, w0)
+    rTr0 = df_dot(r0, r0)
+    rTw0 = df_dot(r0, w0)
+    alpha0 = rTr0 / rTw0
+    zero_s = df_zeros(())
+    zv = df_zeros((n,))
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, jnp.float32)
+
+    def sc6(a, bb, o):
+        return jnp.stack([a.hi, a.lo, bb.hi, bb.lo, o.hi, o.lo])
+
+    def cond(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        return (vvalue(dot_r) > vvalue(dot_zero) * tol2) & (k < max_iter)
+
+    def body(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        p2, s2, z2, q, y, qTy, yTy = fused_body_a(
+            r, p, s, w, z, t, v, sc6(alpha, beta, omega),
+            interpret=interpret)
+        v2 = dia_spmv_df(Ap, z2)
+        omega2 = qTy / yTy
+        x2, r2, w2, dot_new, rTr_new, rhTw, rhTs, rhTz = fused_body_b(
+            x, p2, q, y, t, v2, r_hat, s2, z2,
+            jnp.stack([alpha.hi, alpha.lo, omega2.hi, omega2.lo]),
+            interpret=interpret)
+        t2 = dia_spmv_df(Ap, w2)
+        beta2 = (alpha / omega2) * (rTr_new / rTr)
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(vvalue(dot_new))
+        return (k + 1, x2, r2, w2, t2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    out = lax.while_loop(cond, body, (
+        jnp.int32(0), x0, r0, w0, t0, zv, zv, zv, zv, alpha0, zero_s,
+        zero_s, rTr0, rTr0, hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[13], out[14]
+    relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    return SolveResult(x=DF(x.hi[:n0], x.lo[:n0]), n_iter=k,
+                       final_relres=relres,
+                       history=jnp.sqrt(hist / vvalue(dot_zero)),
+                       converged=vvalue(dot_r)
+                       <= vvalue(dot_zero) * tol2)

@@ -102,3 +102,55 @@ def test_fused_solver_pads_odd_sizes():
                               cfg, interpret=True)
     assert bool(res.converged)
     assert res.x.shape[0] == prob.n
+
+
+# ---------------------------------------------------------------------------
+# df32 body-fused variant (ops/pallas_fused_pipe_df.py)
+# ---------------------------------------------------------------------------
+
+def test_df32_body_a_matches_xla():
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df import fused_body_a
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_from_f64,
+                                                df_to_f64, vfma)
+    n = 8192
+    rng = np.random.default_rng(0)
+    mk = lambda: df_from_f64(rng.standard_normal(n))  # noqa: E731
+    r, p, s, w, z, t, v = (mk() for _ in range(7))
+    al, be, om = (df_from_f64(np.asarray(x))
+                  for x in (0.7, 0.3, 0.2))
+    sc = jnp.stack([al.hi, al.lo, be.hi, be.lo, om.hi, om.lo])
+    p2, s2, z2, q, y, qTy, yTy = fused_body_a(r, p, s, w, z, t, v, sc,
+                                              interpret=True)
+    p2x = vfma(r, be, vfma(p, -om, s))
+    s2x = vfma(w, be, vfma(s, -om, z))
+    z2x = vfma(t, be, vfma(z, -om, v))
+    qx = vfma(r, -al, s2x)
+    yx = vfma(w, -al, z2x)
+    for got, want in ((p2, p2x), (s2, s2x), (z2, z2x), (q, qx), (y, yx)):
+        np.testing.assert_allclose(df_to_f64(got), df_to_f64(want),
+                                   rtol=1e-13, atol=1e-13)
+    from mpi_bicgstab_tpu.ops.precision import df_dot
+    np.testing.assert_allclose(float(df_to_f64(qTy)),
+                               float(df_to_f64(df_dot(qx, yx))),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(df_to_f64(yTy)),
+                               float(df_to_f64(df_dot(yx, yx))),
+                               rtol=1e-10)
+
+
+def test_df32_fused_solver_matches_xla_pipe():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df import \
+        pipe_bicgstab_fused_df
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    csr = banded_random(8192, [1, -1, 40, -40], seed=7)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=120, dtype=jnp.float32)
+    res_f = pipe_bicgstab_fused_df(prob.A, prob.b,
+                                   df_zeros_like(prob.b), cfg,
+                                   interpret=True)
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-9, err
