@@ -18,7 +18,12 @@ from mpi_bicgstab_tpu.utils.config import SolverConfig
 
 @partial(jax.jit, static_argnames=("method", "cfg"))
 def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
-    if method == "pipe_bicgstab" and not cfg.serialize_comm:
+    # out_iter != 0 routes to the XLA build: the periodic residual
+    # print (_maybe_print_residual) lives there, and silently dropping
+    # --verbose-every output exactly when the fused kernels engage
+    # would be a trap (round-2 ADVICE)
+    if (method == "pipe_bicgstab" and not cfg.serialize_comm
+            and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused
         if fused.available(A, cfg.dtype):
             # both iteration phases fused into the DIA SpMV tile pass

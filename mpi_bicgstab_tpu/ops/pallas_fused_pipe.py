@@ -50,21 +50,16 @@ _LANES = 128
 _SUB = 8
 
 
-def available(A, dtype) -> bool:
-    """Pure-DIA f32 square operators on the TPU backend (the solver
-    pads internally to the 8192-row grid, so any n qualifies)."""
-    import os
-    if os.environ.get("MBT_FUSED_PIPE", "").lower() in ("0", "off"):
-        return False
+def format_ok(A, dtype) -> bool:
+    """Structural/dtype/VMEM gate, backend-independent: pure-DIA f32
+    square operators whose resident iterate + vals stream fit VMEM
+    (the solver pads internally to the 8192-row grid, so any n
+    qualifies)."""
     if not isinstance(A, DiaMatrix) or dtype != jnp.float32:
         return False
     from mpi_bicgstab_tpu.ops.precision import is_df
     if is_df(A.vals):
         return False          # df32 operators route to the _df variant
-    if jax.default_backend() != "tpu":
-        return False          # compiled-Mosaic path; XLA covers CPU
-    if jax.config.jax_enable_x64:
-        return False          # Mosaic x64 lane-roll hazard (fence)
     n_pad = _round_up(A.n_rows, 8192)
     plr, phr = _halo_rows(A.offsets)
     xp_bytes = (plr + n_pad // _LANES + phr) * _LANES * 4
@@ -73,6 +68,17 @@ def available(A, dtype) -> bool:
     return (A.n_diags >= 1 and A.n_rows == A.n_cols
             and xp_bytes + vals_bytes + stream_bytes
             <= 13 * 1024 * 1024)
+
+
+def available(A, dtype) -> bool:
+    import os
+    if os.environ.get("MBT_FUSED_PIPE", "").lower() in ("0", "off"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False          # compiled-Mosaic path; XLA covers CPU
+    if jax.config.jax_enable_x64:
+        return False          # Mosaic x64 lane-roll hazard (fence)
+    return format_ok(A, dtype)
 
 
 def _dot_row(vals_list):

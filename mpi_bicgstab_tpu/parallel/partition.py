@@ -256,6 +256,13 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
         use_window = (dia_mode == "none"
                       and format in ("auto", "window")
                       and n_loc % 1024 == 0)
+        if format == "window" and not use_window:
+            # explicit request must not silently measure the ELL path
+            # (mirrors ops/layout.build_operator; round-2 ADVICE)
+            raise ValueError(
+                "format='window' requires pure-unstructured blocks "
+                f"(dia_mode={dia_mode!r}) and n_loc % 1024 == 0 "
+                f"(n_loc={n_loc}); use format='auto' for fallback")
         if use_window and format == "auto":
             from mpi_bicgstab_tpu.ops.window_ell import window_ell_stats
             use_window = all(
@@ -269,6 +276,8 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                     force_x_rows=n_loc // 128)
                     for b in diag_blocks]
             except ValueError:
+                if format == "window":
+                    raise   # explicitly requested: surface the reason
                 use_window = False    # hub rows: gather-ELL fallback
         if use_window:
             win_width = max(w.width for w in wins)

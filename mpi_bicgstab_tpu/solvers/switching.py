@@ -192,6 +192,25 @@ def init_switching_carry(b, sigma, seed: int, cfg: ShiftedConfig,
             rTr0, rTr0, hist0)
 
 
+# Named positions in the 16-leaf switching carry (the tuple built by
+# init_switching_carry and threaded through _switching_loop). External
+# consumers (utils/checkpoint's segment driver) must read through these
+# accessors, never hard-code indices: a carry reorder would otherwise
+# silently desynchronize their termination logic (round-2 ADVICE).
+_CARRY_K = 0           # next iteration index (1-based, :297-299)
+_CARRY_STOP = 12       # per-shift stop flags [S] bool
+
+
+def carry_k(carry):
+    """Next iteration index of a switching carry."""
+    return carry[_CARRY_K]
+
+
+def carry_stop_flags(carry):
+    """Per-shift stop flags [S] of a switching carry."""
+    return carry[_CARRY_STOP]
+
+
 def _switch_dot_zero(comm, b):
     """(r0, r0) = (b, b) — recomputed identically on every (re)entry
     since r_hat = b and x0 = 0 (:344-346)."""

@@ -159,6 +159,7 @@ def solve_switching_with_checkpoints(segment_runner, init_carry, path: str,
     carry). The segmented run is bit-identical to an uninterrupted one.
 
     Returns (result, total_iters)."""
+    from mpi_bicgstab_tpu.solvers.switching import carry_k, carry_stop_flags
     if segment_iters < 1:
         raise ValueError("segment_iters must be >= 1")
     carry = load_carry(path, init_carry, expect=meta)
@@ -166,9 +167,9 @@ def solve_switching_with_checkpoints(segment_runner, init_carry, path: str,
         carry = init_carry
     res = None
     while True:
-        k = int(np.asarray(carry[0]))           # next iteration index
+        k = int(np.asarray(carry_k(carry)))     # next iteration index
         done = k - 1                            # :559 reports k-1
-        all_stopped = bool(np.asarray(carry[12]).all())
+        all_stopped = bool(np.asarray(carry_stop_flags(carry)).all())
         if all_stopped or done >= max_iter:
             if res is None:
                 # checkpoint alone satisfies the run: produce the result
@@ -177,7 +178,7 @@ def solve_switching_with_checkpoints(segment_runner, init_carry, path: str,
             break
         res, carry = segment_runner(carry, k + segment_iters)
         save_carry(path, carry, meta)
-    return res, int(np.asarray(carry[0])) - 1
+    return res, int(np.asarray(carry_k(carry))) - 1
 
 
 def solve_with_checkpoints(runner, path: str, segment_iters: int,

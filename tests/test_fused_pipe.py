@@ -138,6 +138,27 @@ def test_df32_body_a_matches_xla():
                                rtol=1e-10)
 
 
+def test_df32_canonical_config_engages_fused_path():
+    """Regression for the round-2 dispatch bug: SolverConfig(dtype="df32")
+    carried the raw string, so pallas_fused_pipe_df.available() was False
+    and the bench of record silently measured the unfused XLA path.
+    _canon_dtype now maps "df32" -> float32 at config construction; the
+    structural gate must accept the canonical (A_df, cfg.dtype) pair."""
+    from mpi_bicgstab_tpu.ops import pallas_fused_pipe, pallas_fused_pipe_df
+    csr = banded_random(8192, [1, -1, 40, -40], seed=7)
+    prob_df = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=0.0, max_iter=5, dtype="df32")
+    assert cfg.dtype == jnp.float32
+    assert pallas_fused_pipe_df.format_ok(prob_df.A, cfg.dtype)
+    assert not pallas_fused_pipe.format_ok(prob_df.A, cfg.dtype)
+    # and the f32 twin gate accepts the f32 operator under the same cfg
+    prob_f = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    cfg_f = SolverConfig(tol=0.0, max_iter=5, dtype="float32")
+    assert cfg_f.dtype == jnp.float32
+    assert pallas_fused_pipe.format_ok(prob_f.A, cfg_f.dtype)
+    assert not pallas_fused_pipe_df.format_ok(prob_f.A, cfg_f.dtype)
+
+
 def test_df32_fused_solver_matches_xla_pipe():
     from mpi_bicgstab_tpu.api import solve
     from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df import \
