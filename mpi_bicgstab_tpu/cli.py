@@ -613,13 +613,22 @@ def build_parser():
 
     p = sub.add_parser("bench", help="SpMV + solver benchmarks")
     p.add_argument("--matrix", default="transport-like:1602112")
-    p.add_argument("--dtype", choices=["float32", "float64"],
+    p.add_argument("--dtype", choices=["float32", "float64", "df32"],
                    default="float32")
     p.add_argument("--platform", default=None)
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--what", default="spmv,iter",
-                   help="comma list: spmv, iter, solve")
+                   help="comma list: spmv, iter, shifted, overlap")
+    p.add_argument("--method", default=None,
+                   help="solver for iter/shifted/overlap benchmarks")
+    p.add_argument("--sigma-len", type=int, default=512,
+                   help="ladder width for --what shifted "
+                        "(main_shifted.c:13 default)")
+    p.add_argument("--seed", type=int, default=255)
+    p.add_argument("--shift-block", type=int, default=-1,
+                   help="blocked shift-update depth for --what shifted: "
+                        "-1 auto, 0 per-iteration path, >0 explicit L")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_bench)
     return ap

@@ -211,6 +211,19 @@ def carry_stop_flags(carry):
     return carry[_CARRY_STOP]
 
 
+def _fused_shift_ok(x_set) -> bool:
+    """Trace-time gate for the fused df32 shift-update kernel
+    (ops/pallas_shift_update.py): DF state on the TPU backend with
+    tileable shapes. f32 ladders use the blocked MXU path instead
+    (solvers/switching_blocked.py), so this kernel is df32-only."""
+    from mpi_bicgstab_tpu.ops.precision import is_df
+    if not is_df(x_set):
+        return False
+    from mpi_bicgstab_tpu.ops import pallas_shift_update as psu
+    S, n = x_set.hi.shape
+    return psu.available(S, n, x_set.hi.dtype)
+
+
 def _switch_dot_zero(comm, b):
     """(r0, r0) = (b, b) — recomputed identically on every (re)entry
     since r_hat = b and x0 = 0 (:344-346)."""
@@ -276,21 +289,41 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
         pi_k = eta2 + pi_prev                               # :434
         alpha_sh = (pi_prev / pi_k) * a_k                   # :435
         omega_sh = w_k / (1.0 - w_k * (sig_seed - sigma))   # :436
-        x_upd = vfma(alpha_sh[:, None] * p_set,
-                     (omega_sh / (pi_k * zeta))[:, None],
-                     q[None, :])                            # :437-438
-        x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
-        p_upd = vfma(
-            (omega_sh / (alpha_sh * zeta * pi_k))[:, None] * q[None, :],
-            -(omega_sh / (alpha_sh * zeta * pi_prev))[:, None],
-            r_old[None, :])
-        p_set = p_set + vwhere(active[:, None], p_upd, 0.0)  # :439-440
         zeta2 = (1.0 - w_k * (sig_seed - sigma)) * zeta     # :441
         beta_sh = (pi_prev / pi_k) ** 2 * b_k               # :442
-        p_upd2 = vfma(beta_sh[:, None] * p_set,
-                      (1.0 / (pi_k * zeta2))[:, None],
-                      r_new[None, :])                           # :443-444
-        p_set = vwhere(active[:, None], p_upd2, p_set)
+        if _fused_shift_ok(x_set):
+            # df32 on TPU: all three update stages of the [S, n] state
+            # in ONE in-place Pallas pass, mask folded into the
+            # coefficients (ops/pallas_shift_update.py)
+            from mpi_bicgstab_tpu.ops.pallas_shift_update import \
+                fused_shift_update_df
+            zero_s = vzeros((S,), b)
+            one_s = vones((S,), b)
+            x_set, p_set = fused_shift_update_df(
+                x_set, p_set, q, r_old, r_new,
+                vwhere(active, alpha_sh, zero_s),
+                vwhere(active, omega_sh / (pi_k * zeta), zero_s),
+                vwhere(active, omega_sh / (alpha_sh * zeta * pi_k),
+                       zero_s),
+                vwhere(active, -(omega_sh / (alpha_sh * zeta * pi_prev)),
+                       zero_s),
+                vwhere(active, beta_sh, one_s),
+                vwhere(active, 1.0 / (pi_k * zeta2), zero_s))
+        else:
+            x_upd = vfma(alpha_sh[:, None] * p_set,
+                         (omega_sh / (pi_k * zeta))[:, None],
+                         q[None, :])                            # :437-438
+            x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
+            p_upd = vfma(
+                (omega_sh / (alpha_sh * zeta * pi_k))[:, None]
+                * q[None, :],
+                -(omega_sh / (alpha_sh * zeta * pi_prev))[:, None],
+                r_old[None, :])
+            p_set = p_set + vwhere(active[:, None], p_upd, 0.0)  # :439-440
+            p_upd2 = vfma(beta_sh[:, None] * p_set,
+                          (1.0 / (pi_k * zeta2))[:, None],
+                          r_new[None, :])                        # :443-444
+            p_set = vwhere(active[:, None], p_upd2, p_set)
         eta = vwhere(active, eta2, eta)
         zeta = vwhere(active, zeta2, zeta)
         zp_eff = vwhere(active, zeta2 * pi_k, zp_eff)
@@ -403,10 +436,27 @@ def _switching_finish(out, comm, b, sigma) -> ShiftedResult:
 
 def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
                               cfg: ShiftedConfig) -> ShiftedResult:
-    """Seed-switching shifted solver (shifted_switching_solver.c:260-608)."""
+    """Seed-switching shifted solver (shifted_switching_solver.c:260-608).
+
+    On TPU with a non-DF f32 ladder the shift updates run BLOCKED: L
+    iterations of [S, n] updates deferred and applied as [S, L] @ [L, n]
+    MXU matmuls (solvers/switching_blocked.py — cuts the hot loop's HBM
+    traffic by L; cfg.shift_block controls it). The per-iteration path
+    below remains the reference-exact build (f64, df32, CPU, and the
+    segmented checkpoint driver always use it)."""
+    from mpi_bicgstab_tpu.solvers.switching_blocked import (
+        blocked_switching_loop, resolve_block)
     carry0 = init_switching_carry(b, sigma, seed, cfg, comm=comm)
-    out = _switching_loop(spmv, comm, b, sigma, cfg, carry0,
-                          k_stop=jnp.int32(cfg.max_iter + 1))
+    sigma_arr = _as_sigma(sigma, b)
+    L = resolve_block(cfg, b, int(sigma_arr.hi.shape[0]
+                                  if hasattr(sigma_arr, "hi")
+                                  else sigma_arr.shape[0]))
+    if L:
+        out = blocked_switching_loop(spmv, comm, b, sigma, cfg, carry0,
+                                     L)
+    else:
+        out = _switching_loop(spmv, comm, b, sigma, cfg, carry0,
+                              k_stop=jnp.int32(cfg.max_iter + 1))
     return _switching_finish(out, comm, b, sigma)
 
 

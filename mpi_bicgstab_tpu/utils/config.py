@@ -88,6 +88,12 @@ class ShiftedConfig:
                         # reference prints them unconditionally,
                         # shifted_switching_solver.c:519-526)
     serialize_comm: bool = False  # nooverlap mode (see SolverConfig)
+    shift_block: int = -1
+    # ^ blocked (deferred, MXU-matmul) shift updates for the
+    #   seed-switching solver: -1 auto (L=32 on TPU, f32, >=8 shifts),
+    #   0 = per-iteration reference path, >0 = explicit block depth L
+    #   (solvers/switching_blocked.py). The checkpointed segment driver
+    #   always uses the per-iteration path (bit-exact resume contract).
 
     def __post_init__(self):
         object.__setattr__(self, "dtype", _canon_dtype(self.dtype))

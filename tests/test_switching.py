@@ -152,3 +152,77 @@ def test_shift_relres_sane_after_switch():
     # numbers: same order of magnitude band
     assert (true_rel <= np.maximum(est * 1e4, 1e-9)).all(), \
         (true_rel, est)
+
+
+# ---------------------------------------------------------------------------
+# blocked (deferred MXU) shift updates — solvers/switching_blocked.py
+# ---------------------------------------------------------------------------
+
+def test_blocked_matches_per_iteration():
+    """Blocked updates re-associate the shift-update sums; solutions and
+    iteration counts must match the per-iteration reference path."""
+    csr, prob = _problem()
+    cfg0 = ShiftedConfig(tol=1e-11, max_iter=800, shift_block=0)
+    cfgB = ShiftedConfig(tol=1e-11, max_iter=800, shift_block=4)
+    r0 = solve_shifted(prob.A, prob.b, SIGMA, seed=0,
+                       method="shifted_lopbicg_switching", cfg=cfg0)
+    rB = solve_shifted(prob.A, prob.b, SIGMA, seed=0,
+                       method="shifted_lopbicg_switching", cfg=cfgB)
+    assert bool(np.asarray(rB.stop_flags).all())
+    assert abs(int(rB.n_iter) - int(r0.n_iter)) <= 2
+    errs = _true_errors(prob.csr, SIGMA, np.asarray(rB.x_set),
+                        np.asarray(prob.b))
+    assert errs.max() < 1e-8, errs
+    np.testing.assert_allclose(np.asarray(rB.x_set),
+                               np.asarray(r0.x_set), atol=1e-9)
+
+
+def test_blocked_switching_across_switch():
+    """A seed switch fires mid-block: the block must flush before the
+    history rebase, reproducing the per-iteration trajectory."""
+    csr, prob = _problem()
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    cfg0 = ShiftedConfig(tol=1e-11, max_iter=1000, shift_block=0)
+    cfgB = ShiftedConfig(tol=1e-11, max_iter=1000, shift_block=7)
+    r0 = solve_shifted(prob.A, prob.b, sigma, seed=4,
+                       method="shifted_lopbicg_switching", cfg=cfg0)
+    rB = solve_shifted(prob.A, prob.b, sigma, seed=4,
+                       method="shifted_lopbicg_switching", cfg=cfgB)
+    assert int(rB.final_seed) != 4, "expected a seed switch"
+    assert int(rB.final_seed) == int(r0.final_seed)
+    assert bool(np.asarray(rB.stop_flags).all())
+    assert abs(int(rB.n_iter) - int(r0.n_iter)) <= 2
+    errs = _true_errors(prob.csr, sigma, np.asarray(rB.x_set),
+                        np.asarray(prob.b))
+    assert errs.max() < 1e-8, errs
+
+
+def test_blocked_block_bigger_than_run():
+    # L larger than the total iteration count: single partial block
+    csr, prob = _problem()
+    cfgB = ShiftedConfig(tol=1e-11, max_iter=800, shift_block=512)
+    rB = solve_shifted(prob.A, prob.b, SIGMA, seed=0,
+                       method="shifted_lopbicg_switching", cfg=cfgB)
+    assert bool(np.asarray(rB.stop_flags).all())
+    errs = _true_errors(prob.csr, SIGMA, np.asarray(rB.x_set),
+                        np.asarray(prob.b))
+    assert errs.max() < 1e-8, errs
+
+
+def test_blocked_auto_gating():
+    import jax
+    import jax.numpy as jnp
+    from mpi_bicgstab_tpu.solvers.switching_blocked import resolve_block
+    b32 = jnp.zeros((64,), jnp.float32)
+    cfg_auto = ShiftedConfig(shift_block=-1)
+    cfg_off = ShiftedConfig(shift_block=0)
+    if jax.default_backend() == "cpu":
+        assert resolve_block(cfg_auto, b32, 512) == 0   # auto is TPU-only
+    assert resolve_block(cfg_off, b32, 512) == 0
+    assert resolve_block(ShiftedConfig(shift_block=16), b32, 512) == 16
+    # df32 + explicit block is a config error (f32 matmuls would
+    # discard double-float accuracy)
+    from mpi_bicgstab_tpu.ops.precision import df_zeros
+    with pytest.raises(ValueError):
+        resolve_block(ShiftedConfig(shift_block=16), df_zeros((64,)), 512)
+    assert resolve_block(cfg_auto, df_zeros((64,)), 512) == 0
