@@ -28,4 +28,9 @@ import jax  # noqa: E402
 # 8-device CPU mesh (or the requested platform) regardless.
 if _PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("MBT_X64", "1") != "0":
+    # MBT_X64=0 is for the on-chip compiled-kernel run (-m chip):
+    # Mosaic rejects nonzero lane-shift rolls under x64, so the chip
+    # kernel tests need a process with x64 OFF. Everything precision-
+    # sensitive is deselected by the marker in that run.
+    jax.config.update("jax_enable_x64", True)

