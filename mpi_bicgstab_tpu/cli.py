@@ -380,9 +380,6 @@ def cmd_solve_shifted(args):
                              "unsharded)")
         if args.checkpoint_every < 1:
             raise SystemExit("--checkpoint-every must be >= 1")
-    if args.refine and args.devices > 1:
-        raise SystemExit("--refine is single-device (the batched "
-                         "polish runs on one chip)")
 
     sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
              if args.sigma_len_sweep else [args.sigma_len])
@@ -462,12 +459,18 @@ def cmd_solve_shifted(args):
         refine_info = {}
         if args.refine:
             import dataclasses as _dc
-            from mpi_bicgstab_tpu.api import refine_shifted_solutions
             from mpi_bicgstab_tpu.utils.config import SolverConfig
             rcfg = SolverConfig(tol=tol, max_iter=args.max_iter,
                                 dtype=cfg_dtype)
-            x2, rk, rres = refine_shifted_solutions(
-                prob.A, b_dev, sigma, res.x_set, rcfg)
+            if args.devices > 1:
+                from mpi_bicgstab_tpu.parallel.driver import \
+                    refine_shifted_distributed
+                x2, rk, rres = refine_shifted_distributed(
+                    part, b, sigma, res.x_set, rcfg, halo=args.halo)
+            else:
+                from mpi_bicgstab_tpu.api import refine_shifted_solutions
+                x2, rk, rres = refine_shifted_solutions(
+                    prob.A, b_dev, sigma, res.x_set, rcfg)
             jax.block_until_ready(x2 if not hasattr(x2, "hi") else x2.hi)
             res = _dc.replace(res, x_set=x2)
             refine_info = {

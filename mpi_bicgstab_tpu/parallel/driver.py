@@ -230,6 +230,72 @@ def _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo, shifted,
                shifted=shifted)
 
 
+@partial(jax.jit, static_argnames=("skel", "cfg", "mesh", "halo"))
+def _go_refine(mat_arrays, b, sig, x_set, skel, cfg, mesh, halo):
+    p = skel.part
+
+    def run(*args):
+        mat = args[:-3]
+        b_loc, sg, xs_loc = args[-3:]
+        comm = Comm(ROWS)
+        spmv = make_local_spmv(p, mat, comm, halo)
+        from mpi_bicgstab_tpu.solvers.refine import refine_shifted
+        return refine_shifted(spmv, comm, b_loc, sg, xs_loc, cfg)
+
+    sm = jax.shard_map(run, mesh=mesh,
+                       in_specs=p.specs(_SLAB, _VEC)
+                       + (_VEC, _REP, P(None, ROWS)),
+                       out_specs=(P(None, ROWS), _REP, _REP),
+                       check_vma=False)
+    return sm(*mat_arrays, b, sig, x_set)
+
+
+def refine_shifted_distributed(part: PartitionedMatrix, b, sigma, x_set,
+                               cfg=None, mesh=None,
+                               halo: str = "allgather",
+                               chunk: int = 128):
+    """Distributed per-shift refinement (round-2 VERDICT #7: --refine
+    was single-device even though solvers/refine.refine_shifted is
+    written comm-aware). The [S, n] state stays row-sharded; per-row
+    dots psum over the mesh axis; the vmapped shard SpMV batches the
+    collectives. Ladders wider than `chunk` refine in chunks to bound
+    the ~5 [S, n_loc] live vectors per device.
+
+    Returns (x_set, n_iter, true_relres [S])."""
+    from mpi_bicgstab_tpu.ops.precision import is_df, vcat
+    mesh = mesh or make_row_mesh(part.n_devices)
+    dtype = _mat_dtype(part)
+    if cfg is None:
+        cfg = SolverConfig(tol=1e-10, max_iter=500,
+                           dtype=jnp.float32 if dtype == "df32"
+                           else dtype)
+    if not isinstance(jax.tree_util.tree_leaves(part.arrays())[0],
+                      jax.Array):
+        part = put_partitioned(part, mesh)
+    b_d = put_vector(b, part, mesh, dtype)
+    rep = NamedSharding(mesh, _REP)
+    if dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import DF, df_split_f64_host
+        hi, lo = df_split_f64_host(np.asarray(sigma, np.float64))
+        sig_d = DF(jax.device_put(hi, rep), jax.device_put(lo, rep))
+    else:
+        sig_d = jax.device_put(np.asarray(sigma, dtype=dtype), rep)
+    skel = _HashableSkeleton(_skeleton(part))
+    S = np.asarray(sigma).shape[0]
+    outs, iters, rels = [], 0, []
+    for s0 in range(0, S, chunk):
+        sl = slice(s0, min(s0 + chunk, S))
+        x2, k, rr = _go_refine(part.arrays(), b_d, sig_d[sl], x_set[sl],
+                               skel=skel, cfg=cfg, mesh=mesh, halo=halo)
+        outs.append(x2)
+        iters = max(iters, int(k))
+        rels.append(rr)
+    if len(outs) == 1:
+        return outs[0], iters, rels[0]
+    return (vcat(outs, 0) if is_df(outs[0])
+            else jnp.concatenate(outs, 0)), iters, jnp.concatenate(rels)
+
+
 def solve_distributed(part: PartitionedMatrix, b, x0=None,
                       method: str = "bicgstab",
                       cfg: SolverConfig | None = None, mesh=None,

@@ -94,3 +94,33 @@ def test_cli_refine_flag(tmp_path):
     assert "refine_iters" in row
     assert row["max_true_relres_after_refine"] < 1e-9
     assert row["max_true_rel_error"] < 1e-9
+
+
+def test_refine_distributed_mesh():
+    """Distributed --refine (round-2 VERDICT #7): after a distributed
+    shifted solve, the row-sharded refinement pass must bring every
+    TRUE per-shift residual under tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from mpi_bicgstab_tpu.parallel.driver import (
+        refine_shifted_distributed, solve_shifted_distributed)
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    csr = banded_random(1024, [1, -1, 12, -12], seed=9)
+    part = partition_csr(csr, 8, dtype=np.float64)
+    b = csr.matvec(np.ones(csr.nrows))
+    cfg = ShiftedConfig(tol=1e-10, max_iter=800)
+    res = solve_shifted_distributed(part, b, SIGMA, seed=0,
+                                    method="shifted_lopbicg_switching",
+                                    cfg=cfg)
+    assert bool(np.asarray(res.stop_flags).all())
+    rcfg = SolverConfig(tol=1e-10, max_iter=300)
+    x2, k, relres = refine_shifted_distributed(part, b, SIGMA,
+                                               res.x_set, rcfg)
+    assert np.asarray(relres).max() < 1e-10
+    errs = _true_errors(csr, SIGMA, np.asarray(x2)[:, : csr.nrows], b)
+    assert errs.max() < 1e-9, errs
+    # chunked path: chunk smaller than the ladder
+    x3, k3, rel3 = refine_shifted_distributed(part, b, SIGMA,
+                                              res.x_set, rcfg, chunk=2)
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x2),
+                               atol=1e-12)
