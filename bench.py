@@ -14,12 +14,42 @@ band, ~24M nnz, unsymmetric values, diagonally dominant — the same
 size/density profile as SuiteSparse Transport (reference README.md:32-42),
 generated locally because this environment has no network egress and the
 reference .gitignores its data/.
+
+Honesty guards (round-2 VERDICT weak #3): throughput numbers are the
+MEDIAN of three slope measurements (not best-of-N, which harvests relay
+noise), and each layout carries its bytes-per-nnz roofline model so the
+implied HBM bandwidth is reported next to the chip's measured streaming
+bandwidth (~694 GB/s fma15 chain; 819 GB/s spec).
 """
 import json
 import sys
 import time
 
 import numpy as np
+
+HBM_MEASURED_GBPS = 694.0   # docs/RESULTS_TPU.md round 1 (fma15 chain)
+HBM_SPEC_GBPS = 819.0       # v5e datasheet
+
+
+def _bytes_per_nnz_dia(W: int, df: bool) -> float:
+    """vals streamed once + x and y once per row; one nnz = one slot of
+    one of W diagonals."""
+    per = 4.0 + 8.0 / W
+    return per * (2 if df else 1)
+
+
+def _bytes_per_nnz_window(width: int, df: bool) -> float:
+    """vals(4) + sub_sel(1) + lane_idx(1) per slot; x resident, y once."""
+    val = 4.0 * (2 if df else 1)
+    return val + 2.0 + 8.0 / max(width, 1) * (2 if df else 1)
+
+
+def _median_spmv(csr, dtype, iters, reps=3):
+    from mpi_bicgstab_tpu.benchmarks.runner import bench_spmv
+    runs = [bench_spmv(csr, dtype, devices=1, iters=iters)
+            for _ in range(reps)]
+    runs.sort(key=lambda r: r["spmv_nnz_per_s"])
+    return runs[len(runs) // 2]
 
 
 def main():
@@ -33,7 +63,7 @@ def main():
 
     from mpi_bicgstab_tpu.benchmarks.runner import (REF_SPMV_NNZ_PER_S,
                                                     bench_iteration,
-                                                    bench_spmv)
+                                                    bench_shifted_iteration)
     from mpi_bicgstab_tpu.models.generators import transport_like
 
     t0 = time.perf_counter()
@@ -41,12 +71,7 @@ def main():
     gen_time = time.perf_counter() - t0
 
     iters = 30 if small else 120   # longer chains damp relay noise
-    # the shared relay's effective bandwidth varies ~3x run to run;
-    # take the best of two measurements as the hardware-capability figure
-    spmv = bench_spmv(csr, dtype, devices=1, iters=iters)
-    spmv2 = bench_spmv(csr, dtype, devices=1, iters=iters)
-    if spmv2["spmv_nnz_per_s"] > spmv["spmv_nnz_per_s"]:
-        spmv = spmv2
+    spmv = _median_spmv(csr, dtype, iters)
     it = bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
                          iters=iters)
     it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
@@ -55,19 +80,41 @@ def main():
     # secondary sections are fault-tolerant so the headline metric
     # always prints
     try:
-        spmv_df = bench_spmv(csr, "df32", devices=1,
-                             iters=max(iters // 2, 20))
+        spmv_df = _median_spmv(csr, "df32", max(iters // 2, 20))
     except Exception:  # noqa: BLE001
         spmv_df = {"spmv_nnz_per_s": float("nan")}
-    # unstructured-but-clustered fast path (windowed-ELL Pallas kernel;
-    # RCM cannot band this matrix — ops/window_ell.py)
+    # unstructured-but-clustered fast path at the HEADLINE scale
+    # (windowed-ELL Pallas kernel; RCM cannot band this matrix —
+    # ops/window_ell.py). Round-2 VERDICT: the bench of record must
+    # reproduce the scale the docs advertise.
     try:
         from mpi_bicgstab_tpu.models.generators import clustered_random
-        csr_w = clustered_random(200_704)
-        spmv_w = bench_spmv(csr_w, dtype, devices=1, iters=iters)
+        n_w = 200_704 if small else 1_602_560
+        csr_w = clustered_random(n_w)
+        spmv_w = _median_spmv(csr_w, dtype, iters)
+        win_width = 20
     except Exception:  # noqa: BLE001
         spmv_w = {"spmv_nnz_per_s": float("nan"), "spmv_layout": None}
+        win_width = 0
+    # flagship: seed-switching shifted solver, sigma_len=512 (the
+    # reference's root-Makefile workload, main_shifted.c:13). f32 rides
+    # the blocked MXU shift updates; df32 the fused elementwise kernel.
+    try:
+        sw = bench_shifted_iteration(csr, dtype, sigma_len=512,
+                                     seed=255, iters=24 if small else 40)
+    except Exception:  # noqa: BLE001
+        sw = {"time_per_iter_s": float("nan")}
+    try:
+        from mpi_bicgstab_tpu.models.generators import transport_hard
+        csr_h = transport_hard(200_704)
+        sw_df = bench_shifted_iteration(csr_h, "df32", sigma_len=512,
+                                        seed=255, iters=24)
+    except Exception:  # noqa: BLE001
+        sw_df = {"time_per_iter_s": float("nan")}
 
+    bpn = _bytes_per_nnz_dia(15, False)
+    bpn_df = _bytes_per_nnz_dia(15, True)
+    bpn_w = _bytes_per_nnz_window(max(win_width, 1), False)
     out = {
         "metric": "spmv_nnz_per_s",
         "value": round(spmv["spmv_nnz_per_s"], 1),
@@ -78,14 +125,29 @@ def main():
         "dtype": dtype_name,
         "backend": jax.default_backend(),
         "spmv_time_s": round(spmv["spmv_s"], 6),
+        # roofline context: implied HBM bandwidth at the layout's
+        # bytes-per-nnz model vs what the chip can stream
+        "spmv_implied_GBps": round(
+            spmv["spmv_nnz_per_s"] * bpn / 1e9, 1),
+        "hbm_measured_GBps": HBM_MEASURED_GBPS,
+        "hbm_spec_GBps": HBM_SPEC_GBPS,
         "pipe_bicgstab_time_per_iter_s": round(it["time_per_iter_s"], 6),
         # f64-class precision on f32 hardware (double-float pairs);
         # the reference's all-f64 arithmetic is the honest comparison
         # point for this one
         "df32_pipe_time_per_iter_s": round(it_df["time_per_iter_s"], 6),
         "df32_spmv_nnz_per_s": round(spmv_df["spmv_nnz_per_s"], 1),
+        "df32_spmv_implied_GBps": round(
+            spmv_df["spmv_nnz_per_s"] * bpn_df / 1e9, 1),
         "window_spmv_nnz_per_s": round(spmv_w["spmv_nnz_per_s"], 1),
+        "window_spmv_implied_GBps": round(
+            spmv_w["spmv_nnz_per_s"] * bpn_w / 1e9, 1),
         "window_layout": spmv_w.get("spmv_layout"),
+        "window_n": 200_704 if small else 1_602_560,
+        "switching_time_per_iter_s_sigma512": round(
+            sw["time_per_iter_s"], 6),
+        "switching_df32_time_per_iter_s_sigma512": round(
+            sw_df["time_per_iter_s"], 6),
         "matrix_gen_time_s": round(gen_time, 2),
     }
     print(json.dumps(out))
