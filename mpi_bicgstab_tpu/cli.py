@@ -104,10 +104,14 @@ def _maybe_enable_x64(dtype_name, platform):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
-    if dtype_name in ("float64", "df32"):
-        # df32 needs x64 too: on the CPU backend the DF ops compute
-        # through f64 (see ops/precision._cpu_exact_mode); device code
-        # stays f32 so this costs nothing on TPU
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    elif dtype_name == "df32" and jax.default_backend() != "tpu":
+        # CPU backend: the DF ops compute through f64 and need x64
+        # (ops/precision._cpu_exact_mode). On TPU x64 must stay OFF —
+        # Mosaic rejects lane-shift kernels under x64, so enabling it
+        # silently disabled every df32 Pallas fast path (the round-2
+        # CLI df32 runs all fell back to XLA because of this line).
         jax.config.update("jax_enable_x64", True)
 
 
@@ -227,7 +231,9 @@ def cmd_solve(args):
     else:
         from mpi_bicgstab_tpu.api import solve
         from mpi_bicgstab_tpu.parallel.driver import pad_vector
-        prob = build_problem(csr, dtype=dtype)
+        # multiple=1024: lane-aligned padding so the Pallas fast paths'
+        # shape gates (n % 128) hold — identity pad rows are inert
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
         n_state = prob.n
         if x0_init is not None:
             x0_init = pad_vector(x0_init, prob.n)
@@ -414,7 +420,8 @@ def cmd_solve_shifted(args):
                 halo=args.halo)
         else:
             from mpi_bicgstab_tpu.api import solve_shifted
-            prob = build_problem(csr, dtype=dtype, sigma_seed=float(sigma[seed]))
+            prob = build_problem(csr, dtype=dtype, multiple=1024,
+                                 sigma_seed=float(sigma[seed]))
             b_dev = prob.b
             if b_user is not None:
                 from mpi_bicgstab_tpu.parallel.driver import pad_vector
