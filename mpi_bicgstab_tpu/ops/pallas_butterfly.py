@@ -1,0 +1,194 @@
+"""Pallas kernels for the butterfly-routed SpMV (ops/butterfly.py).
+
+Three streamed kernels around two XLA element transposes; every
+random access is a chained [8,128] sublane+lane dynamic_gather within
+a window that is either resident (K1: the iterate, 6.4 MB) or the
+currently streamed block (K2, K3). Measured primitive rates on the
+v5e: ~14-16 Gelem/s per gather pass, transposes ~806 GB/s
+(scripts/probe_shuffle.py).
+
+  K1: u1[a] = gather from x window k1_src[a] (dynamic sublane slice of
+      the DMA'd-resident iterate — the pallas_window_spmv pattern).
+  K2: within-window permute of the transposed buffer.
+  K3: per 128-lane output row, gather entry values from the row's
+      stacked (128//rb) dest windows, multiply the ELL value slabs,
+      accumulate y. The stacked sublane index spans [0, 8*stack);
+      take_along_axis is limited to 8 sublanes, so the gather runs
+      per-8-row part with a select chain (same measured rate).
+
+x and all metadata stream sequentially — the pipeline is pure
+sequential HBM traffic plus in-register shuffles.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpi_bicgstab_tpu.ops.butterfly import _B, _LANES, _SUB, ButterflyMatrix
+
+_TB = 16     # windows per grid step (grid-overhead lesson)
+
+
+def available(bf: ButterflyMatrix, dtype) -> bool:
+    import os
+    if os.environ.get("MBT_BUTTERFLY", "").lower() in ("0", "off"):
+        return False
+    if jax.default_backend() != "tpu" or jax.config.jax_enable_x64:
+        return False
+    return dtype == jnp.float32 and not hasattr(bf.k3_vals, "hi")
+
+
+# ---------------------------------------------------------------------------
+# K1 — build u1 from the resident iterate
+# ---------------------------------------------------------------------------
+
+def _k1_kernel(src_ref, x_hbm, ss_ref, li_ref, u1_ref, xv, sem, *, TB):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm, xv, sem)
+        dma.start()
+        dma.wait()
+
+    for tb in range(TB):
+        base = src_ref[step * TB + tb]
+        win = xv[pl.ds(pl.multiple_of(base * _SUB, _SUB), _SUB), :]
+        ss = ss_ref[tb].astype(jnp.int32)
+        li = li_ref[tb].astype(jnp.int32)
+        t1 = jnp.take_along_axis(win, ss, axis=0)
+        u1_ref[tb] = jnp.take_along_axis(t1, li, axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _k1(k1_src, k1_sub, k1_lane, x2d, interpret=False):
+    P = k1_sub.shape[0]
+    R = x2d.shape[0]
+    tile = lambda: pl.BlockSpec((_TB, _SUB, _LANES),  # noqa: E731
+                                lambda s, src: (s, 0, 0),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P // _TB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), tile(), tile()],
+        out_specs=tile(),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), x2d.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(
+        partial(_k1_kernel, TB=_TB),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, _SUB, _LANES), x2d.dtype),
+        interpret=interpret,
+    )(k1_src, x2d, k1_sub, k1_lane)
+
+
+# ---------------------------------------------------------------------------
+# K2 — within-window permute of the streamed transposed buffer
+# ---------------------------------------------------------------------------
+
+def _k2_kernel(m_ref, ss_ref, li_ref, o_ref, *, TB):
+    for tb in range(TB):
+        win = m_ref[tb]
+        ss = ss_ref[tb].astype(jnp.int32)
+        li = li_ref[tb].astype(jnp.int32)
+        t1 = jnp.take_along_axis(win, ss, axis=0)
+        o_ref[tb] = jnp.take_along_axis(t1, li, axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _k2(mid, k2_sub, k2_lane, interpret=False):
+    P = mid.shape[0]
+    tile = lambda: pl.BlockSpec((_TB, _SUB, _LANES),  # noqa: E731
+                                lambda s: (s, 0, 0),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_k2_kernel, TB=_TB),
+        grid=(P // _TB,),
+        in_specs=[tile(), tile(), tile()],
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((P, _SUB, _LANES), mid.dtype),
+        interpret=interpret,
+    )(mid, k2_sub, k2_lane)
+
+
+# ---------------------------------------------------------------------------
+# K3 — gather + multiply + accumulate from streamed dest windows
+# ---------------------------------------------------------------------------
+
+def _k3_kernel(z_ref, ss_ref, li_ref, v_ref, y_ref, *, W, F, TB):
+    # z block: [TB*8*F, 8, 128]? stored [rows, 128]; per output row r of
+    # this step's TB y-rows, its F stacked windows are z rows
+    # [8*F*r, 8*F*(r+1))
+    for tb in range(TB):
+        stacked = z_ref[pl.ds(tb * _SUB * F, _SUB * F), :]
+        ss = ss_ref[:, tb].astype(jnp.int32)      # [W, 128], in [0,8F)
+        li = li_ref[:, tb].astype(jnp.int32)      # [W, 128]
+        g = jnp.take_along_axis(
+            stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
+        for f in range(1, F):
+            part = jnp.take_along_axis(
+                stacked[f * _SUB:(f + 1) * _SUB, :],
+                jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
+            g = jnp.where(ss >= f * _SUB, part, g)
+        xg = jnp.take_along_axis(g, li, axis=1)   # [W, 128]
+        y_ref[tb] = jnp.sum(v_ref[:, tb] * xg, axis=0)
+
+
+@partial(jax.jit, static_argnames=("F", "interpret"))
+def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
+    W, NR = k3_vals.shape[0], k3_vals.shape[1] // _LANES
+    zr = z2d.shape[0]              # = NR * 8F rows of 128
+    tile = lambda: pl.BlockSpec((W, _TB, _LANES),  # noqa: E731
+                                lambda s: (0, s, 0),
+                                memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        partial(_k3_kernel, W=W, F=F, TB=_TB),
+        grid=(NR // _TB,),
+        in_specs=[pl.BlockSpec((_TB * _SUB * F, _LANES),
+                               lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+                  tile(), tile(), tile()],
+        out_specs=pl.BlockSpec((_TB, _LANES), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NR, _LANES), k3_vals.dtype),
+        interpret=interpret,
+    )(z2d, k3_sub.reshape(W, NR, _LANES),
+      k3_lane.reshape(W, NR, _LANES), k3_vals.reshape(W, NR, _LANES))
+    return y.reshape(NR * _LANES)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pipeline(bf: ButterflyMatrix, x, interpret=False):
+    n_pad, P = bf.n_pad, bf.P
+    xp = jnp.zeros((n_pad,), x.dtype).at[: bf.n_rows].set(
+        x[: bf.n_rows])
+    x2d = xp.reshape(n_pad // _LANES, _LANES)
+    u1 = _k1(bf.k1_src, bf.k1_sub, bf.k1_lane, x2d,
+             interpret=interpret)                       # [P, 8, 128]
+    mid = u1.reshape(P, _B).T.reshape(P, _SUB, _LANES)  # T1 (one copy)
+    z1 = _k2(mid, bf.k2_sub, bf.k2_lane, interpret=interpret)
+    z = z1.reshape(P, _B).T.reshape(P * _SUB, _LANES)   # T2 (one copy)
+    F = bf.stack
+    y = _k3(z, bf.k3_sub, bf.k3_lane, bf.k3_vals, F=F,
+            interpret=interpret)
+    if bf.tail_n:
+        tail = (bf.tail_vals * xp[bf.tail_cols]).reshape(-1)
+        y = y + jax.ops.segment_sum(tail, bf.tail_rows.reshape(-1),
+                                    num_segments=n_pad)
+    return y
+
+
+def butterfly_spmv(bf: ButterflyMatrix, x, interpret: bool = False):
+    """y = A @ x over the butterfly-routed layout (f32). Returns
+    [n_pad] (padded rows are zero); callers slice [: n_rows]."""
+    return _pipeline(bf, x, interpret=interpret)

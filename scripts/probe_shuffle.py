@@ -104,8 +104,11 @@ def main():
         @jax.jit
         def chain(a):
             def body(i, a):
-                b = a.T
-                return (b * (1.0 / (1.0 + jnp.sum(b[0]) ** 2))).T
+                # barriers stop XLA from cancelling the T-T round trip
+                b = lax.optimization_barrier(
+                    a.T * (1.0 / (1.0 + a[0, 0] * a[0, 0])))
+                return lax.optimization_barrier(
+                    b.T * (1.0 / (1.0 + b[0, 0] * b[0, 0])))
             return jnp.sum(lax.fori_loop(0, K, body, a)[0])
         return lambda: chain(m)
 
