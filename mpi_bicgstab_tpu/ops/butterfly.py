@@ -147,36 +147,6 @@ def butterfly_stats(csr, rb: int = _RB):
             "max_row_width": int(csr.row_lengths.max()) if n else 0}
 
 
-class _ClaimMap:
-    """Vectorized sorted key->value map: a proposal (k, v) is admissible
-    when k is unclaimed or already maps to v (a "rider" — the same
-    physical datum claimed again, e.g. a duplicate of the same x element
-    in the same gather row, which shares its sublane entry)."""
-
-    def __init__(self):
-        self.keys = np.empty(0, np.int64)
-        self.vals = np.empty(0, np.int64)
-
-    def admissible(self, k, v):
-        if self.keys.size == 0:
-            return np.ones(k.size, bool)
-        i = np.minimum(np.searchsorted(self.keys, k),
-                       self.keys.size - 1)
-        hit = self.keys[i] == k
-        return ~hit | (self.vals[i] == v)
-
-    def insert(self, k, v):
-        if k.size == 0:
-            return
-        o = np.argsort(k, kind="stable")
-        k, v = k[o], v[o]
-        pos = np.searchsorted(self.keys, k)
-        self.keys = np.insert(self.keys, pos, k)
-        self.vals = np.insert(self.vals, pos, v)
-        # duplicate keys (riders re-claiming) are harmless: any copy
-        # found by searchsorted carries the same value
-
-
 def _round_ok(key, val):
     """Within one proposal round: winner = first proposal per key;
     riders (same key AND same value as the winner) also pass."""
@@ -193,17 +163,19 @@ def _round_ok(key, val):
 def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
     """Choose (u1 window a, middle window m) for every distinct
     element, honoring FOUR uniqueness families:
-      (d, m)  one element per dest slot            [strict]
-      (a, m)  one element per u1 slot              [strict]
-      (a, b//128, src_lane)   K1 gather-row lane injectivity
+      (d, m_lo)              one element per dest slot       [strict]
+      (a, b)                 one element per u1 slot         [strict]
+      (a, b//128, src_lane)  K1 gather-row lane injectivity
               [rider-tolerant: duplicates of the same x element share
                the sublane-table entry]
-      (m, q//128, a mod 128)  K2 gather-row lane injectivity
+      (m, q//128, a mod 128) K2 gather-row lane injectivity
               [rider-tolerant on equal a_lo]
     The lane families exist because the chained dynamic_gather composes
     as win[ss[i, li[i,j]], li[i,j]] — the sublane table is indexed by
-    SOURCE LANE (ops/pallas_window_spmv.py header). Returns
-    (P, a_sel, m_sel, ok_mask)."""
+    SOURCE LANE (ops/pallas_window_spmv.py header). All claim state
+    lives in DENSE arrays over the compact key spaces (O(1) per
+    proposal; the sorted-map version cost O(claimed) per round and took
+    ~16 min at 24M entries). Returns (P, a_sel, m_sel, ok_mask)."""
     rng = np.random.default_rng(seed)
     E = u_blk.size
     d = u_blk
@@ -251,10 +223,11 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
     src_lane = u_col % _LANES
     a_sel = np.full(E, -1, np.int64)
     m_sel = np.full(E, -1, np.int64)
-    cm_d = _ClaimMap()
-    cm_a = _ClaimMap()
-    cm_l1 = _ClaimMap()
-    cm_l2 = _ClaimMap()
+    PB64 = np.int64(P) * _B
+    taken_d = np.zeros(Td * _B, bool)            # d*1024 + m_lo
+    taken_a = np.zeros(PB64, bool)               # a*1024 + b
+    val_l1 = np.full(PB64, -1, np.int32)         # a*1024+brow*128+lane
+    val_l2 = np.full(PB64, -1, np.int32)         # m*1024+qrow*128+lane
     todo = np.arange(E)
     for _ in range(rounds):
         if todo.size == 0:
@@ -270,23 +243,26 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
         m_t = base + G * t
         b_t = (m_t - a_hi) // G
         e_id = todo
-        kd = d[todo] * np.int64(P) + m_t
-        ka = a_t * np.int64(P) + m_t
-        kl1 = (a_t * _SUB + b_t // _LANES) * _LANES + src_lane[todo]
-        vl1 = u_col[todo]
-        kl2 = (m_t * _SUB + q[todo] // _LANES) * _LANES + (a_t % _LANES)
-        vl2 = a_t % _B
-        win = (cm_d.admissible(kd, e_id) & cm_a.admissible(ka, e_id)
-               & cm_l1.admissible(kl1, vl1) & cm_l2.admissible(kl2, vl2)
+        kd = d[todo] * np.int64(_B) + (m_t % _B)
+        ka = a_t * np.int64(_B) + b_t
+        kl1 = a_t * np.int64(_B) + (b_t // _LANES) * _LANES \
+            + src_lane[todo]
+        vl1 = u_col[todo].astype(np.int32)
+        kl2 = m_t * np.int64(_B) + (q[todo] // _LANES) * _LANES \
+            + (a_t % _LANES)
+        vl2 = (a_t % _B).astype(np.int32)
+        win = (~taken_d[kd] & ~taken_a[ka]
+               & ((val_l1[kl1] == -1) | (val_l1[kl1] == vl1))
+               & ((val_l2[kl2] == -1) | (val_l2[kl2] == vl2))
                & _round_ok(kd, e_id) & _round_ok(ka, e_id)
                & _round_ok(kl1, vl1) & _round_ok(kl2, vl2))
         e_win = todo[win]
         a_sel[e_win] = a_t[win]
         m_sel[e_win] = m_t[win]
-        cm_d.insert(kd[win], e_id[win])
-        cm_a.insert(ka[win], e_id[win])
-        cm_l1.insert(kl1[win], vl1[win])
-        cm_l2.insert(kl2[win], vl2[win])
+        taken_d[kd[win]] = True
+        taken_a[ka[win]] = True
+        val_l1[kl1[win]] = vl1[win]
+        val_l2[kl2[win]] = vl2[win]
         todo = todo[~win]
     ok = a_sel >= 0
     return P, a_sel, m_sel, ok
@@ -386,10 +362,11 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
     # is ~1.0 (128 entries / 128 lanes) and the matching cannot close;
     # escalate until the spill is tiny (slab padding streams zeros, a
     # small traffic cost)
+    NR_ = n_pad // _LANES
     for W3 in (int(W * 1.4) + 1, int(W * 1.8) + 1, 2 * W + 2):
         w_sel = np.full(NE, -1, np.int64)
-        cm_row = _ClaimMap()
-        cm_gl = _ClaimMap()
+        taken_row = np.zeros(n_pad * W3, bool)
+        val_gl = np.full(NR_ * W3 * _LANES, -1, np.int16)
         rng3 = np.random.default_rng(seed + 1)
         todo3 = np.arange(NE)
         for _ in range(4 * W3 + 12):
@@ -399,20 +376,21 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
             krow = r_all[todo3] * np.int64(W3) + w_t
             kgl = (grp[todo3] * np.int64(W3) + w_t) * _LANES \
                 + lane3[todo3]
-            vgl = sub3[todo3]
-            winc = (cm_row.admissible(krow, todo3)
-                    & cm_gl.admissible(kgl, vgl)
+            vgl = sub3[todo3].astype(np.int16)
+            winc = (~taken_row[krow]
+                    & ((val_gl[kgl] == -1) | (val_gl[kgl] == vgl))
                     & _round_ok(krow, todo3) & _round_ok(kgl, vgl))
             e_w = todo3[winc]
             w_sel[e_w] = w_t[winc]
-            cm_row.insert(krow[winc], e_w)
-            cm_gl.insert(kgl[winc], vgl[winc])
+            taken_row[krow[winc]] = True
+            val_gl[kgl[winc]] = vgl[winc]
             todo3 = todo3[~winc]
         if todo3.size <= 0.3 * max_tail_frac * max(csr.nnz, 1):
             break
     placed3 = w_sel >= 0
     W = W3
 
+    W = _pad_up(W, _SUB)     # the K3 kernel gathers slabs in 8-chunks
     k3_sub = np.zeros((W, n_pad), np.int8)
     k3_lane = np.zeros((W, n_pad), np.int8)
     k3_vals = np.zeros((W, n_pad), vals_dtype)
@@ -507,3 +485,35 @@ def simulate_numpy(bf: ButterflyMatrix, x: np.ndarray) -> np.ndarray:
            if hasattr(bf.tail_vals, "hi") else bf.tail_vals).ravel()
     np.add.at(y, bf.tail_rows.ravel(), tvr * xp[bf.tail_cols.ravel()])
     return y[: bf.n_rows]
+
+
+def butterfly_spmv_xla(bf: ButterflyMatrix, x):
+    """Pure-XLA execution of the routed pipeline (jnp take_along_axis)
+    — the CPU/fallback path and the differencing reference for the
+    Pallas kernels. Same math, same chained-gather semantics."""
+    import jax.numpy as jnp
+    n_pad, P = bf.n_pad, bf.P
+    xp = jnp.zeros((n_pad,), x.dtype).at[: bf.n_rows].set(x[: bf.n_rows])
+    xw = xp.reshape(n_pad // _B, _SUB, _LANES)
+    win = xw[bf.k1_src]
+    t1 = jnp.take_along_axis(win, bf.k1_sub.astype(jnp.int32), axis=1)
+    u1 = jnp.take_along_axis(t1, bf.k1_lane.astype(jnp.int32), axis=2)
+    mid = u1.reshape(P, _B).T.reshape(P, _SUB, _LANES)
+    t2 = jnp.take_along_axis(mid, bf.k2_sub.astype(jnp.int32), axis=1)
+    z1 = jnp.take_along_axis(t2, bf.k2_lane.astype(jnp.int32), axis=2)
+    z = z1.reshape(P, _B).T.reshape(-1)
+    F = bf.stack
+    NR = n_pad // _LANES
+    st = z[: NR * _SUB * F * _LANES].reshape(NR, _SUB * F, _LANES)
+    W = bf.width
+    ss3 = bf.k3_sub.reshape(W, NR, _LANES).astype(jnp.int32)
+    li3 = bf.k3_lane.reshape(W, NR, _LANES).astype(jnp.int32)
+    v3 = bf.k3_vals.reshape(W, NR, _LANES)
+    t3 = jnp.take_along_axis(st, ss3.transpose(1, 0, 2), axis=1)
+    xg = jnp.take_along_axis(t3, li3.transpose(1, 0, 2), axis=2)
+    y = (v3.transpose(1, 0, 2) * xg).sum(axis=1).reshape(-1)
+    import jax
+    tail = (bf.tail_vals * xp[bf.tail_cols]).reshape(-1)
+    y = y + jax.ops.segment_sum(tail, bf.tail_rows.reshape(-1),
+                                num_segments=n_pad)
+    return y

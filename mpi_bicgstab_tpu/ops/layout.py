@@ -57,19 +57,26 @@ def build_operator(csr, format: str = "auto", dtype=None,
       'auto'   — DIA if the top diagonals cover everything, hybrid if
                  they cover >= 50%; else windowed-ELL when the matrix
                  has column locality (>= 95% of nnz inside per-row-tile
-                 1024-col windows; f32/f64/df32); else gather-ELL
+                 1024-col windows; f32/f64/df32); else butterfly-routed
+                 (ops/butterfly.py — locality-free matrices, f32/f64);
+                 else gather-ELL
       'dia'    — force DIA (+ ELL tail if any remainder)
       'window' — force windowed-ELL (ops/window_ell.py)
+      'butterfly' — force the butterfly-routed layout
       'ell'    — force gather-ELL (the faithful-to-reference layout;
                  slow on TPU, useful for A/B benchmarking)
     """
-    if format not in ("auto", "dia", "ell", "hybrid", "window"):
+    if format not in ("auto", "dia", "ell", "hybrid", "window",
+                      "butterfly"):
         raise ValueError(f"unknown format {format!r}")
     if format == "ell":
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
     if format == "window":
         from mpi_bicgstab_tpu.ops.window_ell import csr_to_window_ell
         return csr_to_window_ell(csr, dtype=dtype)
+    if format == "butterfly":
+        from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
+        return build_butterfly(csr, dtype=dtype)
 
     offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
                                           min_fill=dia_min_fill)
@@ -83,6 +90,15 @@ def build_operator(csr, format: str = "auto", dtype=None,
                     return csr_to_window_ell(csr, dtype=dtype)
                 except ValueError:
                     pass    # hub rows overflow the tail levels
+        if dtype != "df32":
+            # locality-free fast path: butterfly routing (the build is
+            # minutes at 1.6M — amortized over a solver's thousands of
+            # SpMVs; df32 keeps gather-ELL until a DF variant exists)
+            from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
+            try:
+                return build_butterfly(csr, dtype=dtype)
+            except ValueError:
+                pass        # not routable: dense blocks / wide rows
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
 
     dia, remainder = csr_to_dia(csr, offsets, dtype=dtype)
@@ -118,6 +134,15 @@ def spmv(op, x):
         if is_df(op.vals):
             return window_spmv_df(op, x, interpret=interp)
         return window_spmv(op, x, interpret=interp)
+    from mpi_bicgstab_tpu.ops.butterfly import ButterflyMatrix
+    if isinstance(op, ButterflyMatrix):
+        from mpi_bicgstab_tpu.ops import pallas_butterfly as pbf
+        from mpi_bicgstab_tpu.ops.butterfly import butterfly_spmv_xla
+        if pbf.available(op, op.dtype):
+            y = pbf.butterfly_spmv(op, x)
+        else:
+            y = butterfly_spmv_xla(op, x)
+        return y[: x.shape[0]]
     if isinstance(op, HybridMatrix):
         if is_df(op.dia.vals):
             from mpi_bicgstab_tpu.ops.dia import dia_spmv_df

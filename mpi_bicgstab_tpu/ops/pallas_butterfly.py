@@ -121,34 +121,39 @@ def _k2(mid, k2_sub, k2_lane, interpret=False):
 # K3 — gather + multiply + accumulate from streamed dest windows
 # ---------------------------------------------------------------------------
 
-def _k3_kernel(z_ref, ss_ref, li_ref, v_ref, y_ref, *, W, F, TB):
-    # z block: [TB*8*F, 8, 128]? stored [rows, 128]; per output row r of
-    # this step's TB y-rows, its F stacked windows are z rows
-    # [8*F*r, 8*F*(r+1))
+def _k3_kernel(z_ref, ss_ref, li_ref, v_ref, y_ref, *, C, F, TB):
+    # Mosaic's sublane dynamic_gather needs MATCHED [8,128] shapes, so
+    # slabs process in chunks of 8; the F stacked windows resolve with
+    # a clip+select chain (same measured rate as a single window).
     for tb in range(TB):
         stacked = z_ref[pl.ds(tb * _SUB * F, _SUB * F), :]
-        ss = ss_ref[:, tb].astype(jnp.int32)      # [W, 128], in [0,8F)
-        li = li_ref[:, tb].astype(jnp.int32)      # [W, 128]
-        g = jnp.take_along_axis(
-            stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
-        for f in range(1, F):
-            part = jnp.take_along_axis(
-                stacked[f * _SUB:(f + 1) * _SUB, :],
-                jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
-            g = jnp.where(ss >= f * _SUB, part, g)
-        xg = jnp.take_along_axis(g, li, axis=1)   # [W, 128]
-        y_ref[tb] = jnp.sum(v_ref[:, tb] * xg, axis=0)
+        acc = jnp.zeros((_SUB, _LANES), v_ref.dtype)
+        for c in range(C):
+            ss = ss_ref[c, :, tb].astype(jnp.int32)      # [8, 128]
+            li = li_ref[c, :, tb].astype(jnp.int32)
+            g = jnp.take_along_axis(
+                stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
+            for f in range(1, F):
+                part = jnp.take_along_axis(
+                    stacked[f * _SUB:(f + 1) * _SUB, :],
+                    jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
+                g = jnp.where(ss >= f * _SUB, part, g)
+            xg = jnp.take_along_axis(g, li, axis=1)
+            acc = acc + v_ref[c, :, tb] * xg
+        y_ref[tb] = jnp.sum(acc, axis=0)
 
 
 @partial(jax.jit, static_argnames=("F", "interpret"))
 def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
-    W, NR = k3_vals.shape[0], k3_vals.shape[1] // _LANES
-    zr = z2d.shape[0]              # = NR * 8F rows of 128
-    tile = lambda: pl.BlockSpec((W, _TB, _LANES),  # noqa: E731
-                                lambda s: (0, s, 0),
+    W8, n_pad = k3_vals.shape
+    C = W8 // _SUB
+    NR = n_pad // _LANES
+    r4 = lambda a: a.reshape(C, _SUB, NR, _LANES)  # noqa: E731
+    tile = lambda: pl.BlockSpec((C, _SUB, _TB, _LANES),  # noqa: E731
+                                lambda s: (0, 0, s, 0),
                                 memory_space=pltpu.VMEM)
     y = pl.pallas_call(
-        partial(_k3_kernel, W=W, F=F, TB=_TB),
+        partial(_k3_kernel, C=C, F=F, TB=_TB),
         grid=(NR // _TB,),
         in_specs=[pl.BlockSpec((_TB * _SUB * F, _LANES),
                                lambda s: (s, 0),
@@ -158,8 +163,7 @@ def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NR, _LANES), k3_vals.dtype),
         interpret=interpret,
-    )(z2d, k3_sub.reshape(W, NR, _LANES),
-      k3_lane.reshape(W, NR, _LANES), k3_vals.reshape(W, NR, _LANES))
+    )(z2d, r4(k3_sub), r4(k3_lane), r4(k3_vals))
     return y.reshape(NR * _LANES)
 
 

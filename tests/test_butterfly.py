@@ -1,0 +1,106 @@
+"""Butterfly-routed SpMV (ops/butterfly.py + ops/pallas_butterfly.py):
+host routing correctness vs the numpy oracle and csr.matvec, the
+chained-gather-semantics simulator, interpret-mode kernels, the XLA
+fallback path, layout auto-selection, and an end-to-end solve."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+from mpi_bicgstab_tpu.ops.butterfly import (ButterflyMatrix,
+                                            build_butterfly,
+                                            butterfly_spmv_xla,
+                                            butterfly_stats,
+                                            simulate_numpy)
+
+
+def _mk(n=8192, npr=8, seed=1):
+    return random_diag_dominant(n, nnz_per_row=npr, seed=seed)
+
+
+@pytest.mark.parametrize("n,npr", [(4096, 8), (20480, 12)])
+def test_routing_simulator_matches_matvec(n, npr):
+    csr = _mk(n, npr)
+    bf = build_butterfly(csr)
+    x = np.random.default_rng(0).standard_normal(n)
+    y = simulate_numpy(bf, x)
+    y_ref = csr.matvec(x)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-12
+    # spill must stay tiny (the tail path is slow)
+    assert bf.tail_count <= 0.005 * csr.nnz
+
+
+def test_xla_path_matches_matvec():
+    csr = _mk()
+    bfh = build_butterfly(csr, dtype=np.float32)
+    bf = jax.tree_util.tree_map(jnp.asarray, bfh)
+    x = np.random.default_rng(0).standard_normal(csr.nrows)
+    y = np.asarray(jax.jit(butterfly_spmv_xla)(
+        bf, jnp.asarray(x, jnp.float32)))[: csr.nrows]
+    y_ref = csr.matvec(x)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
+def test_pallas_interpret_matches_matvec():
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret run is CPU-only (chip runs are -m chip)")
+    from mpi_bicgstab_tpu.ops.pallas_butterfly import butterfly_spmv
+    csr = _mk(4096)
+    bfh = build_butterfly(csr, dtype=np.float32)
+    bf = jax.tree_util.tree_map(jnp.asarray, bfh)
+    x = np.random.default_rng(0).standard_normal(csr.nrows)
+    y = np.asarray(butterfly_spmv(bf, jnp.asarray(x, jnp.float32),
+                                  interpret=True))[: csr.nrows]
+    y_ref = csr.matvec(x)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
+def test_layout_auto_selects_butterfly():
+    from mpi_bicgstab_tpu.ops.layout import build_operator, spmv
+    csr = _mk(4096)
+    op = build_operator(csr, dtype=np.float32)
+    assert isinstance(op, ButterflyMatrix)
+    x = np.random.default_rng(1).standard_normal(csr.nrows)
+    y = np.asarray(spmv(op, jnp.asarray(x, jnp.float32)))
+    assert y.shape[0] == csr.nrows
+    y_ref = csr.matvec(x)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
+def test_stats_and_infeasible_fallback():
+    stats = butterfly_stats(_mk(4096))
+    assert 0 < stats["max_distinct"] <= 1024
+    # a matrix with a row wider than max_width is rejected loudly
+    from mpi_bicgstab_tpu.ops.sparse import COOMatrix, coo_to_csr
+    n = 2048
+    base = _mk(n)               # unstructured (so auto skips DIA/window)
+    brows = np.repeat(np.arange(n, dtype=np.int64), base.row_lengths)
+    rows = np.concatenate([np.zeros(60, np.int64), brows])
+    cols = np.concatenate([np.arange(60, dtype=np.int64) * 30 % n,
+                           base.col])
+    vals = np.ones(rows.size)
+    wide = coo_to_csr(COOMatrix(rows, cols, vals, (n, n)),
+                      sum_duplicates=True)
+    with pytest.raises(ValueError):
+        build_butterfly(wide, max_width=24)
+    # and layout auto falls back to gather-ELL without raising
+    from mpi_bicgstab_tpu.ops.ell import EllMatrix
+    from mpi_bicgstab_tpu.ops.layout import build_operator
+    op = build_operator(wide, dtype=np.float32)
+    assert isinstance(op, EllMatrix)
+
+
+def test_solve_on_butterfly_operator():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = _mk(4096)
+    prob = build_problem(csr, dtype=jnp.float64, multiple=1024)
+    assert isinstance(prob.A, ButterflyMatrix)
+    res = solve(prob.A, prob.b, method="bicgstab",
+                cfg=SolverConfig(tol=1e-12, max_iter=200))
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-9, err
