@@ -128,15 +128,12 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
                 return lambda: chain(x0)
 
     sec = _slope_time(make_chain, K1=max(2, iters // 6), K2=iters)
-    layout = type(_single_op(csr, dtype)).__name__ if devices == 1 else None
+    # the operator was already built above for devices == 1; rebuilding
+    # via _single_op just for the name would double multi-minute builds
+    # (butterfly routing at 1.6M rows)
+    layout = type(A).__name__ if devices == 1 else None
     return {"spmv_s": sec, "spmv_nnz_per_s": nnz / sec,
             "spmv_layout": layout}
-
-
-def _single_op(csr, dtype):
-    from mpi_bicgstab_tpu.ops.layout import build_operator
-    return build_operator(csr, dtype=dtype if dtype == "df32"
-                          else np.dtype(dtype))
 
 
 def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",

@@ -150,6 +150,8 @@ def butterfly_stats(csr, rb: int = _RB):
 def _round_ok(key, val):
     """Within one proposal round: winner = first proposal per key;
     riders (same key AND same value as the winner) also pass."""
+    if key.size == 0:
+        return np.zeros(0, bool)
     o = np.argsort(key, kind="stable")
     ks, vs = key[o], val[o]
     first = np.r_[True, ks[1:] != ks[:-1]]
@@ -160,7 +162,7 @@ def _round_ok(key, val):
     return ok
 
 
-def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
+def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
     """Choose (u1 window a, middle window m) for every distinct
     element, honoring FOUR uniqueness families:
       (d, m_lo)              one element per dest slot       [strict]
@@ -184,7 +186,8 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
 
     out_deg = np.bincount(src, minlength=Ts)
     k_s = np.maximum(1, np.ceil(out_deg / (_B * 0.55)).astype(np.int64))
-    Td = int(d.max()) + 1 if E else 1
+    Td = n_blocks            # FULL padded block count: the K3 kernel
+    # streams z for every padded output row, so z must cover them all
     P = _pad_up(max(int(k_s.sum()), Td, _B), _B)
     if (P // _B) % 2 == 0:
         P += _B
@@ -226,8 +229,10 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
     PB64 = np.int64(P) * _B
     taken_d = np.zeros(Td * _B, bool)            # d*1024 + m_lo
     taken_a = np.zeros(PB64, bool)               # a*1024 + b
-    val_l1 = np.full(PB64, -1, np.int32)         # a*1024+brow*128+lane
-    val_l2 = np.full(PB64, -1, np.int32)         # m*1024+qrow*128+lane
+    # value maps store v+1 with 0 = empty (np.zeros is calloc-fast;
+    # np.full cost seconds at this size)
+    val_l1 = np.zeros(PB64, np.int32)            # a*1024+brow*128+lane
+    val_l2 = np.zeros(PB64, np.int32)            # m*1024+qrow*128+lane
     todo = np.arange(E)
     for _ in range(rounds):
         if todo.size == 0:
@@ -247,23 +252,30 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds):
         ka = a_t * np.int64(_B) + b_t
         kl1 = a_t * np.int64(_B) + (b_t // _LANES) * _LANES \
             + src_lane[todo]
-        vl1 = u_col[todo].astype(np.int32)
+        vl1 = u_col[todo].astype(np.int32) + 1
         kl2 = m_t * np.int64(_B) + (q[todo] // _LANES) * _LANES \
             + (a_t % _LANES)
-        vl2 = (a_t % _B).astype(np.int32)
-        win = (~taken_d[kd] & ~taken_a[ka]
-               & ((val_l1[kl1] == -1) | (val_l1[kl1] == vl1))
-               & ((val_l2[kl2] == -1) | (val_l2[kl2] == vl2))
-               & _round_ok(kd, e_id) & _round_ok(ka, e_id)
-               & _round_ok(kl1, vl1) & _round_ok(kl2, vl2))
-        e_win = todo[win]
-        a_sel[e_win] = a_t[win]
-        m_sel[e_win] = m_t[win]
-        taken_d[kd[win]] = True
-        taken_a[ka[win]] = True
-        val_l1[kl1[win]] = vl1[win]
-        val_l2[kl2[win]] = vl2[win]
-        todo = todo[~win]
+        vl2 = (a_t % _B).astype(np.int32) + 1
+        # cheap O(1) dense checks first; the sort-based within-round
+        # winner resolution then runs on the shrinking survivor subset
+        idx = np.nonzero(~taken_d[kd] & ~taken_a[ka]
+                         & ((val_l1[kl1] == 0) | (val_l1[kl1] == vl1))
+                         & ((val_l2[kl2] == 0)
+                            | (val_l2[kl2] == vl2)))[0]
+        idx = idx[_round_ok(kd[idx], e_id[idx])]
+        idx = idx[_round_ok(ka[idx], e_id[idx])]
+        idx = idx[_round_ok(kl1[idx], vl1[idx])]
+        idx = idx[_round_ok(kl2[idx], vl2[idx])]
+        e_win = todo[idx]
+        a_sel[e_win] = a_t[idx]
+        m_sel[e_win] = m_t[idx]
+        taken_d[kd[idx]] = True
+        taken_a[ka[idx]] = True
+        val_l1[kl1[idx]] = vl1[idx]
+        val_l2[kl2[idx]] = vl2[idx]
+        keep = np.ones(todo.size, bool)
+        keep[idx] = False
+        todo = todo[keep]
     ok = a_sel >= 0
     return P, a_sel, m_sel, ok
 
@@ -279,7 +291,10 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
     n = csr.nrows
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("butterfly layout needs a square matrix")
-    n_pad = _pad_up(n, _B)
+    # multiple of 2048 = the K3 kernel's TB(16) x 128-lane grid unit —
+    # an NR not divisible by TB would silently leave the last rows of y
+    # uncomputed (grid floor-division)
+    n_pad = _pad_up(n, 2 * _B)
     lengths = csr.row_lengths
     W = int(lengths.max()) if n else 0
     if W == 0 or W > max_width:
@@ -305,7 +320,7 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
                 f"columns (> {_B}): not butterfly-routable")
 
     P, a_sel, m_sel, ok = _assign_routes(u_blk, u_col, n_pad, seed,
-                                         rounds)
+                                         rounds, n_pad // rb)
     G = P // _B
     if (~ok).sum() > max_tail_frac * max(u_blk.size, 1):
         raise ValueError(
@@ -366,7 +381,7 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
     for W3 in (int(W * 1.4) + 1, int(W * 1.8) + 1, 2 * W + 2):
         w_sel = np.full(NE, -1, np.int64)
         taken_row = np.zeros(n_pad * W3, bool)
-        val_gl = np.full(NR_ * W3 * _LANES, -1, np.int16)
+        val_gl = np.zeros(NR_ * W3 * _LANES, np.int16)   # v+1, 0=empty
         rng3 = np.random.default_rng(seed + 1)
         todo3 = np.arange(NE)
         for _ in range(4 * W3 + 12):
@@ -376,15 +391,19 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
             krow = r_all[todo3] * np.int64(W3) + w_t
             kgl = (grp[todo3] * np.int64(W3) + w_t) * _LANES \
                 + lane3[todo3]
-            vgl = sub3[todo3].astype(np.int16)
-            winc = (~taken_row[krow]
-                    & ((val_gl[kgl] == -1) | (val_gl[kgl] == vgl))
-                    & _round_ok(krow, todo3) & _round_ok(kgl, vgl))
-            e_w = todo3[winc]
-            w_sel[e_w] = w_t[winc]
-            taken_row[krow[winc]] = True
-            val_gl[kgl[winc]] = vgl[winc]
-            todo3 = todo3[~winc]
+            vgl = sub3[todo3].astype(np.int16) + 1
+            idx3 = np.nonzero(~taken_row[krow]
+                              & ((val_gl[kgl] == 0)
+                                 | (val_gl[kgl] == vgl)))[0]
+            idx3 = idx3[_round_ok(krow[idx3], todo3[idx3])]
+            idx3 = idx3[_round_ok(kgl[idx3], vgl[idx3])]
+            e_w = todo3[idx3]
+            w_sel[e_w] = w_t[idx3]
+            taken_row[krow[idx3]] = True
+            val_gl[kgl[idx3]] = vgl[idx3]
+            keep3 = np.ones(todo3.size, bool)
+            keep3[idx3] = False
+            todo3 = todo3[keep3]
         if todo3.size <= 0.3 * max_tail_frac * max(csr.nnz, 1):
             break
     placed3 = w_sel >= 0

@@ -137,6 +137,24 @@ def test_shift_update_kernel_df32(monkeypatch):
                                rtol=1e-8, atol=1e-9)
 
 
+def test_butterfly_spmv_on_chip():
+    """Compiled butterfly-routed SpMV (the uniform-random unstructured
+    fast path) vs csr.matvec on a locality-free matrix."""
+    from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+    from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
+    from mpi_bicgstab_tpu.ops.pallas_butterfly import (available,
+                                                       butterfly_spmv)
+    csr = random_diag_dominant(20480, nnz_per_row=8, seed=3)
+    bfh = build_butterfly(csr, dtype=np.float32)
+    bf = jax.tree_util.tree_map(jnp.asarray, bfh)
+    assert available(bf, jnp.float32)
+    x = np.random.default_rng(0).standard_normal(csr.nrows)
+    y = np.asarray(butterfly_spmv(bf, jnp.asarray(x, jnp.float32)))
+    y = y[: csr.nrows]
+    y_ref = csr.matvec(x)
+    assert float(np.abs(y - y_ref).max() / np.abs(y_ref).max()) < 1e-5
+
+
 def test_blocked_switching_f32_on_chip():
     """Blocked MXU shift updates vs the per-iteration path, compiled."""
     from mpi_bicgstab_tpu.api import solve_shifted

@@ -59,9 +59,12 @@ def test_auto_routes_banded_to_dia():
     assert isinstance(op, DiaMatrix)
 
 
-def test_auto_routes_random_to_ell():
+def test_auto_routes_random_to_butterfly():
+    # round 3: locality-free matrices get the butterfly-routed fast
+    # path (ops/butterfly.py); gather-ELL only when not routable
+    from mpi_bicgstab_tpu.ops.butterfly import ButterflyMatrix
     op = build_operator(random_diag_dominant(1000, nnz_per_row=8, seed=0))
-    assert isinstance(op, EllMatrix)
+    assert isinstance(op, ButterflyMatrix)
 
 
 def test_transport_like_is_pure_dia():

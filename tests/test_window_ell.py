@@ -56,12 +56,13 @@ def test_window_stats_and_auto_selection():
     assert stats["window_frac"] > 0.95
     op = build_operator(csr, format="auto", dtype=np.float32)
     assert isinstance(op, WindowEllMatrix)
-    # but the uniform-random matrix keeps the gather-ELL path
+    # the uniform-random matrix routes to the butterfly layout
+    # (round 3; gather-ELL remains only the unroutable fallback)
     from mpi_bicgstab_tpu.models.generators import random_diag_dominant
-    from mpi_bicgstab_tpu.ops.ell import EllMatrix
+    from mpi_bicgstab_tpu.ops.butterfly import ButterflyMatrix
     csr_u = random_diag_dominant(2048, seed=1)
     op_u = build_operator(csr_u, format="auto", dtype=np.float32)
-    assert isinstance(op_u, EllMatrix)
+    assert isinstance(op_u, ButterflyMatrix)
 
 
 def test_spmv_via_layout_dispatch():
