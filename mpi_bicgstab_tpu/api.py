@@ -29,6 +29,11 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
             # both iteration phases fused into the DIA SpMV tile pass
             # (updates + dot partials ride the band multiply)
             return fused.pipe_bicgstab_fused(A, b, x0, cfg)
+        from mpi_bicgstab_tpu.ops import pallas_fused_pipe_df2 as fdf2
+        if fdf2.available(A, cfg.dtype):
+            # df32: FULLY fused phases — the DF DIA SpMVs run inside
+            # the two phase kernels (chunk-resident halo windows)
+            return fdf2.pipe_bicgstab_fused_df_full(A, b, x0, cfg)
         from mpi_bicgstab_tpu.ops import pallas_fused_pipe_df as fused_df
         if fused_df.available(A, cfg.dtype):
             # df32: iteration BODIES fused (updates + compensated dot

@@ -109,6 +109,31 @@ def test_fused_pipe_df32_trajectory(monkeypatch):
     assert err < 1e-8, err
 
 
+def test_fused_pipe_df32_full_trajectory(monkeypatch):
+    """Compiled FULLY-fused df32 pipe (SpMVs in-kernel,
+    ops/pallas_fused_pipe_df2.py) vs the XLA build: same trajectory,
+    df-class solution accuracy."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.ops import pallas_fused_pipe_df2 as fdf2
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = banded_random(16384, [1, -1, 40, -40, 129, -129], seed=7)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=200, dtype="df32")
+    assert fdf2.available(prob.A, cfg.dtype)
+    res_f = fdf2.pipe_bicgstab_fused_df_full(prob.A, prob.b,
+                                             df_zeros_like(prob.b), cfg)
+    monkeypatch.setenv("MBT_FUSED_DF2", "0")
+    monkeypatch.setenv("MBT_FUSED_DF", "0")
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-8, err
+
+
 def test_shift_update_kernel_df32(monkeypatch):
     """Compiled df32 shift-update kernel: the df32 switching solve with
     the kernel engaged must match the pure-XLA build."""

@@ -175,3 +175,100 @@ def test_df32_fused_solver_matches_xla_pipe():
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-9, err
+
+
+# ---------------------------------------------------------------------------
+# df32 FULLY-fused variant (ops/pallas_fused_pipe_df2.py — SpMV in-kernel)
+# ---------------------------------------------------------------------------
+
+def test_df32_full_phase_a_matches_xla():
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df2 import \
+        fused_phase_a_full
+    from mpi_bicgstab_tpu.ops.precision import (df_dot, df_from_f64,
+                                                df_to_f64, vfma)
+    csr = banded_random(16384, [1, -1, 40, -40, 129, -129], seed=5)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    A = prob.A
+    n = prob.n
+    rng = np.random.default_rng(0)
+    mk = lambda: df_from_f64(rng.standard_normal(n))  # noqa: E731
+    w, r, p, s, z, v = (mk() for _ in range(6))
+    al, be, om = (df_from_f64(np.asarray(x)) for x in (0.7, 0.3, 0.2))
+    sc = jnp.stack([al.hi, al.lo, be.hi, be.lo, om.hi, om.lo])
+    t, p2, s2, z2, q, y, qTy, yTy = fused_phase_a_full(
+        A.vals, w, r, p, s, z, v, sc, A.offsets, interpret=True)
+    tx = dia_spmv_df(A, w)
+    z2x = vfma(tx, be, vfma(z, -om, v))
+    p2x = vfma(r, be, vfma(p, -om, s))
+    s2x = vfma(w, be, vfma(s, -om, z))
+    qx = vfma(r, -al, s2x)
+    yx = vfma(w, -al, z2x)
+    for got, want in ((t, tx), (p2, p2x), (s2, s2x), (z2, z2x),
+                      (q, qx), (y, yx)):
+        np.testing.assert_allclose(df_to_f64(got), df_to_f64(want),
+                                   rtol=1e-12, atol=1e-12)
+    # dot tolerance is f32-class HERE ONLY: interpret-mode kernels
+    # compile through XLA:CPU, whose codegen mangles the composed
+    # compensation tree (even the f64-upcast form — measured this
+    # round: eager 6e-14, jit 1.2e-7 on the same graph). Mosaic
+    # preserves it; tests/test_chip_kernels.py is the precision gate.
+    np.testing.assert_allclose(float(df_to_f64(qTy)),
+                               float(df_to_f64(df_dot(qx, yx))),
+                               rtol=5e-7)
+    np.testing.assert_allclose(float(df_to_f64(yTy)),
+                               float(df_to_f64(df_dot(yx, yx))),
+                               rtol=5e-7)
+
+
+def test_df32_full_phase_b_matches_xla():
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df2 import \
+        fused_phase_b_full
+    from mpi_bicgstab_tpu.ops.precision import (df_dot, df_from_f64,
+                                                df_to_f64, vfma)
+    csr = banded_random(8192, [1, -1, 40, -40], seed=6)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    A = prob.A
+    n = prob.n
+    rng = np.random.default_rng(1)
+    mk = lambda: df_from_f64(rng.standard_normal(n))  # noqa: E731
+    z2, x, p2, q, y, t, rh, s2 = (mk() for _ in range(8))
+    al, om = (df_from_f64(np.asarray(v_)) for v_ in (0.7, 0.25))
+    sc = jnp.stack([al.hi, al.lo, om.hi, om.lo])
+    v2, x2, r2, w2, dot_r, rTr, rhTw, rhTs, rhTz = fused_phase_b_full(
+        A.vals, z2, x, p2, q, y, t, rh, s2, sc, A.offsets,
+        interpret=True)
+    v2x = dia_spmv_df(A, z2)
+    w2x = vfma(y, -om, vfma(t, -al, v2x))
+    x2x = vfma(vfma(x, al, p2), om, q)
+    r2x = vfma(q, -om, y)
+    for got, want in ((v2, v2x), (x2, x2x), (r2, r2x), (w2, w2x)):
+        np.testing.assert_allclose(df_to_f64(got), df_to_f64(want),
+                                   rtol=1e-12, atol=1e-12)
+    # f32-class dot tolerance: interpret-only XLA:CPU mangling of the
+    # compensation tree (see test_df32_full_phase_a_matches_xla)
+    for got, want in ((dot_r, df_dot(r2x, r2x)), (rTr, df_dot(rh, r2x)),
+                      (rhTw, df_dot(rh, w2x)), (rhTs, df_dot(rh, s2)),
+                      (rhTz, df_dot(rh, z2))):
+        np.testing.assert_allclose(float(df_to_f64(got)),
+                                   float(df_to_f64(want)), rtol=1e-6,
+                                   atol=1e-5)
+
+
+def test_df32_full_fused_solver_matches_xla_pipe():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df2 import \
+        pipe_bicgstab_fused_df_full
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    csr = banded_random(8192, [1, -1, 40, -40], seed=7)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=120, dtype=jnp.float32)
+    res_f = pipe_bicgstab_fused_df_full(prob.A, prob.b,
+                                        df_zeros_like(prob.b), cfg,
+                                        interpret=True)
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-9, err
