@@ -331,6 +331,12 @@ def cmd_solve(args):
         "total_iter": done,
         "final_relres": (cum_rel if args.checkpoint
                          else float(res.final_relres)),
+        # recursive vs TRUE residual at exit — `converged` is gated on
+        # the latter (solvers/base.SolveResult): the pipelined
+        # recurrences can report 1e-16 while the iterate stalls
+        "true_relres": (float(res.true_relres)
+                        if getattr(res, "true_relres", None) is not None
+                        else None),
         "converged": bool(res.converged),
         "total_time_s": round(total, 6),
         "avg_time_per_iter_s": round(total / iters, 9),
@@ -496,6 +502,10 @@ def cmd_solve_shifted(args):
             "io_time_s": round(io_time, 6),
             "total_iter": int(res.n_iter),
             "final_relres": float(res.final_relres),
+            # TRUE seed-system residual at exit (one extra SpMV) — the
+            # decoupling detector for the whole estimated ladder
+            # (solvers/base.ShiftedResult)
+            "seed_true_relres": float(res.true_relres),
             "max_shift_relres": float(np.asarray(res.shift_relres).max()),
             "all_converged": bool(np.asarray(res.stop_flags).all()),
             "total_time_s": round(total, 6),

@@ -345,6 +345,12 @@ def pipe_bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     k, x = out[0], out[1]
     dot_r, hist = out[13], out[14]
     relres = jnp.sqrt(dot_r / dot_zero)
+    # true-residual gate on `converged` (solvers/base.SolveResult doc):
+    # one XLA SpMV at exit, outside the iteration loop
+    r_true = b - dia_spmv(Ap, x)
+    true_relres = jnp.sqrt(jnp.sum(r_true * r_true) / dot_zero)
     return SolveResult(x=x[:n0], n_iter=k, final_relres=relres,
                        history=jnp.sqrt(hist / dot_zero),
-                       converged=dot_r <= dot_zero * tol2)
+                       converged=(dot_r <= dot_zero * tol2)
+                       & (true_relres <= 100.0 * jnp.sqrt(tol2)),
+                       true_relres=true_relres)

@@ -344,8 +344,15 @@ def pipe_bicgstab_fused_df(A: DiaMatrix, b, x0, cfg, interpret=False):
     k, x = out[0], out[1]
     dot_r, hist = out[13], out[14]
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    # true-residual gate on `converged` (solvers/base.SolveResult doc):
+    # one XLA DF SpMV at exit, outside the iteration loop
+    r_true = b - dia_spmv_df(Ap, x)
+    true_relres = jnp.sqrt(vvalue(df_dot(r_true, r_true))
+                           / vvalue(dot_zero))
     return SolveResult(x=DF(x.hi[:n0], x.lo[:n0]), n_iter=k,
                        final_relres=relres,
                        history=jnp.sqrt(hist / vvalue(dot_zero)),
-                       converged=vvalue(dot_r)
-                       <= vvalue(dot_zero) * tol2)
+                       converged=(vvalue(dot_r)
+                                  <= vvalue(dot_zero) * tol2)
+                       & (true_relres <= 100.0 * jnp.sqrt(tol2)),
+                       true_relres=true_relres)

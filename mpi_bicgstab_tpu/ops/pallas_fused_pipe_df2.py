@@ -378,7 +378,14 @@ def pipe_bicgstab_fused_df_full(A: DiaMatrix, b, x0, cfg,
     k, x = out[0], out[1]
     dot_r, hist = out[12], out[13]
     rel = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    # true-residual gate on `converged` (solvers/base.SolveResult doc):
+    # one XLA DF SpMV at exit, outside the iteration loop
+    r_true = b - dia_spmv_df(Ap, x)
+    true_relres = jnp.sqrt(vvalue(df_dot(r_true, r_true))
+                           / vvalue(dot_zero))
     return SolveResult(
         x=DF(x.hi[:n0], x.lo[:n0]), n_iter=k, final_relres=rel,
         history=jnp.sqrt(hist / vvalue(dot_zero)),
-        converged=vvalue(dot_r) <= vvalue(dot_zero) * tol2)
+        converged=(vvalue(dot_r) <= vvalue(dot_zero) * tol2)
+        & (true_relres <= 100.0 * jnp.sqrt(tol2)),
+        true_relres=true_relres)

@@ -208,12 +208,13 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
 
     if not shifted:
         out_specs = SolveResult(x=_VEC, n_iter=_REP, final_relres=_REP,
-                                history=_REP, converged=_REP)
+                                history=_REP, converged=_REP,
+                                true_relres=_REP)
     else:
         out_specs = ShiftedResult(x_set=P(None, ROWS), n_iter=_REP,
                                   final_relres=_REP, history=_REP,
                                   stop_flags=_REP, final_seed=_REP,
-                                  shift_relres=_REP)
+                                  shift_relres=_REP, true_relres=_REP)
     sm = jax.shard_map(run, mesh=mesh,
                        in_specs=p.specs(_SLAB, _VEC) + (_VEC, _VEC, _REP),
                        out_specs=out_specs, check_vma=False)

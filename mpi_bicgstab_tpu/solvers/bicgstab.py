@@ -99,12 +99,22 @@ def _scalar_zero(like_df, dtype):
     return jnp.asarray(0.0, dtype)
 
 
-def _finish(x, k, dot_r, dot_zero, tol2, hist):
+def _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b):
     relres = jnp.sqrt(_value(dot_r) / _value(dot_zero))
     history = jnp.sqrt(hist / _value(dot_zero))
+    # One extra SpMV at exit: the recursive residual the loop stopped on
+    # can decouple from the truth on near-breakdown systems (the
+    # pipelined recurrences keep contracting while x stalls), so
+    # `converged` is gated on the TRUE residual (see SolveResult doc).
+    r_true = b - spmv(x)
+    true_relres = jnp.sqrt(_value(comm.dot(r_true, r_true))
+                           / _value(dot_zero))
+    tol = jnp.sqrt(_value(tol2))
     # tol2 * dot_zero evaluated DF-first so a DF dot_zero keeps precision
     return SolveResult(x=x, n_iter=k, final_relres=relres, history=history,
-                       converged=dot_r <= dot_zero * tol2)
+                       converged=(dot_r <= dot_zero * tol2)
+                       & (true_relres <= 100.0 * tol),
+                       true_relres=true_relres)
 
 
 def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
@@ -150,7 +160,7 @@ def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     k0 = jnp.int32(0)
     out = lax.while_loop(cond, body, (k0, x0, r0, p0, rTr0, rTr0, hist0))
     k, x, _r, _p, _rTr, dot_r, hist = out
-    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+    return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
 def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
@@ -208,7 +218,7 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
                                       beta0, omega0, rTr0, rTr0, hist0))
     k, x = out[0], out[1]
     dot_r, hist = out[11], out[12]
-    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+    return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
 def _use_fused_df_bodies(b) -> bool:
@@ -318,7 +328,7 @@ def _pipe_bicgstab_fused_bodies(spmv, comm, b, x0,
         zero_s, rTr0, rTr0, hist0))
     k, x = out[0], out[1]
     dot_r, hist = out[13], out[14]
-    return _finish(unpad(x), k, dot_r, dot_zero, tol2, hist)
+    return _finish(unpad(x), k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
 def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
@@ -389,7 +399,7 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
                                       hist0))
     k, x = out[0], out[1]
     dot_r, hist = out[13], out[14]
-    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+    return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
 def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
@@ -480,7 +490,7 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
                                       hist0))
     k, x = out[0], out[1]
     dot_r, hist = out[13], out[14]
-    return _finish(x, k, dot_r, dot_zero, tol2, hist)
+    return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
 CLASSIC_SOLVERS = {

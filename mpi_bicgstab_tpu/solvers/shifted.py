@@ -66,15 +66,37 @@ def _as_sigma(sigma, b):
     return jnp.asarray(sigma, b.dtype)
 
 
-def _shift_result(x_set, k, dot_r, dot_zero, scale_abs, tol2, hist, seed):
+def _vtake0(v, i):
+    """v[i] along axis 0, DF-aware (i may be traced)."""
+    from mpi_bicgstab_tpu.ops.precision import DF
+    return DF(v.hi[i], v.lo[i]) if is_df(v) else v[i]
+
+
+def seed_true_relres(spmv, comm, b, sigma_seed, x_seed, dot_zero):
+    """||b - (A + sigma_seed I) x_seed|| / ||r0||: one extra SpMV at
+    exit on the CURRENT seed system. Every per-shift estimate is a
+    scalar multiple of the seed residual, so this is the decoupling
+    detector for the whole ladder (see solvers/base.ShiftedResult).
+    sigma_seed is the seed system's shift: sigma[seed] for the LOP
+    family, 0 for shifted_bicgstab's unshifted seed."""
+    r_true = b - vfma(spmv(x_seed), sigma_seed, x_seed)
+    td = comm.dot(r_true, r_true)
+    return jnp.sqrt(vvalue(td) / vvalue(dot_zero))
+
+
+def _shift_result(x_set, k, dot_r, dot_zero, scale_abs, tol2, hist, seed,
+                  spmv, comm, b, sigma_seed):
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
     history = jnp.sqrt(hist / vvalue(dot_zero))
     stop = scale_abs * scale_abs * vvalue(dot_r) \
         <= tol2 * vvalue(dot_zero)
+    true_rr = seed_true_relres(spmv, comm, b, sigma_seed,
+                               _vtake0(x_set, seed), dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=history, stop_flags=stop,
                          final_seed=jnp.int32(seed),
-                         shift_relres=scale_abs * relres)
+                         shift_relres=scale_abs * relres,
+                         true_relres=true_rr)
 
 
 def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
@@ -173,7 +195,8 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
     (k, x_set, _p, _r, _al, _be, _om, tau, _xo, xi_curr, _rTr, dot_r,
      _mx, hist) = out
     scale = jnp.where(mask, vvalue(vabs(xi_curr * tau)), 1.0)
-    return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, 0)
+    return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, 0,
+                         spmv, comm, b, vzeros((), b))
 
 
 def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
@@ -273,7 +296,8 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     (k, x_set, _p, _r, _al, _be, _om, _eta, zeta, _po, pi_new, _rTr,
      dot_r, _mzp, hist) = out
     scale = jnp.where(mask, vvalue(vabs(1.0 / (zeta * pi_new))), 1.0)
-    return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, seed)
+    return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist,
+                         seed, spmv, comm, b, sig_seed)
 
 
 # The reference's reordered/no-overlap twins are the same recurrences;
@@ -393,7 +417,8 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     zeta, pi_new = out[14], out[16]
     dot_r, hist = out[18], out[20]
     scale = jnp.where(mask, vvalue(vabs(1.0 / (zeta * pi_new))), 1.0)
-    return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, seed)
+    return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist,
+                         seed, spmv, comm, b, sig_seed)
 
 
 shifted_pipe_lopbicgstab_nooverlap = shifted_pipe_lopbicgstab  # ref :897-1086

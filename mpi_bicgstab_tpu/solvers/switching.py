@@ -151,10 +151,15 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
      hist) = out
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
     scale = jnp.where(not_seed, vvalue(vabs(1.0 / (_zeta * _pi))), 1.0)
+    from mpi_bicgstab_tpu.solvers.shifted import (_vtake0,
+                                                  seed_true_relres)
+    true_rr = seed_true_relres(spmv, comm, b, sig_seed,
+                               _vtake0(x_set, seed), dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
                          stop_flags=stop, final_seed=jnp.int32(seed),
-                         shift_relres=scale * relres)
+                         shift_relres=scale * relres,
+                         true_relres=true_rr)
 
 
 def init_switching_carry(b, sigma, seed: int, cfg: ShiftedConfig,
@@ -413,7 +418,7 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
     return lax.while_loop(cond, body, carry)
 
 
-def _switching_finish(out, comm, b, sigma) -> ShiftedResult:
+def _switching_finish(out, spmv, comm, b, sigma) -> ShiftedResult:
     """Carry -> ShiftedResult (the reference's exit prints, :555-598)."""
     sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
@@ -427,11 +432,16 @@ def _switching_finish(out, comm, b, sigma) -> ShiftedResult:
     # live shifts carry their current value)
     scale = jnp.where(idxS != seed_i,
                       vvalue(vabs(1.0 / _zp_eff)), 1.0)
+    from mpi_bicgstab_tpu.solvers.shifted import (_vtake0,
+                                                  seed_true_relres)
+    true_rr = seed_true_relres(spmv, comm, b, _vtake0(sigma, seed_i),
+                               _vtake0(x_set, seed_i), dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
                          final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
                          stop_flags=stop, final_seed=seed_i,
-                         shift_relres=scale * relres)
+                         shift_relres=scale * relres,
+                         true_relres=true_rr)
 
 
 def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
@@ -457,7 +467,7 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     else:
         out = _switching_loop(spmv, comm, b, sigma, cfg, carry0,
                               k_stop=jnp.int32(cfg.max_iter + 1))
-    return _switching_finish(out, comm, b, sigma)
+    return _switching_finish(out, spmv, comm, b, sigma)
 
 
 def shifted_lopbicg_switching_segment(spmv, comm, b, sigma,
@@ -477,7 +487,7 @@ def shifted_lopbicg_switching_segment(spmv, comm, b, sigma,
     longest-running solver family."""
     out = _switching_loop(spmv, comm, b, sigma, cfg, carry,
                           k_stop=jnp.asarray(k_stop, jnp.int32))
-    return _switching_finish(out, comm, b, sigma), out
+    return _switching_finish(out, spmv, comm, b, sigma), out
 
 
 SWITCHING_SOLVERS = {

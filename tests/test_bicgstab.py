@@ -92,3 +92,23 @@ def test_float32_path_runs():
     res = solve(prob.A, prob.b, cfg=cfg)
     assert bool(res.converged)
     assert np.abs(np.asarray(res.x) - 1.0).max() < 1e-3
+
+
+def test_true_residual_gates_converged():
+    """Pipelined recurrences can DECOUPLE from the truth: on this
+    fixture at tol=1e-15 the recursive residual contracts to ~1e-16
+    while the true residual stalls at ~6e-2 (cond(A) is only ~6, so
+    this is recurrence breakdown, not conditioning). `converged` must
+    not report success there; classic BiCGStab on the same system is
+    genuinely converged and must keep reporting success."""
+    csr = banded_random(4096, [1, -1, 40, -40], seed=3)
+    prob = build_problem(csr)
+    cfg = SolverConfig(tol=1e-15, max_iter=1000)
+    res_p = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    assert float(res_p.final_relres) < 1e-14      # est says "done"
+    assert float(res_p.true_relres) > 1e-3        # truth says "no"
+    assert not bool(res_p.converged)
+    res_c = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+    assert bool(res_c.converged)
+    assert float(res_c.true_relres) < 1e-12
+    assert np.abs(np.asarray(res_c.x) - 1.0).max() < 1e-10

@@ -211,13 +211,17 @@ def test_df32_ring_halo_with_tails():
     b = csr.matvec(np.ones(csr.nrows))
     part = partition_csr(csr, 8, dtype="df32", format="ell", width=1)
     assert part.offd_tail_vals.hi.shape[0] > 0   # tail actually present
+    # the tail's uncompensated lo sums cap this extreme width cap's
+    # accuracy at ~f32: the true-residual gate on `converged` (which
+    # correctly rejects a tol=1e-12 claim here — measured true relres
+    # ~6e-8 while the recursion reports 1e-12) forces the honest
+    # tolerance
     res = solve_distributed(part, b, method="bicgstab", halo="ring",
-                            cfg=SolverConfig(tol=1e-12, max_iter=400,
+                            cfg=SolverConfig(tol=1e-6, max_iter=400,
                                              dtype=jnp.float32))
     x = df_to_f64(res.x)[: csr.nrows]
     assert bool(res.converged)
-    # the tail's uncompensated lo sums cap accuracy at this extreme
-    # width cap; structure-level check only
+    assert float(res.true_relres) < 1e-4
     assert np.linalg.norm(b - csr.matvec(x)) / np.linalg.norm(b) < 1e-5
 
 

@@ -143,3 +143,26 @@ def test_seed_out_of_range():
     csr, prob = _problem()
     with pytest.raises(ValueError, match="seed"):
         solve_shifted(prob.A, prob.b, SIGMA5, seed=9)
+
+
+def test_seed_true_relres_reported():
+    """ShiftedResult.true_relres: the TRUE seed-system residual at exit
+    (one extra SpMV) must agree with the recursive estimate on a
+    healthy solve, for both the unshifted-seed and LOP families."""
+    sigma = SIGMA5
+    csr, prob = _problem()
+    cfg = ShiftedConfig(tol=1e-10, max_iter=500)
+    res = solve_shifted(prob.A, prob.b, sigma, method="shifted_bicgstab",
+                        cfg=cfg)
+    assert np.isfinite(float(res.true_relres))
+    assert float(res.true_relres) <= max(10 * float(res.final_relres),
+                                         1e-12)
+    res2 = solve_shifted(prob.A, prob.b, sigma, seed=2,
+                         method="shifted_lopbicgstab", cfg=cfg)
+    assert float(res2.true_relres) <= max(10 * float(res2.final_relres),
+                                          1e-12)
+    # switching flagship: seed may have moved; the reported seed system
+    # must still be truly solved
+    res3 = solve_shifted(prob.A, prob.b, sigma, seed=2,
+                         method="shifted_lopbicg_switching", cfg=cfg)
+    assert float(res3.true_relres) <= 1e-7
