@@ -22,6 +22,14 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
     # print (_maybe_print_residual) lives there, and silently dropping
     # --verbose-every output exactly when the fused kernels engage
     # would be a trap (round-2 ADVICE)
+    if (method == "bicgstab" and not cfg.serialize_comm
+            and not getattr(cfg, "out_iter", 0)):
+        from mpi_bicgstab_tpu.ops import pallas_fused_classic as fcl
+        if fcl.available(A, cfg.dtype):
+            # classic iteration as three fused passes: the SpMV inputs
+            # (p', q) are computed in-kernel from chunk-resident
+            # windows, so recurrence vectors stream through VMEM once
+            return fcl.bicgstab_fused(A, b, x0, cfg)
     if (method == "pipe_bicgstab" and not cfg.serialize_comm
             and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused

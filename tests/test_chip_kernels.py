@@ -202,3 +202,22 @@ def test_blocked_switching_f32_on_chip():
     np.testing.assert_allclose(np.asarray(rB.x_set),
                                np.asarray(r0.x_set), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_fused_classic_f32_trajectory(banded_prob, monkeypatch):
+    """Compiled fused classic BiCGStab (ops/pallas_fused_classic.py)
+    vs the XLA build: same trajectory."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops import pallas_fused_classic as fcl
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr, prob = banded_prob
+    cfg = SolverConfig(tol=1e-5, max_iter=100, dtype=jnp.float32)
+    assert fcl.available(prob.A, jnp.float32)
+    res_f = fcl.bicgstab_fused(prob.A, prob.b,
+                               jnp.zeros_like(prob.b), cfg)
+    monkeypatch.setenv("MBT_FUSED_CLASSIC", "0")
+    res_x = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    assert bool(res_f.converged)
+    err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err

@@ -272,3 +272,87 @@ def test_df32_full_fused_solver_matches_xla_pipe():
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-9, err
+
+
+# ---------------------------------------------------------------------------
+# fused CLASSIC BiCGStab (ops/pallas_fused_classic.py)
+# ---------------------------------------------------------------------------
+
+def test_classic_k1_k2_k3_match_xla():
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic import (fused_k1,
+                                                           fused_k2,
+                                                           fused_k3)
+    csr = banded_random(16384, [1, -1, 40, -40, 129, -129], seed=11)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    A = prob.A
+    n = prob.n
+    rng = np.random.default_rng(3)
+    mk = lambda: jnp.asarray(rng.standard_normal(n), jnp.float32)  # noqa
+    r, p, s, rh, x = (mk() for _ in range(5))
+    beta, omega = jnp.float32(0.3), jnp.float32(0.2)
+    p2, s2, rhTs = fused_k1(A.vals, r, p, s, rh,
+                            jnp.stack([beta, omega]), A.offsets,
+                            interpret=True)
+    p2x = r + beta * (p - omega * s)
+    s2x = dia_spmv(A, p2x)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p2x),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2x),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(rhTs), float(jnp.vdot(rh, s2x)),
+                               rtol=1e-4)
+    alpha = jnp.float32(0.7)
+    q, y, qTy, yTy = fused_k2(A.vals, r, s2, jnp.stack([alpha]),
+                              A.offsets, interpret=True)
+    qx = r - alpha * s2
+    yx = dia_spmv(A, qx)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qx),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yx),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(qTy), float(jnp.vdot(qx, yx)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(yTy), float(jnp.vdot(yx, yx)),
+                               rtol=1e-4)
+    x2, r2, dot_r, rTr = fused_k3(x, p2, q, y, rh,
+                                  jnp.stack([alpha, omega]),
+                                  interpret=True)
+    x2x = x + alpha * p2 + omega * q
+    r2x = q - omega * y
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x2x),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r2x),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(float(dot_r), float(jnp.vdot(r2x, r2x)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(rTr), float(jnp.vdot(rh, r2x)),
+                               rtol=1e-4)
+
+
+def test_classic_fused_solver_matches_xla():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic import bicgstab_fused
+    csr = banded_random(8192, [1, -1, 40, -40], seed=12)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    cfg = SolverConfig(tol=1e-5, max_iter=200, dtype=jnp.float32)
+    res_f = bicgstab_fused(prob.A, prob.b, jnp.zeros_like(prob.b), cfg,
+                           interpret=True)
+    res_x = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    assert bool(res_f.converged)
+    err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err
+
+
+def test_classic_fused_nonmultiple_n_pads():
+    """n not a multiple of the 8192 grid: internal padding, same answer."""
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic import bicgstab_fused
+    csr = banded_random(5000, [1, -1, 30, -30], seed=13)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8)
+    cfg = SolverConfig(tol=1e-5, max_iter=200, dtype=jnp.float32)
+    res = bicgstab_fused(prob.A, prob.b, jnp.zeros_like(prob.b), cfg,
+                         interpret=True)
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err
