@@ -30,6 +30,10 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
             # (p', q) are computed in-kernel from chunk-resident
             # windows, so recurrence vectors stream through VMEM once
             return fcl.bicgstab_fused(A, b, x0, cfg)
+        from mpi_bicgstab_tpu.ops import pallas_fused_classic_df as fcldf
+        if fcldf.available(A, cfg.dtype):
+            # df32: same three passes with the DF DIA SpMVs in-kernel
+            return fcldf.bicgstab_fused_df(A, b, x0, cfg)
     if (method == "pipe_bicgstab" and not cfg.serialize_comm
             and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused

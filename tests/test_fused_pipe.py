@@ -356,3 +356,82 @@ def test_classic_fused_nonmultiple_n_pads():
     assert bool(res.converged)
     err = np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-3, err
+
+
+# ---------------------------------------------------------------------------
+# df32 fused CLASSIC BiCGStab (ops/pallas_fused_classic_df.py)
+# ---------------------------------------------------------------------------
+
+def test_classic_df_kernels_match_xla():
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic_df import (fused_k1_df,
+                                                              fused_k2_df,
+                                                              fused_k3_df)
+    from mpi_bicgstab_tpu.ops.precision import (df_dot, df_from_f64,
+                                                df_to_f64, vfma)
+    csr = banded_random(16384, [1, -1, 40, -40, 129, -129], seed=15)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    A = prob.A
+    n = prob.n
+    rng = np.random.default_rng(4)
+    mk = lambda: df_from_f64(rng.standard_normal(n))  # noqa: E731
+    r, p, s, rh, x = (mk() for _ in range(5))
+    be, om, al = (df_from_f64(np.asarray(v)) for v in (0.3, 0.2, 0.7))
+    p2, s2, rhTs = fused_k1_df(A.vals, r, p, s, rh,
+                               jnp.stack([be.hi, be.lo, om.hi, om.lo]),
+                               A.offsets, interpret=True)
+    p2x = vfma(r, be, vfma(p, -om, s))
+    s2x = dia_spmv_df(A, p2x)
+    np.testing.assert_allclose(df_to_f64(p2), df_to_f64(p2x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(df_to_f64(s2), df_to_f64(s2x),
+                               rtol=1e-11, atol=1e-11)
+    # dots: f32-class tolerance in interpret only (XLA:CPU mangles the
+    # composed compensation tree; chip tests are the precision gate)
+    np.testing.assert_allclose(float(df_to_f64(rhTs)),
+                               float(df_to_f64(df_dot(rh, s2x))),
+                               rtol=5e-6)
+    q, y, qTy, yTy = fused_k2_df(A.vals, r, s2,
+                                 jnp.stack([al.hi, al.lo]), A.offsets,
+                                 interpret=True)
+    qx = vfma(r, -al, s2)
+    yx = dia_spmv_df(A, qx)
+    np.testing.assert_allclose(df_to_f64(q), df_to_f64(qx),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(df_to_f64(y), df_to_f64(yx),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(float(df_to_f64(qTy)),
+                               float(df_to_f64(df_dot(qx, yx))),
+                               rtol=5e-6)
+    x2, r2, dot_r, rTr = fused_k3_df(
+        x, p2, q, y, rh, jnp.stack([al.hi, al.lo, om.hi, om.lo]),
+        interpret=True)
+    x2x = vfma(vfma(x, al, p2), om, q)
+    r2x = vfma(q, -om, y)
+    np.testing.assert_allclose(df_to_f64(x2), df_to_f64(x2x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(df_to_f64(r2), df_to_f64(r2x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(df_to_f64(dot_r)),
+                               float(df_to_f64(df_dot(r2x, r2x))),
+                               rtol=5e-6)
+    np.testing.assert_allclose(float(df_to_f64(rTr)),
+                               float(df_to_f64(df_dot(rh, r2x))),
+                               rtol=5e-6, atol=1e-6)
+
+
+def test_classic_df_fused_solver_matches_xla():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic_df import \
+        bicgstab_fused_df
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    csr = banded_random(8192, [1, -1, 40, -40], seed=16)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=150, dtype=jnp.float32)
+    res_f = bicgstab_fused_df(prob.A, prob.b, df_zeros_like(prob.b),
+                              cfg, interpret=True)
+    res_x = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-8, err
