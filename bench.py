@@ -76,6 +76,19 @@ def main():
                          iters=iters)
     it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
                             iters=30)
+    # classic: fewer iterations to converge than pipe at scale AND now
+    # the fastest fused iteration (round-3 pallas_fused_classic*) —
+    # the single-chip solve-time headline
+    try:
+        it_cl = bench_iteration(csr, dtype, devices=1, method="bicgstab",
+                                iters=iters)
+    except Exception:  # noqa: BLE001
+        it_cl = {"time_per_iter_s": float("nan")}
+    try:
+        it_cl_df = bench_iteration(csr, "df32", devices=1,
+                                   method="bicgstab", iters=30)
+    except Exception:  # noqa: BLE001
+        it_cl_df = {"time_per_iter_s": float("nan")}
     # df32 = the reference-parity precision (its arithmetic is all-f64);
     # secondary sections are fault-tolerant so the headline metric
     # always prints
@@ -151,6 +164,9 @@ def main():
         # the reference's all-f64 arithmetic is the honest comparison
         # point for this one
         "df32_pipe_time_per_iter_s": round(it_df["time_per_iter_s"], 6),
+        "bicgstab_time_per_iter_s": round(it_cl["time_per_iter_s"], 6),
+        "df32_bicgstab_time_per_iter_s": round(
+            it_cl_df["time_per_iter_s"], 6),
         "df32_spmv_nnz_per_s": round(spmv_df["spmv_nnz_per_s"], 1),
         "df32_spmv_implied_GBps": round(
             spmv_df["spmv_nnz_per_s"] * bpn_df / 1e9, 1),
