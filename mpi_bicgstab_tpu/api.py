@@ -34,6 +34,13 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
         if fcldf.available(A, cfg.dtype):
             # df32: same three passes with the DF DIA SpMVs in-kernel
             return fcldf.bicgstab_fused_df(A, b, x0, cfg)
+    if (method == "ca_bicgstab" and not cfg.serialize_comm
+            and not getattr(cfg, "out_iter", 0)):
+        from mpi_bicgstab_tpu.ops import pallas_fused_ca as fca
+        if fca.available(A, cfg.dtype):
+            # CA iteration as two fused passes (its two reduction
+            # points land between them)
+            return fca.ca_bicgstab_fused(A, b, x0, cfg)
     if (method == "pipe_bicgstab" and not cfg.serialize_comm
             and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused

@@ -244,3 +244,22 @@ def test_fused_classic_df32_trajectory(monkeypatch):
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-8, err
+
+
+def test_fused_ca_f32_trajectory(banded_prob, monkeypatch):
+    """Compiled fused CA-BiCGStab (ops/pallas_fused_ca.py) vs the XLA
+    build: same trajectory."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops import pallas_fused_ca as fca
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr, prob = banded_prob
+    cfg = SolverConfig(tol=1e-5, max_iter=100, dtype=jnp.float32)
+    assert fca.available(prob.A, jnp.float32)
+    res_f = fca.ca_bicgstab_fused(prob.A, prob.b,
+                                  jnp.zeros_like(prob.b), cfg)
+    monkeypatch.setenv("MBT_FUSED_CA", "0")
+    res_x = solve(prob.A, prob.b, method="ca_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    assert bool(res_f.converged)
+    err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err

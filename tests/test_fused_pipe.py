@@ -435,3 +435,68 @@ def test_classic_df_fused_solver_matches_xla():
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-8, err
+
+
+# ---------------------------------------------------------------------------
+# fused CA-BiCGStab (ops/pallas_fused_ca.py)
+# ---------------------------------------------------------------------------
+
+def test_ca_k1_k2_match_xla():
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv
+    from mpi_bicgstab_tpu.ops.pallas_fused_ca import fused_ca_k1, \
+        fused_ca_k2
+    csr = banded_random(16384, [1, -1, 40, -40, 129, -129], seed=21)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    A = prob.A
+    n = prob.n
+    rng = np.random.default_rng(5)
+    mk = lambda: jnp.asarray(rng.standard_normal(n), jnp.float32)  # noqa
+    r, p, s, w, z, x, rh = (mk() for _ in range(7))
+    al, be, om = jnp.float32(0.7), jnp.float32(0.3), jnp.float32(0.2)
+    p2, s2, z2, q, y, qTy, yTy = fused_ca_k1(
+        A.vals, r, p, s, w, z, jnp.stack([al, be, om]), A.offsets,
+        interpret=True)
+    p2x = r + be * (p - om * s)
+    s2x = w + be * (s - om * z)
+    z2x = dia_spmv(A, s2x)
+    qx = r - al * s2x
+    yx = w - al * z2x
+    for got, want in ((p2, p2x), (s2, s2x), (z2, z2x), (q, qx),
+                      (y, yx)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(qTy), float(jnp.vdot(qx, yx)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(yTy), float(jnp.vdot(yx, yx)),
+                               rtol=1e-4)
+    x2, r2, w2, dot_r, rTr, rhTw, rhTs, rhTz = fused_ca_k2(
+        A.vals, q, y, x, p2, rh, s2, z2, jnp.stack([al, om]),
+        A.offsets, interpret=True)
+    r2x = q - om * y
+    w2x = dia_spmv(A, r2x)
+    x2x = x + al * p2 + om * q
+    for got, want in ((x2, x2x), (r2, r2x), (w2, w2x)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+    for got, want in ((dot_r, jnp.vdot(r2x, r2x)),
+                      (rTr, jnp.vdot(rh, r2x)),
+                      (rhTw, jnp.vdot(rh, w2x)),
+                      (rhTs, jnp.vdot(rh, s2)),
+                      (rhTz, jnp.vdot(rh, z2))):
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-4,
+                                   atol=1e-3)
+
+
+def test_ca_fused_solver_matches_xla():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_ca import ca_bicgstab_fused
+    csr = banded_random(8192, [1, -1, 40, -40], seed=22)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    cfg = SolverConfig(tol=1e-5, max_iter=200, dtype=jnp.float32)
+    res_f = ca_bicgstab_fused(prob.A, prob.b, jnp.zeros_like(prob.b),
+                              cfg, interpret=True)
+    res_x = solve(prob.A, prob.b, method="ca_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 1
+    assert bool(res_f.converged)
+    err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err
