@@ -34,6 +34,13 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
         if fcldf.available(A, cfg.dtype):
             # df32: same three passes with the DF DIA SpMVs in-kernel
             return fcldf.bicgstab_fused_df(A, b, x0, cfg)
+    if (method == "pipe_bicgstab_rr" and not cfg.serialize_comm
+            and not getattr(cfg, "out_iter", 0)):
+        from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused_rr
+        if fused_rr.available(A, cfg.dtype):
+            # fused phases on every recurrence iteration; the rare
+            # replacement iterations lax.cond into an XLA branch
+            return fused_rr.pipe_bicgstab_rr_fused(A, b, x0, cfg)
     if (method == "ca_bicgstab" and not cfg.serialize_comm
             and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_ca as fca

@@ -354,3 +354,113 @@ def pipe_bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
                        converged=(dot_r <= dot_zero * tol2)
                        & (true_relres <= 100.0 * jnp.sqrt(tol2)),
                        true_relres=true_relres)
+
+
+def pipe_bicgstab_rr_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
+    """Pipelined BiCGStab + residual replacement, fused phases on the
+    recurrence iterations (reference solver.c:433-576). RR iterations
+    are rare (at most cfg.nrr of them, every cfg.krr steps), so the
+    body lax.cond-selects between the fused two-kernel iteration and an
+    XLA replacement iteration (s <- A p, z <- A s, r <- b - A x,
+    w <- A r, solver.c:498-500,522-526) with an identical carry — the
+    fused speed applies to every non-replacement step."""
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv
+    from mpi_bicgstab_tpu.solvers.base import SolveResult
+
+    n0 = b.shape[0]
+    n = _round_up(n0, 8192)
+    offsets = A.offsets
+    vals = A.vals
+    if n != n0:
+        vals = jnp.pad(vals, ((0, 0), (0, n - n0)))
+        b = jnp.pad(b, (0, n - n0))
+        x0 = jnp.pad(x0, (0, n - n0))
+    Ap = DiaMatrix(vals, offsets, n, n)
+
+    dtype = b.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+    krr, nrr = cfg.krr, cfg.nrr
+
+    r0 = b - dia_spmv(Ap, x0)
+    r_hat = r0
+    w0 = dia_spmv(Ap, r0)
+    t0 = dia_spmv(Ap, w0)
+    rTr0 = jnp.sum(r0 * r0)
+    rTw0 = jnp.sum(r0 * w0)
+    alpha0 = rTr0 / rTw0
+    zero = jnp.asarray(0.0, dtype)
+    zv = jnp.zeros_like(b)
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        return (dot_r > dot_zero * tol2) & (k < max_iter)
+
+    def fused_body(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        z2 = t + beta * (z - omega * v)             # solver.c:505-507
+        v2, p2, s2, q, y, qTy, yTy = fused_phase_a(
+            vals, z2, r, p, s, w, z,
+            jnp.stack([alpha, beta, omega]), offsets,
+            interpret=interpret)
+        omega2 = qTy / yTy
+        w2 = y - omega2 * (t - alpha * v2)          # solver.c:529-530
+        t2, x2, r2, dot_new, rTr_new, rhTw, rhTs, rhTz = fused_phase_b(
+            vals, w2, x, p2, q, y, r_hat, s2, z2,
+            jnp.stack([alpha, omega2]), offsets, interpret=interpret)
+        beta2 = (alpha / omega2) * (rTr_new / rTr)
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(dot_new)
+        return (k + 1, x2, r2, w2, t2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    def rr_body(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        p2 = r + beta * (p - omega * s)             # solver.c:494-496
+        s2 = dia_spmv(Ap, p2)                       # solver.c:499
+        z2 = dia_spmv(Ap, s2)                       # solver.c:500
+        q = r - alpha * s2                          # solver.c:510
+        y = w - alpha * z2                          # solver.c:511
+        qTy = jnp.sum(q * y)
+        yTy = jnp.sum(y * y)
+        v2 = dia_spmv(Ap, z2)                       # solver.c:514
+        omega2 = qTy / yTy
+        x2 = x + alpha * p2 + omega2 * q            # solver.c:519-520
+        r2 = b - dia_spmv(Ap, x2)                   # solver.c:523-525
+        w2 = dia_spmv(Ap, r2)                       # solver.c:526
+        dot_new = jnp.sum(r2 * r2)
+        rTr_new = jnp.sum(r_hat * r2)
+        rhTw = jnp.sum(r_hat * w2)
+        rhTs = jnp.sum(r_hat * s2)
+        rhTz = jnp.sum(r_hat * z2)
+        t2 = dia_spmv(Ap, w2)                       # solver.c:539
+        beta2 = (alpha / omega2) * (rTr_new / rTr)
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(dot_new)
+        return (k + 1, x2, r2, w2, t2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    def body(c):
+        k = c[0]
+        is_rr = (k % krr == 0) & (k > 0) & (k <= krr * nrr)
+        return jax.lax.cond(is_rr, rr_body, fused_body, c)
+
+    out = jax.lax.while_loop(cond, body, (
+        jnp.int32(0), x0, r0, w0, t0, zv, zv, zv, zv, alpha0, zero,
+        zero, rTr0, rTr0, hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[13], out[14]
+    relres = jnp.sqrt(dot_r / dot_zero)
+    # true-residual gate on `converged` (solvers/base.SolveResult doc)
+    r_true = b - dia_spmv(Ap, x)
+    true_relres = jnp.sqrt(jnp.sum(r_true * r_true) / dot_zero)
+    return SolveResult(x=x[:n0], n_iter=k, final_relres=relres,
+                       history=jnp.sqrt(hist / dot_zero),
+                       converged=(dot_r <= dot_zero * tol2)
+                       & (true_relres <= 100.0 * jnp.sqrt(tol2)),
+                       true_relres=true_relres)

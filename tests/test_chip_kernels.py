@@ -263,3 +263,21 @@ def test_fused_ca_f32_trajectory(banded_prob, monkeypatch):
     assert bool(res_f.converged)
     err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-3, err
+
+
+def test_fused_pipe_rr_f32_trajectory(banded_prob, monkeypatch):
+    """Compiled RR-fused pipe (lax.cond between fused and replacement
+    iterations) vs the XLA build: same trajectory with RR firing."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fp
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr, prob = banded_prob
+    cfg = SolverConfig(tol=1e-5, max_iter=100, krr=5, nrr=3,
+                       dtype=jnp.float32)
+    assert fp.available(prob.A, jnp.float32)
+    res_f = fp.pipe_bicgstab_rr_fused(prob.A, prob.b,
+                                      jnp.zeros_like(prob.b), cfg)
+    monkeypatch.setenv("MBT_FUSED_PIPE", "0")
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab_rr", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)

@@ -500,3 +500,23 @@ def test_ca_fused_solver_matches_xla():
     assert bool(res_f.converged)
     err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-3, err
+
+
+def test_rr_fused_solver_matches_xla_and_rr_fires():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe import \
+        pipe_bicgstab_rr_fused
+    csr = banded_random(8192, [1, -1, 40, -40], seed=23)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    # krr small so replacement iterations actually execute
+    cfg = SolverConfig(tol=1e-5, max_iter=200, krr=5, nrr=3,
+                       dtype=jnp.float32)
+    res_f = pipe_bicgstab_rr_fused(prob.A, prob.b,
+                                   jnp.zeros_like(prob.b), cfg,
+                                   interpret=True)
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab_rr", cfg=cfg)
+    assert int(res_f.n_iter) > cfg.krr          # RR branch exercised
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err
