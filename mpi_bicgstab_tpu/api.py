@@ -41,6 +41,10 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
             # fused phases on every recurrence iteration; the rare
             # replacement iterations lax.cond into an XLA branch
             return fused_rr.pipe_bicgstab_rr_fused(A, b, x0, cfg)
+        from mpi_bicgstab_tpu.ops import pallas_fused_pipe_df2 as frrdf
+        if frrdf.available(A, cfg.dtype):
+            # df32: fully-fused phases on recurrence iterations
+            return frrdf.pipe_bicgstab_rr_fused_df_full(A, b, x0, cfg)
     if (method == "ca_bicgstab" and not cfg.serialize_comm
             and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_ca as fca

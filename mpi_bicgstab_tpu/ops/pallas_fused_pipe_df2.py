@@ -389,3 +389,120 @@ def pipe_bicgstab_fused_df_full(A: DiaMatrix, b, x0, cfg,
         converged=(vvalue(dot_r) <= vvalue(dot_zero) * tol2)
         & (true_relres <= 100.0 * jnp.sqrt(tol2)),
         true_relres=true_relres)
+
+
+def pipe_bicgstab_rr_fused_df_full(A: DiaMatrix, b, x0, cfg,
+                                   interpret=False):
+    """df32 pipelined BiCGStab + residual replacement with the
+    fully-fused phases on recurrence iterations (reference
+    solver.c:433-576). The rare replacement iterations (at most
+    cfg.nrr, every cfg.krr steps) lax.cond into an XLA DF branch
+    (s <- A p, z <- A s, r <- b - A x, w <- A r) over an identical
+    carry — the hard-regime pipe+RR curve gets the fused speed."""
+    from jax import lax
+
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_dot, df_zeros,
+                                                vfma, vvalue)
+    from mpi_bicgstab_tpu.solvers.base import SolveResult
+
+    n0 = b.hi.shape[0]
+    blk = _TR * _LANES
+    n = -(-n0 // blk) * blk
+    vals = A.vals
+    if n != n0:
+        vals = DF(jnp.pad(vals.hi, ((0, 0), (0, n - n0))),
+                  jnp.pad(vals.lo, ((0, 0), (0, n - n0))))
+        b = DF(jnp.pad(b.hi, (0, n - n0)), jnp.pad(b.lo, (0, n - n0)))
+        x0 = DF(jnp.pad(x0.hi, (0, n - n0)),
+                jnp.pad(x0.lo, (0, n - n0)))
+    Ap = DiaMatrix(vals, A.offsets, n, n)
+    offsets = A.offsets
+
+    tol2 = jnp.asarray(cfg.tol, jnp.float32) ** 2
+    max_iter = cfg.max_iter
+    krr, nrr = cfg.krr, cfg.nrr
+
+    r0 = b - dia_spmv_df(Ap, x0)
+    r_hat = r0
+    w0 = dia_spmv_df(Ap, r0)
+    rTr0 = df_dot(r0, r0)
+    rTw0 = df_dot(r0, w0)
+    alpha0 = rTr0 / rTw0
+    zero_s = df_zeros(())
+    zv = df_zeros((n,))
+    dot_zero = rTr0
+    hist0 = jnp.full((max_iter,), jnp.nan, jnp.float32)
+
+    def cond(c):
+        (k, x, r, w, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        return (vvalue(dot_r) > vvalue(dot_zero) * tol2) & (k < max_iter)
+
+    def fused_body(c):
+        (k, x, r, w, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        t, p2, s2, z2, q, y, qTy, yTy = fused_phase_a_full(
+            vals, w, r, p, s, z, v,
+            jnp.stack([alpha.hi, alpha.lo, beta.hi, beta.lo,
+                       omega.hi, omega.lo]),
+            offsets, interpret=interpret)
+        omega2 = qTy / yTy
+        v2, x2, r2, w2, dot_new, rTr_new, rhTw, rhTs, rhTz = \
+            fused_phase_b_full(
+                vals, z2, x, p2, q, y, t, r_hat, s2,
+                jnp.stack([alpha.hi, alpha.lo, omega2.hi, omega2.lo]),
+                offsets, interpret=interpret)
+        beta2 = (alpha / omega2) * (rTr_new / rTr)
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(vvalue(dot_new))
+        return (k + 1, x2, r2, w2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    def rr_body(c):
+        (k, x, r, w, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        p2 = vfma(r, beta, vfma(p, -omega, s))      # solver.c:494-496
+        s2 = dia_spmv_df(Ap, p2)                    # solver.c:499
+        z2 = dia_spmv_df(Ap, s2)                    # solver.c:500
+        q = vfma(r, -alpha, s2)                     # solver.c:510
+        y = vfma(w, -alpha, z2)                     # solver.c:511
+        qTy = df_dot(q, y)
+        yTy = df_dot(y, y)
+        v2 = dia_spmv_df(Ap, z2)                    # solver.c:514
+        omega2 = qTy / yTy
+        x2 = vfma(vfma(x, alpha, p2), omega2, q)    # solver.c:519-520
+        r2 = b - dia_spmv_df(Ap, x2)                # solver.c:523-525
+        w2 = dia_spmv_df(Ap, r2)                    # solver.c:526
+        dot_new = df_dot(r2, r2)
+        rTr_new = df_dot(r_hat, r2)
+        rhTw = df_dot(r_hat, w2)
+        rhTs = df_dot(r_hat, s2)
+        rhTz = df_dot(r_hat, z2)
+        beta2 = (alpha / omega2) * (rTr_new / rTr)
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(vvalue(dot_new))
+        return (k + 1, x2, r2, w2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    def body(c):
+        k = c[0]
+        is_rr = (k % krr == 0) & (k > 0) & (k <= krr * nrr)
+        return lax.cond(is_rr, rr_body, fused_body, c)
+
+    out = lax.while_loop(cond, body, (
+        jnp.int32(0), x0, r0, w0, zv, zv, zv, zv, alpha0, zero_s,
+        zero_s, rTr0, rTr0, hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[12], out[13]
+    rel = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
+    # true-residual gate on `converged` (solvers/base.SolveResult doc)
+    r_true = b - dia_spmv_df(Ap, x)
+    true_relres = jnp.sqrt(vvalue(df_dot(r_true, r_true))
+                           / vvalue(dot_zero))
+    return SolveResult(
+        x=DF(x.hi[:n0], x.lo[:n0]), n_iter=k, final_relres=rel,
+        history=jnp.sqrt(hist / vvalue(dot_zero)),
+        converged=(vvalue(dot_r) <= vvalue(dot_zero) * tol2)
+        & (true_relres <= 100.0 * jnp.sqrt(tol2)),
+        true_relres=true_relres)

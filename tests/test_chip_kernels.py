@@ -281,3 +281,27 @@ def test_fused_pipe_rr_f32_trajectory(banded_prob, monkeypatch):
     res_x = solve(prob.A, prob.b, method="pipe_bicgstab_rr", cfg=cfg)
     assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
     assert bool(res_f.converged)
+
+
+def test_fused_pipe_rr_df32_trajectory(monkeypatch):
+    """Compiled df32 RR-fused pipe vs the XLA build with RR firing."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.ops import pallas_fused_pipe_df2 as fdf2
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = banded_random(16384, [1, -1, 40, -40], seed=25)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=200, krr=5, nrr=3,
+                       dtype="df32")
+    assert fdf2.available(prob.A, cfg.dtype)
+    res_f = fdf2.pipe_bicgstab_rr_fused_df_full(
+        prob.A, prob.b, df_zeros_like(prob.b), cfg)
+    monkeypatch.setenv("MBT_FUSED_DF2", "0")
+    monkeypatch.setenv("MBT_FUSED_DF", "0")
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab_rr", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-8, err

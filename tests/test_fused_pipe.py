@@ -520,3 +520,22 @@ def test_rr_fused_solver_matches_xla_and_rr_fires():
     assert bool(res_f.converged)
     err = np.abs(np.asarray(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-3, err
+
+
+def test_rr_fused_df_solver_matches_xla_and_rr_fires():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df2 import \
+        pipe_bicgstab_rr_fused_df_full
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    csr = banded_random(8192, [1, -1, 40, -40], seed=24)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=150, krr=5, nrr=3,
+                       dtype=jnp.float32)
+    res_f = pipe_bicgstab_rr_fused_df_full(
+        prob.A, prob.b, df_zeros_like(prob.b), cfg, interpret=True)
+    res_x = solve(prob.A, prob.b, method="pipe_bicgstab_rr", cfg=cfg)
+    assert int(res_f.n_iter) > cfg.krr          # RR branch exercised
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-8, err
