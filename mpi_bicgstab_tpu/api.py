@@ -52,6 +52,10 @@ def _solve_jit(A, b, x0, method: str, cfg: SolverConfig):
             # CA iteration as two fused passes (its two reduction
             # points land between them)
             return fca.ca_bicgstab_fused(A, b, x0, cfg)
+        from mpi_bicgstab_tpu.ops import pallas_fused_ca_df as fcadf
+        if fcadf.available(A, cfg.dtype):
+            # df32: same two passes with the DF DIA SpMVs in-kernel
+            return fcadf.ca_bicgstab_fused_df(A, b, x0, cfg)
     if (method == "pipe_bicgstab" and not cfg.serialize_comm
             and not getattr(cfg, "out_iter", 0)):
         from mpi_bicgstab_tpu.ops import pallas_fused_pipe as fused

@@ -305,3 +305,26 @@ def test_fused_pipe_rr_df32_trajectory(monkeypatch):
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-8, err
+
+
+def test_fused_ca_df32_trajectory(monkeypatch):
+    """Compiled df32 fused CA (ops/pallas_fused_ca_df.py) vs the XLA
+    build: same trajectory, df-class solution accuracy."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.ops import pallas_fused_ca_df as fcadf
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = banded_random(16384, [1, -1, 40, -40, 129, -129], seed=27)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=200, dtype="df32")
+    assert fcadf.available(prob.A, cfg.dtype)
+    res_f = fcadf.ca_bicgstab_fused_df(prob.A, prob.b,
+                                       df_zeros_like(prob.b), cfg)
+    monkeypatch.setenv("MBT_FUSED_CA_DF", "0")
+    res_x = solve(prob.A, prob.b, method="ca_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-8, err

@@ -539,3 +539,20 @@ def test_rr_fused_df_solver_matches_xla_and_rr_fires():
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-8, err
+
+
+def test_ca_df_fused_solver_matches_xla():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops.pallas_fused_ca_df import \
+        ca_bicgstab_fused_df
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64, df_zeros_like
+    csr = banded_random(8192, [1, -1, 40, -40], seed=26)
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    cfg = SolverConfig(tol=1e-11, max_iter=150, dtype=jnp.float32)
+    res_f = ca_bicgstab_fused_df(prob.A, prob.b, df_zeros_like(prob.b),
+                                 cfg, interpret=True)
+    res_x = solve(prob.A, prob.b, method="ca_bicgstab", cfg=cfg)
+    assert abs(int(res_f.n_iter) - int(res_x.n_iter)) <= 2
+    assert bool(res_f.converged)
+    err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-8, err
