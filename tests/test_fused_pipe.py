@@ -556,3 +556,26 @@ def test_ca_df_fused_solver_matches_xla():
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-8, err
+
+
+def test_classic_k1_wide_band_halo():
+    """Offsets spanning many 128-lane rows (halo ~16 rows): the
+    chunk-window DMA + in-window compute must still agree with XLA."""
+    from mpi_bicgstab_tpu.ops.dia import dia_spmv
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic import fused_k1
+    csr = banded_random(16384, [1, -1, 2000, -2000, 700, -700], seed=30)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    A = prob.A
+    n = prob.n
+    rng = np.random.default_rng(9)
+    mk = lambda: jnp.asarray(rng.standard_normal(n), jnp.float32)  # noqa
+    r, p, s, rh = (mk() for _ in range(4))
+    be, om = jnp.float32(0.3), jnp.float32(0.2)
+    p2, s2, rhTs = fused_k1(A.vals, r, p, s, rh, jnp.stack([be, om]),
+                            A.offsets, interpret=True)
+    p2x = r + be * (p - om * s)
+    s2x = dia_spmv(A, p2x)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p2x),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2x),
+                               rtol=1e-5, atol=1e-4)
