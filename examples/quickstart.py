@@ -6,9 +6,14 @@
 Covers: building/loading a system, the classic + shifted solves, the
 distributed mesh path, and the df32 extended-precision mode.
 """
-import numpy as np
+import os
+import sys
 
-import jax
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
