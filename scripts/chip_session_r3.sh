@@ -1,0 +1,36 @@
+#!/bin/bash
+# One-shot chip measurement session for round 3 (run when the TPU is
+# reachable). Each stage is independently fault-tolerant; outputs land
+# in /tmp/r3chip_* and the JSON artifacts should be folded into
+# docs/RESULTS_TPU.md + ROUND3.md afterwards.
+set -u
+cd "$(dirname "$0")/.."
+
+echo "=== 1/4 compiled-kernel chip CI (trajectory gates) ==="
+MBT_TEST_PLATFORM=tpu timeout 3600 python -m pytest \
+    tests/test_chip_kernels.py -q 2>&1 | tail -5 \
+    | tee /tmp/r3chip_tests.log
+
+echo "=== 2/4 fused method matrix (slope-timed, 1.6M) ==="
+timeout 5400 python scripts/chip_fused_bench.py \
+    > /tmp/r3chip_fused.json 2>/tmp/r3chip_fused.err
+tail -1 /tmp/r3chip_fused.json
+
+echo "=== 3/4 uniform-random butterfly SpMV (200k then 1.6M) ==="
+timeout 3600 python - <<'EOF' 2>/dev/null | tee /tmp/r3chip_butterfly.json
+import json
+from mpi_bicgstab_tpu.benchmarks.runner import bench_spmv
+from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+out = {}
+for n in (200_704, 1_602_112):
+    csr = random_diag_dominant(n, nnz_per_row=8, seed=0)
+    r = bench_spmv(csr, "float32", devices=1, iters=60)
+    out[f"uniform_{n}"] = {"nnz_per_s": round(r["spmv_nnz_per_s"], 1),
+                           "layout": r.get("spmv_layout")}
+print(json.dumps(out))
+EOF
+
+echo "=== 4/4 full bench of record ==="
+timeout 7200 python bench.py > /tmp/r3chip_bench.json \
+    2>/tmp/r3chip_bench.err
+tail -1 /tmp/r3chip_bench.json
