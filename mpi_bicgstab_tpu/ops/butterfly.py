@@ -147,21 +147,6 @@ def butterfly_stats(csr, rb: int = _RB):
             "max_row_width": int(csr.row_lengths.max()) if n else 0}
 
 
-def _round_ok(key, val):
-    """Within one proposal round: winner = first proposal per key;
-    riders (same key AND same value as the winner) also pass."""
-    if key.size == 0:
-        return np.zeros(0, bool)
-    o = np.argsort(key, kind="stable")
-    ks, vs = key[o], val[o]
-    first = np.r_[True, ks[1:] != ks[:-1]]
-    starts = np.nonzero(first)[0]
-    winner_val = np.repeat(vs[starts], np.diff(np.r_[starts, ks.size]))
-    ok = np.empty(key.size, bool)
-    ok[o] = vs == winner_val
-    return ok
-
-
 def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
     """Choose (u1 window a, middle window m) for every distinct
     element, honoring FOUR uniqueness families:
@@ -233,8 +218,9 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
     # np.full cost seconds at this size)
     val_l1 = np.zeros(PB64, np.int32)            # a*1024+brow*128+lane
     val_l2 = np.zeros(PB64, np.int32)            # m*1024+qrow*128+lane
+    scratch = np.zeros(max(PB64, Td * _B), np.int64)  # winner resolution
     todo = np.arange(E)
-    for _ in range(rounds):
+    for rnd in range(rounds):
         if todo.size == 0:
             break
         s_t = src[todo]
@@ -256,16 +242,27 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
         kl2 = m_t * np.int64(_B) + (q[todo] // _LANES) * _LANES \
             + (a_t % _LANES)
         vl2 = (a_t % _B).astype(np.int32) + 1
-        # cheap O(1) dense checks first; the sort-based within-round
-        # winner resolution then runs on the shrinking survivor subset
-        idx = np.nonzero(~taken_d[kd] & ~taken_a[ka]
-                         & ((val_l1[kl1] == 0) | (val_l1[kl1] == vl1))
-                         & ((val_l2[kl2] == 0)
-                            | (val_l2[kl2] == vl2)))[0]
-        idx = idx[_round_ok(kd[idx], e_id[idx])]
-        idx = idx[_round_ok(ka[idx], e_id[idx])]
-        idx = idx[_round_ok(kl1[idx], vl1[idx])]
-        idx = idx[_round_ok(kl2[idx], vl2[idx])]
+        # cheap O(1) dense checks first; the scatter-based within-round
+        # winner resolution then runs on the shrinking survivor subset.
+        # Round 0 skips the four random gathers outright — all claim
+        # state is empty, so the checks are vacuous on the largest set.
+        if rnd == 0:
+            idx = np.arange(todo.size)
+        else:
+            idx = np.nonzero(~taken_d[kd] & ~taken_a[ka]
+                             & ((val_l1[kl1] == 0) | (val_l1[kl1] == vl1))
+                             & ((val_l2[kl2] == 0)
+                                | (val_l2[kl2] == vl2)))[0]
+        # winner = LAST scatter writer per key (any single winner is
+        # valid); riders pass on equal value. No scratch reset needed:
+        # every position read was just written in the same step, so
+        # stale entries from earlier rounds are never consulted. This
+        # replaced a stable-argsort resolution that cost
+        # ~26% of the 1.6M-row build.
+        for key, v in ((kd, e_id), (ka, e_id), (kl1, vl1), (kl2, vl2)):
+            k_i, v_i = key[idx], v[idx]
+            scratch[k_i] = v_i
+            idx = idx[scratch[k_i] == v_i]
         e_win = todo[idx]
         a_sel[e_win] = a_t[idx]
         m_sel[e_win] = m_t[idx]
@@ -382,6 +379,8 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
         w_sel = np.full(NE, -1, np.int64)
         taken_row = np.zeros(n_pad * W3, bool)
         val_gl = np.zeros(NR_ * W3 * _LANES, np.int16)   # v+1, 0=empty
+        scratch3 = np.zeros(max(n_pad * W3, NR_ * W3 * _LANES),
+                            np.int64)
         rng3 = np.random.default_rng(seed + 1)
         todo3 = np.arange(NE)
         for _ in range(4 * W3 + 12):
@@ -395,8 +394,12 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
             idx3 = np.nonzero(~taken_row[krow]
                               & ((val_gl[kgl] == 0)
                                  | (val_gl[kgl] == vgl)))[0]
-            idx3 = idx3[_round_ok(krow[idx3], todo3[idx3])]
-            idx3 = idx3[_round_ok(kgl[idx3], vgl[idx3])]
+            # scatter-based winner resolution (see _assign_routes):
+            # last writer per key wins, riders pass on equal value
+            for key3, v3 in ((krow, todo3), (kgl, vgl)):
+                k_i, v_i = key3[idx3], v3[idx3]
+                scratch3[k_i] = v_i
+                idx3 = idx3[scratch3[k_i] == v_i]
             e_w = todo3[idx3]
             w_sel[e_w] = w_t[idx3]
             taken_row[krow[idx3]] = True
