@@ -209,6 +209,17 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
     assert q.max() < _B
     n_opts = k_s
     src_lane = u_col % _LANES
+    # native sequential assigner (ops/csrc/butterfly_route.cpp): one
+    # pass with immediate claims + on-the-spot retries instead of
+    # global rounds; falls through to the numpy rounds when g++ is
+    # unavailable or MBT_NATIVE_ROUTE=0
+    from mpi_bicgstab_tpu.ops import native_route
+    nat = native_route.assign_native(
+        d, u_col, m_hi, q, src_lane, np.ascontiguousarray(win_a),
+        n_opts, max_k, Ts, G, P, Td, seed)
+    if nat is not None:
+        a_sel, m_sel = nat
+        return P, a_sel, m_sel, a_sel >= 0
     a_sel = np.full(E, -1, np.int64)
     m_sel = np.full(E, -1, np.int64)
     PB64 = np.int64(P) * _B
@@ -375,7 +386,16 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
     # escalate until the spill is tiny (slab padding streams zeros, a
     # small traffic cost)
     NR_ = n_pad // _LANES
+    from mpi_bicgstab_tpu.ops import native_route
     for W3 in (int(W * 1.4) + 1, int(W * 1.8) + 1, 2 * W + 2):
+        w_nat = native_route.color_native(
+            r_all, grp, lane3, sub3, n_pad, NR_, W3, seed + 1)
+        if w_nat is not None:
+            w_sel = w_nat
+            left = int((w_sel < 0).sum())
+            if left <= 0.3 * max_tail_frac * max(csr.nnz, 1):
+                break
+            continue
         w_sel = np.full(NE, -1, np.int64)
         taken_row = np.zeros(n_pad * W3, bool)
         val_gl = np.zeros(NR_ * W3 * _LANES, np.int16)   # v+1, 0=empty

@@ -104,3 +104,27 @@ def test_solve_on_butterfly_operator():
     assert bool(res.converged)
     err = np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-9, err
+
+
+def test_numpy_fallback_router_matches(monkeypatch):
+    """MBT_NATIVE_ROUTE=0 forces the vectorized-numpy round-based
+    assigner; both routers must produce valid (simulator-exact)
+    layouts."""
+    import mpi_bicgstab_tpu.ops.native_route as nr
+    from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+    from mpi_bicgstab_tpu.ops.butterfly import (build_butterfly,
+                                                simulate_numpy)
+    csr = random_diag_dominant(4096, nnz_per_row=6, seed=3)
+    x = np.random.default_rng(1).standard_normal(csr.nrows)
+    yr = csr.matvec(x)
+    monkeypatch.setenv("MBT_NATIVE_ROUTE", "0")
+    monkeypatch.setattr(nr, "_LIB", None)
+    monkeypatch.setattr(nr, "_TRIED", True)
+    B_np = build_butterfly(csr)
+    y_np = simulate_numpy(B_np, x)[: csr.nrows]
+    np.testing.assert_allclose(y_np, yr, rtol=1e-12)
+    monkeypatch.setattr(nr, "_TRIED", False)
+    monkeypatch.delenv("MBT_NATIVE_ROUTE")
+    B_nat = build_butterfly(csr)
+    y_nat = simulate_numpy(B_nat, x)[: csr.nrows]
+    np.testing.assert_allclose(y_nat, yr, rtol=1e-12)
