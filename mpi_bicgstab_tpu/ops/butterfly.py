@@ -559,3 +559,60 @@ def butterfly_spmv_xla(bf: ButterflyMatrix, x):
     y = y + jax.ops.segment_sum(tail, bf.tail_rows.reshape(-1),
                                 num_segments=n_pad)
     return y
+
+
+def butterfly_spmv_xla_df(bf: ButterflyMatrix, x):
+    """Pure-XLA df32 execution of the routed pipeline: the movement
+    stages run verbatim on the hi and lo streams (routing is exact);
+    the multiply-accumulate and the leveled tail use compensated DF
+    arithmetic. CPU/fallback path and the differencing reference for
+    the df32 Pallas kernels."""
+    import jax.numpy as jnp
+    from mpi_bicgstab_tpu.ops.precision import DF, df_add, df_mul, df_sum
+    n_pad, P = bf.n_pad, bf.P
+    F = bf.stack
+    NR = n_pad // _LANES
+    W = bf.width
+
+    def pad_part(a):
+        return jnp.zeros((n_pad,), jnp.float32).at[: bf.n_rows].set(
+            a[: bf.n_rows])
+
+    def route(xp):
+        xw = xp.reshape(n_pad // _B, _SUB, _LANES)
+        win = xw[bf.k1_src]
+        t1 = jnp.take_along_axis(win, bf.k1_sub.astype(jnp.int32),
+                                 axis=1)
+        u1 = jnp.take_along_axis(t1, bf.k1_lane.astype(jnp.int32),
+                                 axis=2)
+        mid = u1.reshape(P, _B).T.reshape(P, _SUB, _LANES)
+        t2 = jnp.take_along_axis(mid, bf.k2_sub.astype(jnp.int32),
+                                 axis=1)
+        z1 = jnp.take_along_axis(t2, bf.k2_lane.astype(jnp.int32),
+                                 axis=2)
+        z = z1.reshape(P, _B).T.reshape(-1)
+        st = z[: NR * _SUB * F * _LANES].reshape(NR, _SUB * F, _LANES)
+        ss3 = bf.k3_sub.reshape(W, NR, _LANES).astype(jnp.int32)
+        li3 = bf.k3_lane.reshape(W, NR, _LANES).astype(jnp.int32)
+        t3 = jnp.take_along_axis(st, ss3.transpose(1, 0, 2), axis=1)
+        return jnp.take_along_axis(t3, li3.transpose(1, 0, 2), axis=2)
+
+    xh, xl = pad_part(x.hi), pad_part(x.lo)
+    xg = DF(route(xh), route(xl))                    # [NR, W, LANES]
+    v3 = DF(bf.k3_vals.hi.reshape(W, NR, _LANES).transpose(1, 0, 2),
+            bf.k3_vals.lo.reshape(W, NR, _LANES).transpose(1, 0, 2))
+    prod = df_mul(v3, xg)
+    y = df_sum(prod, axis=1)
+    y = DF(y.hi.reshape(-1), y.lo.reshape(-1))
+    if bf.tail_n:
+        # leveled tail: <=1 entry per row per level -> per-level
+        # scatter + compensated add preserves the DF low parts
+        for level in range(bf.tail_rows.shape[0]):
+            rows = bf.tail_rows[level]
+            cols = bf.tail_cols[level]
+            tv = DF(bf.tail_vals.hi[level], bf.tail_vals.lo[level])
+            prod_l = df_mul(tv, DF(xh[cols], xl[cols]))
+            lh = jnp.zeros((n_pad,), jnp.float32).at[rows].add(prod_l.hi)
+            ll = jnp.zeros((n_pad,), jnp.float32).at[rows].add(prod_l.lo)
+            y = df_add(y, DF(lh, ll))
+    return y

@@ -90,15 +90,14 @@ def build_operator(csr, format: str = "auto", dtype=None,
                     return csr_to_window_ell(csr, dtype=dtype)
                 except ValueError:
                     pass    # hub rows overflow the tail levels
-        if dtype != "df32":
-            # locality-free fast path: butterfly routing (the build is
-            # minutes at 1.6M — amortized over a solver's thousands of
-            # SpMVs; df32 keeps gather-ELL until a DF variant exists)
-            from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
-            try:
-                return build_butterfly(csr, dtype=dtype)
-            except ValueError:
-                pass        # not routable: dense blocks / wide rows
+        # locality-free fast path: butterfly routing (the build is
+        # ~30 s at 1.6M with the native router — amortized over a
+        # solver's thousands of SpMVs); f32 and df32 variants
+        from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
+        try:
+            return build_butterfly(csr, dtype=dtype)
+        except ValueError:
+            pass            # not routable: dense blocks / wide rows
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
 
     dia, remainder = csr_to_dia(csr, offsets, dtype=dtype)
@@ -137,7 +136,16 @@ def spmv(op, x):
     from mpi_bicgstab_tpu.ops.butterfly import ButterflyMatrix
     if isinstance(op, ButterflyMatrix):
         from mpi_bicgstab_tpu.ops import pallas_butterfly as pbf
-        from mpi_bicgstab_tpu.ops.butterfly import butterfly_spmv_xla
+        from mpi_bicgstab_tpu.ops.butterfly import (butterfly_spmv_xla,
+                                                    butterfly_spmv_xla_df)
+        if is_df(op.k3_vals):
+            from mpi_bicgstab_tpu.ops.precision import DF
+            n0 = x.hi.shape[0]
+            if pbf.available_df(op, op.dtype):
+                y = pbf.butterfly_spmv_df(op, x)
+            else:
+                y = butterfly_spmv_xla_df(op, x)
+            return DF(y.hi[:n0], y.lo[:n0])
         if pbf.available(op, op.dtype):
             y = pbf.butterfly_spmv(op, x)
         else:

@@ -196,3 +196,134 @@ def butterfly_spmv(bf: ButterflyMatrix, x, interpret: bool = False):
     """y = A @ x over the butterfly-routed layout (f32). Returns
     [n_pad] (padded rows are zero); callers slice [: n_rows]."""
     return _pipeline(bf, x, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# df32 variant — K1/K2/transposes are pure data movement (exact), so
+# they run verbatim on the hi and lo streams; only K3 (the multiply +
+# accumulate) needs DF arithmetic (EFTs in-kernel, exact under Mosaic)
+# ---------------------------------------------------------------------------
+
+def available_df(bf: ButterflyMatrix, dtype) -> bool:
+    import os
+    if os.environ.get("MBT_BUTTERFLY", "").lower() in ("0", "off"):
+        return False
+    if jax.default_backend() != "tpu" or jax.config.jax_enable_x64:
+        return False
+    return dtype == jnp.float32 and hasattr(bf.k3_vals, "hi")
+
+
+def _gather_stacked(stacked, ss, li, F):
+    g = jnp.take_along_axis(
+        stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
+    for f in range(1, F):
+        part = jnp.take_along_axis(
+            stacked[f * _SUB:(f + 1) * _SUB, :],
+            jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
+        g = jnp.where(ss >= f * _SUB, part, g)
+    return jnp.take_along_axis(g, li, axis=1)
+
+
+def _k3_df_kernel(zh_ref, zl_ref, ss_ref, li_ref, vh_ref, vl_ref,
+                  yh_ref, yl_ref, *, C, F, TB):
+    from mpi_bicgstab_tpu.ops.precision import DF, df_fma, two_sum
+    for tb in range(TB):
+        sh = zh_ref[pl.ds(tb * _SUB * F, _SUB * F), :]
+        sl = zl_ref[pl.ds(tb * _SUB * F, _SUB * F), :]
+        acc = DF(jnp.zeros((_SUB, _LANES), jnp.float32),
+                 jnp.zeros((_SUB, _LANES), jnp.float32))
+        for c in range(C):
+            ss = ss_ref[c, :, tb].astype(jnp.int32)
+            li = li_ref[c, :, tb].astype(jnp.int32)
+            xg = DF(_gather_stacked(sh, ss, li, F),
+                    _gather_stacked(sl, ss, li, F))
+            acc = df_fma(acc, DF(vh_ref[c, :, tb], vl_ref[c, :, tb]),
+                         xg)
+        # sublane reduction 8 -> 1 by compensated pairwise halving
+        p, e = acc.hi, acc.lo
+        h = _SUB
+        while h > 1:
+            half = h // 2
+            s, e2 = two_sum(p[:half], p[half:h])
+            e = e[:half] + e[half:h] + e2
+            p = s
+            h = half
+        yh_ref[tb] = p[0]
+        yl_ref[tb] = e[0]
+
+
+@partial(jax.jit, static_argnames=("F", "interpret"))
+def _k3_df(zh, zl, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
+    W8, n_pad = k3_vals.hi.shape
+    C = W8 // _SUB
+    NR = n_pad // _LANES
+    r4 = lambda a: a.reshape(C, _SUB, NR, _LANES)  # noqa: E731
+    tile = lambda: pl.BlockSpec((C, _SUB, _TB, _LANES),  # noqa: E731
+                                lambda s: (0, 0, s, 0),
+                                memory_space=pltpu.VMEM)
+    zspec = lambda: pl.BlockSpec((_TB * _SUB * F, _LANES),  # noqa: E731
+                                 lambda s: (s, 0),
+                                 memory_space=pltpu.VMEM)
+    yh, yl = pl.pallas_call(
+        partial(_k3_df_kernel, C=C, F=F, TB=_TB),
+        grid=(NR // _TB,),
+        in_specs=[zspec(), zspec(), tile(), tile(), tile(), tile()],
+        out_specs=(pl.BlockSpec((_TB, _LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((_TB, _LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((NR, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((NR, _LANES), jnp.float32)),
+        interpret=interpret,
+    )(zh, zl, r4(k3_sub), r4(k3_lane), r4(k3_vals.hi), r4(k3_vals.lo))
+    return yh.reshape(NR * _LANES), yl.reshape(NR * _LANES)
+
+
+def _route_part(bf, x2d, interpret):
+    """K1 -> T1 -> K2 -> T2 for one f32 stream (exact movement)."""
+    P = bf.P
+    u1 = _k1(bf.k1_src, bf.k1_sub, bf.k1_lane, x2d,
+             interpret=interpret)
+    mid = u1.reshape(P, _B).T.reshape(P, _SUB, _LANES)
+    z1 = _k2(mid, bf.k2_sub, bf.k2_lane, interpret=interpret)
+    return z1.reshape(P, _B).T.reshape(P * _SUB, _LANES)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pipeline_df(bf: ButterflyMatrix, x, interpret=False):
+    from mpi_bicgstab_tpu.ops.precision import DF, df_add
+    n_pad = bf.n_pad
+    NR = n_pad // _LANES
+
+    def padp(a):
+        return jnp.zeros((n_pad,), jnp.float32).at[: bf.n_rows].set(
+            a[: bf.n_rows])
+
+    xh, xl = padp(x.hi), padp(x.lo)
+    zh = _route_part(bf, xh.reshape(NR, _LANES), interpret)
+    zl = _route_part(bf, xl.reshape(NR, _LANES), interpret)
+    yh, yl = _k3_df(zh, zl, bf.k3_sub, bf.k3_lane, bf.k3_vals,
+                    F=bf.stack, interpret=interpret)
+    y = DF(yh, yl)
+    if bf.tail_n:
+        # LEVELED tail: each [cap] level holds at most one entry per
+        # row, so per-level scatter + compensated df add keeps the low
+        # parts (a flat f32 segment_sum would destroy them — the
+        # windowed-ELL lesson, ops/window_ell.py)
+        xdf = DF(xh, xl)
+        L = bf.tail_rows.shape[0]
+        for level in range(L):
+            rows = bf.tail_rows[level]
+            cols = bf.tail_cols[level]
+            tv = DF(bf.tail_vals.hi[level], bf.tail_vals.lo[level])
+            prod = tv * DF(xdf.hi[cols], xdf.lo[cols])
+            lh = jnp.zeros((n_pad,), jnp.float32).at[rows].add(prod.hi)
+            ll = jnp.zeros((n_pad,), jnp.float32).at[rows].add(prod.lo)
+            y = df_add(y, DF(lh, ll))
+    return y
+
+
+def butterfly_spmv_df(bf: ButterflyMatrix, x, interpret: bool = False):
+    """y = A @ x over the butterfly-routed layout in df32 (DF x, DF
+    values). Returns a DF [n_pad] pair; callers slice [: n_rows]."""
+    return _pipeline_df(bf, x, interpret=interpret)

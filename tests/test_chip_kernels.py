@@ -328,3 +328,21 @@ def test_fused_ca_df32_trajectory(monkeypatch):
     assert bool(res_f.converged)
     err = np.abs(df_to_f64(res_f.x)[: csr.nrows] - 1.0).max()
     assert err < 1e-8, err
+
+
+def test_butterfly_spmv_df32():
+    """Compiled df32 butterfly pipeline on chip: f64-class accuracy on
+    a uniform-random locality-free matrix."""
+    from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+    from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
+    from mpi_bicgstab_tpu.ops.pallas_butterfly import (available_df,
+                                                       butterfly_spmv_df)
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_to_f64
+    csr = random_diag_dominant(8192, nnz_per_row=6, seed=5)
+    B = build_butterfly(csr, dtype="df32")
+    assert available_df(B, jnp.float32)
+    x = np.random.default_rng(2).standard_normal(csr.nrows)
+    y = df_to_f64(butterfly_spmv_df(B, df_from_f64(x)))[: csr.nrows]
+    yr = csr.matvec(x)
+    rel = np.abs(y - yr).max() / np.abs(yr).max()
+    assert rel < 1e-12, rel
