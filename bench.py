@@ -124,6 +124,11 @@ def main():
         spmv_u = bench_spmv(csr_u, dtype, devices=1, iters=iters)
     except Exception:  # noqa: BLE001
         spmv_u = {"spmv_nnz_per_s": float("nan"), "spmv_layout": None}
+    try:
+        spmv_u_df = bench_spmv(csr_u, "df32", devices=1,
+                               iters=max(iters // 2, 20))
+    except Exception:  # noqa: BLE001
+        spmv_u_df = {"spmv_nnz_per_s": float("nan")}
     # flagship: seed-switching shifted solver, sigma_len=512 (the
     # reference's root-Makefile workload, main_shifted.c:13). f32 rides
     # the blocked MXU shift updates; df32 the fused elementwise kernel.
@@ -179,6 +184,8 @@ def main():
         # HBM-bound (3 chained-gather passes + 2 element transposes per
         # SpMV), so no implied-GBps column for it
         "uniform_spmv_nnz_per_s": round(spmv_u["spmv_nnz_per_s"], 1),
+        "uniform_df32_spmv_nnz_per_s": round(
+            spmv_u_df["spmv_nnz_per_s"], 1),
         "uniform_layout": spmv_u.get("spmv_layout"),
         "uniform_n": n_u,
         "switching_time_per_iter_s_sigma512": round(
