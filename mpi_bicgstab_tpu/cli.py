@@ -546,11 +546,23 @@ def cmd_info(args):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     devs = jax.devices()
+    on_tpu = jax.default_backend() == "tpu"
     payload = {
         "process_count": jax.process_count(),
         "device_count": len(devs),
         "devices": [str(d) for d in devs],
         "default_backend": jax.default_backend(),
+        # fused Pallas iteration builds engage automatically for DIA
+        # operators on TPU (per-method env opt-outs MBT_FUSED_*)
+        "fused_kernels": {
+            "bicgstab": ["f32", "df32"] if on_tpu else [],
+            "ca_bicgstab": ["f32", "df32"] if on_tpu else [],
+            "pipe_bicgstab": ["f32", "df32"] if on_tpu else [],
+            "pipe_bicgstab_rr": ["f32", "df32"] if on_tpu else [],
+            "shifted_lopbicg_switching":
+                ["f32 blocked-MXU", "df32 fused"] if on_tpu else [],
+        },
+        "layouts": ["dia", "hybrid", "ell", "window_ell", "butterfly"],
     }
     print(json.dumps(payload, indent=2))
     return 0
