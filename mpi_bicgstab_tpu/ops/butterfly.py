@@ -84,7 +84,8 @@ class ButterflyMatrix:
     rb: int                   # output rows per dest window
     n_rows: int
     n_cols: int
-    n_pad: int                # multiple of 1024 and of rb*8
+    n_pad: int                # ROW pad: multiple of 2048 (K3 grid)
+    nc_pad: int               # COLUMN pad: multiple of 1024 (x windows)
     P: int                    # u1 window count (multiple of 1024, G odd)
     nnz: int
     tail_n: int               # live tail entries
@@ -123,8 +124,8 @@ if _jax is not None:
         data_fields=["k1_src", "k1_sub", "k1_lane", "k2_sub", "k2_lane",
                      "k3_sub", "k3_lane", "k3_vals", "tail_rows",
                      "tail_cols", "tail_vals"],
-        meta_fields=["rb", "n_rows", "n_cols", "n_pad", "P", "nnz",
-                     "tail_n"])
+        meta_fields=["rb", "n_rows", "n_cols", "n_pad", "nc_pad", "P",
+                     "nnz", "tail_n"])
 
 
 def _pad_up(x: int, m: int) -> int:
@@ -147,7 +148,8 @@ def butterfly_stats(csr, rb: int = _RB):
             "max_row_width": int(csr.row_lengths.max()) if n else 0}
 
 
-def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
+def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks,
+                   P_force: int | None = None):
     """Choose (u1 window a, middle window m) for every distinct
     element, honoring FOUR uniqueness families:
       (d, m_lo)              one element per dest slot       [strict]
@@ -176,6 +178,12 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
     P = _pad_up(max(int(k_s.sum()), Td, _B), _B)
     if (P // _B) % 2 == 0:
         P += _B
+    if P_force is not None:
+        # distributed shards must share P (it fixes the routing
+        # geometry G = P/1024); callers pass the max over shards
+        if P_force < P:
+            raise ValueError(f"P_force {P_force} < natural P {P}")
+        P = P_force
     G = P // _B
     # window table: the (source s, level j) pairs get groups by hashed
     # round-robin, resolved to <=1024 windows per group by vectorized
@@ -289,7 +297,9 @@ def _assign_routes(u_blk, u_col, n_pad, seed, rounds, n_blocks):
 
 
 def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
-                    max_width: int = 24, max_tail_frac: float = 0.005):
+                    max_width: int = 24, max_tail_frac: float = 0.005,
+                    P_force: int | None = None,
+                    rb_force: int | None = None):
     """Build the routed layout; ValueError when not routable (callers
     fall back to gather-ELL). The dest-block row count rb adapts (64 ->
     32 -> 16) until each block's distinct columns fit a window at
@@ -297,12 +307,16 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
     df_mode = dtype == "df32"
     vals_dtype = np.float64 if df_mode else (dtype or csr.val.dtype)
     n = csr.nrows
-    if csr.shape[0] != csr.shape[1]:
-        raise ValueError("butterfly layout needs a square matrix")
-    # multiple of 2048 = the K3 kernel's TB(16) x 128-lane grid unit —
-    # an NR not divisible by TB would silently leave the last rows of y
-    # uncomputed (grid floor-division)
+    n_cols = csr.shape[1]
+    # RECTANGULAR matrices are supported (row-slab x full columns — the
+    # distributed per-shard layout over an allgathered iterate): rows
+    # and columns pad independently.
+    # rows: multiple of 2048 = the K3 kernel's TB(16) x 128-lane grid
+    # unit — an NR not divisible by TB would silently leave the last
+    # rows of y uncomputed (grid floor-division)
     n_pad = _pad_up(n, 2 * _B)
+    # cols: multiple of the 1024-element source-window size
+    nc_pad = _pad_up(n_cols, _B)
     lengths = csr.row_lengths
     W = int(lengths.max()) if n else 0
     if W == 0 or W > max_width:
@@ -312,12 +326,12 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
     cols = csr.col.astype(np.int64)
     vals = csr.val.astype(vals_dtype)
 
-    for rb in (64, 32, 16):
+    for rb in ((rb_force,) if rb_force else (64, 32, 16)):
         blk = rows // rb
-        key = blk * np.int64(n_pad + 1) + cols
+        key = blk * np.int64(nc_pad + 1) + cols
         uniq_key, entry_elem = np.unique(key, return_inverse=True)
-        u_blk = (uniq_key // (n_pad + 1)).astype(np.int64)
-        u_col = (uniq_key % (n_pad + 1)).astype(np.int64)
+        u_blk = (uniq_key // (nc_pad + 1)).astype(np.int64)
+        u_col = (uniq_key % (nc_pad + 1)).astype(np.int64)
         per_blk = np.bincount(u_blk, minlength=n_pad // rb)
         if per_blk.max() <= int(_B * 0.55):
             break
@@ -327,8 +341,9 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
                 f"a {rb}-row block needs {int(per_blk.max())} distinct "
                 f"columns (> {_B}): not butterfly-routable")
 
-    P, a_sel, m_sel, ok = _assign_routes(u_blk, u_col, n_pad, seed,
-                                         rounds, n_pad // rb)
+    P, a_sel, m_sel, ok = _assign_routes(u_blk, u_col, nc_pad, seed,
+                                         rounds, n_pad // rb,
+                                         P_force=P_force)
     G = P // _B
     if (~ok).sum() > max_tail_frac * max(u_blk.size, 1):
         raise ValueError(
@@ -488,8 +503,8 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
         k1_src=k1_src, k1_sub=k1_sub, k1_lane=k1_lane, k2_sub=k2_sub,
         k2_lane=k2_lane, k3_sub=k3_sub, k3_lane=k3_lane,
         k3_vals=k3_vals, tail_rows=tail_rows, tail_cols=tail_cols,
-        tail_vals=tail_vals, rb=rb, n_rows=n, n_cols=n, n_pad=n_pad,
-        P=P, nnz=csr.nnz, tail_n=tail_n)
+        tail_vals=tail_vals, rb=rb, n_rows=n, n_cols=n_cols,
+        n_pad=n_pad, nc_pad=nc_pad, P=P, nnz=csr.nnz, tail_n=tail_n)
 
 
 def simulate_numpy(bf: ButterflyMatrix, x: np.ndarray) -> np.ndarray:
@@ -498,9 +513,9 @@ def simulate_numpy(bf: ButterflyMatrix, x: np.ndarray) -> np.ndarray:
     (t1 = taa(win, ss, axis=sub); out = taa(t1, li, axis=lane)) —
     the oracle the Pallas kernels are tested against."""
     n_pad, P = bf.n_pad, bf.P
-    xp = np.zeros(n_pad, x.dtype)
+    xp = np.zeros(bf.nc_pad, x.dtype)
     xp[: x.size] = x
-    xw = xp.reshape(n_pad // _B, _SUB, _LANES)
+    xw = xp.reshape(bf.nc_pad // _B, _SUB, _LANES)
     win = xw[bf.k1_src]                                     # [P,8,128]
     t1 = np.take_along_axis(win, bf.k1_sub.astype(np.int64), axis=1)
     u1 = np.take_along_axis(t1, bf.k1_lane.astype(np.int64), axis=2)
@@ -535,8 +550,9 @@ def butterfly_spmv_xla(bf: ButterflyMatrix, x):
     Pallas kernels. Same math, same chained-gather semantics."""
     import jax.numpy as jnp
     n_pad, P = bf.n_pad, bf.P
-    xp = jnp.zeros((n_pad,), x.dtype).at[: bf.n_rows].set(x[: bf.n_rows])
-    xw = xp.reshape(n_pad // _B, _SUB, _LANES)
+    xp = jnp.zeros((bf.nc_pad,), x.dtype).at[: bf.n_cols].set(
+        x[: bf.n_cols])
+    xw = xp.reshape(bf.nc_pad // _B, _SUB, _LANES)
     win = xw[bf.k1_src]
     t1 = jnp.take_along_axis(win, bf.k1_sub.astype(jnp.int32), axis=1)
     u1 = jnp.take_along_axis(t1, bf.k1_lane.astype(jnp.int32), axis=2)
@@ -575,11 +591,11 @@ def butterfly_spmv_xla_df(bf: ButterflyMatrix, x):
     W = bf.width
 
     def pad_part(a):
-        return jnp.zeros((n_pad,), jnp.float32).at[: bf.n_rows].set(
-            a[: bf.n_rows])
+        return jnp.zeros((bf.nc_pad,), jnp.float32).at[: bf.n_cols].set(
+            a[: bf.n_cols])
 
     def route(xp):
-        xw = xp.reshape(n_pad // _B, _SUB, _LANES)
+        xw = xp.reshape(bf.nc_pad // _B, _SUB, _LANES)
         win = xw[bf.k1_src]
         t1 = jnp.take_along_axis(win, bf.k1_sub.astype(jnp.int32),
                                  axis=1)

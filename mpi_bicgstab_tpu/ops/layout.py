@@ -140,17 +140,16 @@ def spmv(op, x):
                                                     butterfly_spmv_xla_df)
         if is_df(op.k3_vals):
             from mpi_bicgstab_tpu.ops.precision import DF
-            n0 = x.hi.shape[0]
             if pbf.available_df(op, op.dtype):
                 y = pbf.butterfly_spmv_df(op, x)
             else:
                 y = butterfly_spmv_xla_df(op, x)
-            return DF(y.hi[:n0], y.lo[:n0])
+            return DF(y.hi[: op.n_rows], y.lo[: op.n_rows])
         if pbf.available(op, op.dtype):
             y = pbf.butterfly_spmv(op, x)
         else:
             y = butterfly_spmv_xla(op, x)
-        return y[: x.shape[0]]
+        return y[: op.n_rows]
     if isinstance(op, HybridMatrix):
         if is_df(op.dia.vals):
             from mpi_bicgstab_tpu.ops.dia import dia_spmv_df

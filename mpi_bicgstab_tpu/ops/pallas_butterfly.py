@@ -174,9 +174,9 @@ def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
 @partial(jax.jit, static_argnames=("interpret",))
 def _pipeline(bf: ButterflyMatrix, x, interpret=False):
     n_pad, P = bf.n_pad, bf.P
-    xp = jnp.zeros((n_pad,), x.dtype).at[: bf.n_rows].set(
-        x[: bf.n_rows])
-    x2d = xp.reshape(n_pad // _LANES, _LANES)
+    xp = jnp.zeros((bf.nc_pad,), x.dtype).at[: bf.n_cols].set(
+        x[: bf.n_cols])
+    x2d = xp.reshape(bf.nc_pad // _LANES, _LANES)
     u1 = _k1(bf.k1_src, bf.k1_sub, bf.k1_lane, x2d,
              interpret=interpret)                       # [P, 8, 128]
     mid = u1.reshape(P, _B).T.reshape(P, _SUB, _LANES)  # T1 (one copy)
@@ -296,12 +296,13 @@ def _pipeline_df(bf: ButterflyMatrix, x, interpret=False):
     NR = n_pad // _LANES
 
     def padp(a):
-        return jnp.zeros((n_pad,), jnp.float32).at[: bf.n_rows].set(
-            a[: bf.n_rows])
+        return jnp.zeros((bf.nc_pad,), jnp.float32).at[: bf.n_cols].set(
+            a[: bf.n_cols])
 
+    NCR = bf.nc_pad // _LANES
     xh, xl = padp(x.hi), padp(x.lo)
-    zh = _route_part(bf, xh.reshape(NR, _LANES), interpret)
-    zl = _route_part(bf, xl.reshape(NR, _LANES), interpret)
+    zh = _route_part(bf, xh.reshape(NCR, _LANES), interpret)
+    zl = _route_part(bf, xl.reshape(NCR, _LANES), interpret)
     yh, yl = _k3_df(zh, zl, bf.k3_sub, bf.k3_lane, bf.k3_vals,
                     F=bf.stack, interpret=interpret)
     y = DF(yh, yl)

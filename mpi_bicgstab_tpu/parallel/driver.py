@@ -34,7 +34,7 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
                     halo_strategy: str = "allgather"):
     """Compose the per-shard SpMV from the present blocks (called inside
     shard_map; mat_args are the local shard arrays)."""
-    dia_vals, window, blocks, rest = part.unpack(mat_args)
+    dia_vals, window, bfly, blocks, rest = part.unpack(mat_args)
     assert not rest
 
     def spmv(x_loc):
@@ -56,6 +56,35 @@ def make_local_spmv(part: PartitionedMatrix, mat_args, comm: Comm,
             fn = window_spmv_df if _is_df(x_loc) else window_spmv
             y = fn(window, x_loc,
                    interpret=_jax.default_backend() == "cpu")
+        if bfly is not None:
+            # locality-free fast path: allgather the iterate (the
+            # reference's own pattern for every SpMV, matrix.c:432 —
+            # no halo structure exists) and run the shard's
+            # rectangular butterfly layout over the full vector
+            import jax as _jax
+            from mpi_bicgstab_tpu.ops import pallas_butterfly as _pbf
+            from mpi_bicgstab_tpu.ops.butterfly import (
+                butterfly_spmv_xla, butterfly_spmv_xla_df)
+            from mpi_bicgstab_tpu.ops.precision import DF as _DF
+            from mpi_bicgstab_tpu.ops.precision import is_df as _isdf
+            x_full = comm.allgather(x_loc)
+            if _isdf(x_loc):
+                if _pbf.available_df(bfly, jnp.float32):
+                    yb = _pbf.butterfly_spmv_df(bfly, x_full)
+                else:
+                    yb = butterfly_spmv_xla_df(bfly, x_full)
+                yb = _DF(yb.hi[: part.n_loc], yb.lo[: part.n_loc])
+            else:
+                if _pbf.available(bfly, x_loc.dtype):
+                    yb = _pbf.butterfly_spmv(bfly, x_full)
+                else:
+                    yb = butterfly_spmv_xla(bfly, x_full)
+                yb = yb[: part.n_loc]
+            if y is None:
+                y = yb
+            else:
+                from mpi_bicgstab_tpu.ops.precision import df_add, is_df
+                y = df_add(y, yb) if is_df(y) else y + yb
         if blocks is not None:
             diag, offd = blocks
             if halo_strategy == "ring":
@@ -100,6 +129,16 @@ def put_partitioned(part: PartitionedMatrix, mesh) -> PartitionedMatrix:
         tailsh = NamedSharding(mesh, P(None, ROWS))
         for f in ("win_tail_rows", "win_tail_cols", "win_tail_vals"):
             kw[f] = _put(getattr(part, f), tailsh)
+    if part.has_bfly:
+        sh1 = NamedSharding(mesh, P(ROWS, None))
+        sh4 = NamedSharding(mesh, P(ROWS, None, None, None))
+        sh3 = NamedSharding(mesh, P(ROWS, None, None))
+        kw["bf_k1_src"] = _put(part.bf_k1_src, sh1)
+        for f in ("bf_k1_sub", "bf_k1_lane", "bf_k2_sub", "bf_k2_lane"):
+            kw[f] = _put(getattr(part, f), sh4)
+        for f in ("bf_k3_sub", "bf_k3_lane", "bf_k3_vals",
+                  "bf_tail_rows", "bf_tail_cols", "bf_tail_vals"):
+            kw[f] = _put(getattr(part, f), sh3)
     if part.has_ell:
         for f in ("diag_cols", "diag_vals", "offd_cols", "offd_vals"):
             kw[f] = _put(getattr(part, f), slab)
@@ -133,8 +172,12 @@ def put_vector(v, part: PartitionedMatrix, mesh, dtype=None):
 def _mat_dtype(part: PartitionedMatrix):
     """'df32' for a double-float partition, else the numpy dtype."""
     from mpi_bicgstab_tpu.ops.precision import is_df
-    vals = part.dia_vals if part.has_dia else part.diag_vals
-    return "df32" if is_df(vals) else vals.dtype
+    vals = (part.dia_vals if part.has_dia
+            else part.bf_k3_vals if part.has_bfly
+            else part.diag_vals)
+    if is_df(vals):
+        return "df32"
+    return vals.hi.dtype if hasattr(vals, "hi") else vals.dtype
 
 
 def make_dist_spmv(part: PartitionedMatrix, mesh, halo: str = "allgather"):
@@ -164,7 +207,10 @@ def _skeleton(part: PartitionedMatrix) -> PartitionedMatrix:
                     "offd_vals", "offd_tail_rows", "offd_tail_cols",
                     "offd_tail_vals", "win_sub", "win_lane", "win_vals",
                     "win_base", "win_tail_rows", "win_tail_cols",
-                    "win_tail_vals")}
+                    "win_tail_vals", "bf_k1_src", "bf_k1_sub",
+                    "bf_k1_lane", "bf_k2_sub", "bf_k2_lane", "bf_k3_sub",
+                    "bf_k3_lane", "bf_k3_vals", "bf_tail_rows",
+                    "bf_tail_cols", "bf_tail_vals")}
     return part.replace(**kw)
 
 
@@ -176,7 +222,8 @@ class _HashableSkeleton:
         self._key = (part.dia_offsets, part.halo, part.dia_mode,
                      part.n_devices, part.n_loc, part.n_global,
                      part.n_logical, part.has_dia, part.has_ell,
-                     part.has_window, part.win_width)
+                     part.has_window, part.win_width, part.has_bfly,
+                     part.bf_meta)
 
     def __hash__(self):
         return hash(self._key)

@@ -38,12 +38,17 @@ _ELL_FIELDS = ("diag_cols", "diag_vals", "diag_tail_rows", "diag_tail_cols",
                "offd_tail_cols", "offd_tail_vals")
 _WIN_FIELDS = ("win_sub", "win_lane", "win_vals", "win_base",
                "win_tail_rows", "win_tail_cols", "win_tail_vals")
+_BFLY_FIELDS = ("bf_k1_src", "bf_k1_sub", "bf_k1_lane", "bf_k2_sub",
+                "bf_k2_lane", "bf_k3_sub", "bf_k3_lane", "bf_k3_vals",
+                "bf_tail_rows", "bf_tail_cols", "bf_tail_vals")
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=list(_DIA_FIELDS + _ELL_FIELDS + _WIN_FIELDS),
+         data_fields=list(_DIA_FIELDS + _ELL_FIELDS + _WIN_FIELDS
+                          + _BFLY_FIELDS),
          meta_fields=["dia_offsets", "halo", "dia_mode", "n_devices",
-                      "n_loc", "n_global", "n_logical", "win_width"])
+                      "n_loc", "n_global", "n_logical", "win_width",
+                      "bf_meta"])
 @dataclasses.dataclass(frozen=True)
 class PartitionedMatrix:
     """Stacked per-shard blocks; either part may be None.
@@ -73,8 +78,20 @@ class PartitionedMatrix:
     offd_tail_rows: object
     offd_tail_cols: object
     offd_tail_vals: object
+    bf_k1_src: object    # butterfly row-slab layouts (shard dim 0):
+    bf_k1_sub: object    # each shard's rows x ALL columns, SpMV runs
+    bf_k1_lane: object   # over the allgathered iterate (the honest
+    bf_k2_sub: object    # design for locality-free matrices — no halo
+    bf_k2_lane: object   # structure exists; reference matrix.c:432)
+    bf_k3_sub: object
+    bf_k3_lane: object
+    bf_k3_vals: object
+    bf_tail_rows: object
+    bf_tail_cols: object
+    bf_tail_vals: object
     dia_offsets: tuple
     win_width: int
+    bf_meta: tuple | None    # (rb, n_pad, nc_pad, P, tail_n) per shard
     halo: int
     dia_mode: str        # 'halo' | 'gather' | 'none'
     n_devices: int
@@ -94,6 +111,10 @@ class PartitionedMatrix:
     def has_window(self) -> bool:
         return self.win_vals is not None
 
+    @property
+    def has_bfly(self) -> bool:
+        return self.bf_k3_vals is not None
+
     def arrays(self):
         """Flat tuple of the present device arrays (stable order)."""
         out = []
@@ -101,6 +122,8 @@ class PartitionedMatrix:
             out.append(self.dia_vals)
         if self.has_window:
             out.extend(getattr(self, f) for f in _WIN_FIELDS)
+        if self.has_bfly:
+            out.extend(getattr(self, f) for f in _BFLY_FIELDS)
         if self.has_ell:
             out.extend(getattr(self, f) for f in _ELL_FIELDS)
         return tuple(out)
@@ -116,6 +139,11 @@ class PartitionedMatrix:
             tail_spec = P(None, rows_axis)
             out.extend([tile_spec, tile_spec, tile_spec, vec_spec,
                         tail_spec, tail_spec, tail_spec])
+        if self.has_bfly:
+            s1 = P(rows_axis, None)                    # k1_src
+            s4 = P(rows_axis, None, None, None)        # [dev,P,8,128]
+            s3 = P(rows_axis, None, None)              # k3 / tails
+            out.extend([s1, s4, s4, s4, s4, s3, s3, s3, s3, s3, s3])
         if self.has_ell:
             out.extend([slab_spec, slab_spec, vec_spec, vec_spec, vec_spec,
                         slab_spec, slab_spec, vec_spec, vec_spec, vec_spec])
@@ -137,6 +165,27 @@ class PartitionedMatrix:
                 tail_rows=wtr, tail_cols=wtc, tail_vals=wtv,
                 n_rows=self.n_loc, n_cols=self.n_loc,
                 width=self.win_width, x_rows=self.n_loc // 128)
+        bfly = None
+        if self.has_bfly:
+            from mpi_bicgstab_tpu.ops.butterfly import ButterflyMatrix
+            from mpi_bicgstab_tpu.ops.precision import DF, is_df
+            bl = args[:11]
+            args = args[11:]
+            rb, n_pad, nc_pad, Pw, tail_n = self.bf_meta
+
+            def one(a):
+                if is_df(a):
+                    return DF(a.hi[0], a.lo[0])
+                return a[0]
+
+            (k1s, k1ss, k1l, k2ss, k2l, k3ss, k3l, k3v, tr_, tc_,
+             tv_) = (one(a) for a in bl)
+            bfly = ButterflyMatrix(
+                k1_src=k1s, k1_sub=k1ss, k1_lane=k1l, k2_sub=k2ss,
+                k2_lane=k2l, k3_sub=k3ss, k3_lane=k3l, k3_vals=k3v,
+                tail_rows=tr_, tail_cols=tc_, tail_vals=tv_, rb=rb,
+                n_rows=self.n_loc, n_cols=self.n_global, n_pad=n_pad,
+                nc_pad=nc_pad, P=Pw, nnz=0, tail_n=tail_n)
         blocks = None
         if self.has_ell:
             dc, dv, dtr, dtc, dtv, oc, ov, otr, otc, otv = args[:10]
@@ -145,7 +194,7 @@ class PartitionedMatrix:
             offd = EllMatrix(oc, ov, otr, otc, otv, self.n_loc,
                              self.n_global)
             blocks = (diag, offd)
-        return dia_vals, window, blocks, tuple(args)
+        return dia_vals, window, bfly, blocks, tuple(args)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -235,6 +284,8 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
 
     ell_fields = dict.fromkeys(_ELL_FIELDS)
     win_fields = dict.fromkeys(_WIN_FIELDS)
+    bf_fields = dict.fromkeys(_BFLY_FIELDS)
+    bf_meta = None
     win_width = 0
     if remainder is not None and (remainder is csr or remainder.nnz > 0):
         if host_dtype is not None:
@@ -330,20 +381,106 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                                      np.zeros(0, remainder.val.dtype),
                                      (n_loc, n_loc))
                            for _ in range(n_devices)]
-        dc, dv, dtr, dtc, dtv = _stack_ell_blocks(diag_blocks, width)
-        oc, ov, otr, otc, otv = _stack_ell_blocks(offd_blocks, width)
-        if df_mode:
-            from mpi_bicgstab_tpu.ops.precision import DF, df_split_f64_host
-            dv = DF(*df_split_f64_host(dv))
-            dtv = DF(*df_split_f64_host(dtv))
-            ov = DF(*df_split_f64_host(ov))
-            otv = DF(*df_split_f64_host(otv))
-        ell_fields = dict(zip(_ELL_FIELDS,
-                              (dc, dv, dtr, dtc, dtv, oc, ov, otr, otc,
-                               otv)))
+        # butterfly row-slab layouts: the locality-free fast path,
+        # distributed. Each shard's FULL row slab (local rows x all
+        # columns) gets the rectangular routed layout; the SpMV
+        # allgathers the iterate (O(n) comm — the reference's own
+        # pattern, matrix.c:432: no halo structure exists to exploit).
+        # Replaces the diag/offd ELL split entirely when it engages.
+        use_bfly = (not use_window and dia_mode == "none"
+                    and format in ("auto", "butterfly"))
+        if use_bfly:
+            from mpi_bicgstab_tpu.ops.butterfly import build_butterfly
+            slabs = []
+            for d in range(n_devices):
+                s0, e0 = d * n_loc, (d + 1) * n_loc
+                lo_, hi_ = remainder.ptr[s0], remainder.ptr[e0]
+                ptr_s = (remainder.ptr[s0:e0 + 1] - lo_).astype(np.int64)
+                slabs.append(CSRMatrix(ptr_s, remainder.col[lo_:hi_],
+                                       remainder.val[lo_:hi_],
+                                       (n_loc, n_global)))
+            bdt = "df32" if df_mode else host_dtype
+            try:
+                bfs = [build_butterfly(b, dtype=bdt, seed=7 + d)
+                       for d, b in enumerate(slabs)]
+                rbs = {b.rb for b in bfs}
+                Ps = {b.P for b in bfs}
+                if len(rbs) > 1 or len(Ps) > 1:
+                    # shards must share the routing geometry; rebuild
+                    # with the harmonized (rb, P)
+                    rb_f = min(rbs)
+                    bfs = [build_butterfly(b, dtype=bdt, seed=7 + d,
+                                           rb_force=rb_f)
+                           for d, b in enumerate(slabs)]
+                    P_f = max(b.P for b in bfs)
+                    if len({b.P for b in bfs}) > 1:
+                        bfs = [build_butterfly(b, dtype=bdt,
+                                               seed=7 + d,
+                                               rb_force=rb_f,
+                                               P_force=P_f)
+                               for d, b in enumerate(slabs)]
+            except ValueError:
+                if format == "butterfly":
+                    raise   # explicitly requested: surface the reason
+                use_bfly = False
+        if use_bfly:
+            from mpi_bicgstab_tpu.ops.precision import DF, is_df
+
+            W_b = max(b.width for b in bfs)
+            t_lv = max(b.tail_rows.shape[0] for b in bfs)
+            t_cap = max(b.tail_rows.shape[1] for b in bfs)
+
+            def padWb(a):
+                if is_df(a):
+                    return DF(padWb(a.hi), padWb(a.lo))
+                a = np.asarray(a)
+                return np.pad(a, [(0, W_b - a.shape[0])]
+                              + [(0, 0)] * (a.ndim - 1))
+
+            def padTb(a):
+                if is_df(a):
+                    return DF(padTb(a.hi), padTb(a.lo))
+                a = np.asarray(a)
+                return np.pad(a, ((0, t_lv - a.shape[0]),
+                                  (0, t_cap - a.shape[1])))
+
+            def stk(parts):
+                if any(is_df(x) for x in parts):
+                    return DF(np.stack([x.hi for x in parts]),
+                              np.stack([x.lo for x in parts]))
+                return np.stack(parts)
+
+            bf_fields = dict(
+                bf_k1_src=stk([b.k1_src for b in bfs]),
+                bf_k1_sub=stk([b.k1_sub for b in bfs]),
+                bf_k1_lane=stk([b.k1_lane for b in bfs]),
+                bf_k2_sub=stk([b.k2_sub for b in bfs]),
+                bf_k2_lane=stk([b.k2_lane for b in bfs]),
+                bf_k3_sub=stk([padWb(b.k3_sub) for b in bfs]),
+                bf_k3_lane=stk([padWb(b.k3_lane) for b in bfs]),
+                bf_k3_vals=stk([padWb(b.k3_vals) for b in bfs]),
+                bf_tail_rows=stk([padTb(b.tail_rows) for b in bfs]),
+                bf_tail_cols=stk([padTb(b.tail_cols) for b in bfs]),
+                bf_tail_vals=stk([padTb(b.tail_vals) for b in bfs]),
+            )
+            bf_meta = (bfs[0].rb, bfs[0].n_pad, bfs[0].nc_pad,
+                       bfs[0].P, max(b.tail_n for b in bfs))
+        if not use_bfly:
+            dc, dv, dtr, dtc, dtv = _stack_ell_blocks(diag_blocks, width)
+            oc, ov, otr, otc, otv = _stack_ell_blocks(offd_blocks, width)
+            if df_mode:
+                from mpi_bicgstab_tpu.ops.precision import (
+                    DF, df_split_f64_host)
+                dv = DF(*df_split_f64_host(dv))
+                dtv = DF(*df_split_f64_host(dtv))
+                ov = DF(*df_split_f64_host(ov))
+                otv = DF(*df_split_f64_host(otv))
+            ell_fields = dict(zip(_ELL_FIELDS,
+                                  (dc, dv, dtr, dtc, dtv, oc, ov, otr,
+                                   otc, otv)))
 
     return PartitionedMatrix(
-        dia_vals=dia_vals, **ell_fields, **win_fields,
-        dia_offsets=dia_offsets, win_width=win_width, halo=halo,
-        dia_mode=dia_mode, n_devices=n_devices, n_loc=n_loc,
+        dia_vals=dia_vals, **ell_fields, **win_fields, **bf_fields,
+        dia_offsets=dia_offsets, win_width=win_width, bf_meta=bf_meta,
+        halo=halo, dia_mode=dia_mode, n_devices=n_devices, n_loc=n_loc,
         n_global=n_global, n_logical=n_logical)
