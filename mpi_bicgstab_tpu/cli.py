@@ -132,6 +132,12 @@ def _common(p):
                    help="bandwidth-reducing RCM permutation; 'auto' "
                         "reorders only when it unlocks the DIA fast "
                         "path (ops/reorder.py)")
+    p.add_argument("--format", default="auto",
+                   choices=["auto", "dia", "hybrid", "ell", "window",
+                            "butterfly"],
+                   help="device layout (ops/layout.build_operator); "
+                        "'auto' routes by structure analysis, 'ell' is "
+                        "the faithful-to-reference gather layout")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu / tpu / axon)")
     p.add_argument("--repeat", type=int, default=1,
@@ -216,7 +222,8 @@ def cmd_solve(args):
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
         part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
-        part = partition_csr(csr, args.devices, dtype=part_dtype)
+        part = partition_csr(csr, args.devices, dtype=part_dtype,
+                             format=args.format)
         b = (b_user if b_user is not None
              else csr.matvec(np.ones(csr.nrows)))   # b = A*1 (main.c:109-117)
         n_state = part.n_global
@@ -233,7 +240,8 @@ def cmd_solve(args):
         from mpi_bicgstab_tpu.parallel.driver import pad_vector
         # multiple=1024: lane-aligned padding so the Pallas fast paths'
         # shape gates (n % 128) hold — identity pad rows are inert
-        prob = build_problem(csr, dtype=dtype, multiple=1024)
+        prob = build_problem(csr, dtype=dtype, multiple=1024,
+                             format=args.format)
         n_state = prob.n
         if x0_init is not None:
             x0_init = pad_vector(x0_init, prob.n)
@@ -420,14 +428,16 @@ def cmd_solve_shifted(args):
                 solve_shifted_distributed
             from mpi_bicgstab_tpu.parallel.partition import partition_csr
             part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
-            part = partition_csr(csr, args.devices, dtype=part_dtype)
+            part = partition_csr(csr, args.devices, dtype=part_dtype,
+                                 format=args.format)
             runner = lambda: solve_shifted_distributed(  # noqa: E731
                 part, b, sigma, seed=seed, method=args.method, cfg=cfg,
                 halo=args.halo)
         else:
             from mpi_bicgstab_tpu.api import solve_shifted
             prob = build_problem(csr, dtype=dtype, multiple=1024,
-                                 sigma_seed=float(sigma[seed]))
+                                 sigma_seed=float(sigma[seed]),
+                                 format=args.format)
             b_dev = prob.b
             if b_user is not None:
                 from mpi_bicgstab_tpu.parallel.driver import pad_vector
