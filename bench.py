@@ -124,8 +124,15 @@ def main():
         spmv_u = bench_spmv(csr_u, dtype, devices=1, iters=iters)
     except Exception:  # noqa: BLE001
         spmv_u = {"spmv_nnz_per_s": float("nan"), "spmv_layout": None}
+    # df32 at 200k: the df32 layout is a SECOND routing build of the
+    # same matrix, so the smaller size keeps total bench time bounded
+    # (rates are size-stable above ~100k; the f32 headline-scale entry
+    # above carries the at-scale claim)
     try:
-        spmv_u_df = bench_spmv(csr_u, "df32", devices=1,
+        csr_u_df = (csr_u if small
+                    else random_diag_dominant(200_704, nnz_per_row=8,
+                                              seed=0))
+        spmv_u_df = bench_spmv(csr_u_df, "df32", devices=1,
                                iters=max(iters // 2, 20))
     except Exception:  # noqa: BLE001
         spmv_u_df = {"spmv_nnz_per_s": float("nan")}
@@ -186,6 +193,7 @@ def main():
         "uniform_spmv_nnz_per_s": round(spmv_u["spmv_nnz_per_s"], 1),
         "uniform_df32_spmv_nnz_per_s": round(
             spmv_u_df["spmv_nnz_per_s"], 1),
+        "uniform_df32_n": 200_704,
         "uniform_layout": spmv_u.get("spmv_layout"),
         "uniform_n": n_u,
         "switching_time_per_iter_s_sigma512": round(
