@@ -43,6 +43,9 @@ def _load_matrix(spec: str, dtype):
             # unstructured-but-clustered (windowed-ELL fast path);
             # n rounds down to a multiple of 1024
             csr = G.clustered_random(max(n // 1024, 1) * 1024)
+        elif kind == "uniform":
+            # uniform-random, locality-free (butterfly fast path)
+            csr = G.random_diag_dominant(n, nnz_per_row=8, seed=0)
         elif kind == "banded":
             w = max(2, int(round(n ** (1 / 3))))
             csr = G.banded_random(n, [1, -1, w, -w, w * w, -w * w], seed=0)
