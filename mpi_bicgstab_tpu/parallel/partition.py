@@ -260,7 +260,11 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
     halo = 0
     remainder = csr
 
-    if format != "ell":
+    if format not in ("ell", "window", "butterfly"):
+        # a FORCED unstructured format must not let the DIA pass
+        # consume the matrix first (a fully banded matrix would then
+        # silently measure DIA instead of the requested layout — the
+        # same trap the round-2 ADVICE fix closed for the ELL path)
         offsets, coverage = analyze_diagonals(csr, max_diags=max_diags,
                                               min_fill=dia_min_fill)
         if format == "dia" or (offsets and coverage >= 0.5):

@@ -208,3 +208,14 @@ def test_df32_pipe_fused_bodies_distributed(monkeypatch):
     x_off = df_to_f64(res_off.x)[: csr.nrows]
     assert np.abs(x_on - 1.0).max() < 1e-7
     np.testing.assert_allclose(x_on, x_off, atol=1e-9)
+
+
+def test_forced_window_format_not_hijacked_by_dia():
+    """format='window' on a fully banded matrix must BUILD the window
+    layout (honoring the request) — previously the DIA pass consumed
+    the matrix first and the forced format silently measured DIA."""
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    csr = banded_random(4096, [1, -1], seed=1)
+    part = partition_csr(csr, 4, format="window")
+    assert part.has_window and part.dia_mode == "none"
