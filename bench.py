@@ -72,10 +72,16 @@ def main():
 
     iters = 30 if small else 120   # longer chains damp relay noise
     spmv = _median_spmv(csr, dtype, iters)
-    it = bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
-                         iters=iters)
-    it_df = bench_iteration(csr, "df32", devices=1, method="pipe_bicgstab",
-                            iters=30)
+    try:
+        it = bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
+                             iters=iters)
+    except Exception:  # noqa: BLE001
+        it = {"time_per_iter_s": float("nan")}
+    try:
+        it_df = bench_iteration(csr, "df32", devices=1,
+                                method="pipe_bicgstab", iters=30)
+    except Exception:  # noqa: BLE001
+        it_df = {"time_per_iter_s": float("nan")}
     # classic: fewer iterations to converge than pipe at scale AND now
     # the fastest fused iteration (round-3 pallas_fused_classic*) —
     # the single-chip solve-time headline

@@ -191,7 +191,8 @@ def cmd_solve(args):
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
                        nrr=args.nrr, dtype=cfg_dtype,
-                       out_iter=args.verbose_every)
+                       out_iter=args.verbose_every,
+                       restarts=getattr(args, "restarts", 2))
     # custom RHS: loaded in the ORIGINAL row ordering, permuted with the
     # matrix (solving (PAP^T)(Px) = Pb)
     b_user = None
@@ -604,6 +605,11 @@ def build_parser():
                             "pipe_bicgstab_rr"])
     p.add_argument("--krr", type=int, default=100)
     p.add_argument("--nrr", type=int, default=4)
+    p.add_argument("--restarts", type=int, default=2,
+                   help="refinement restarts when the true-residual "
+                        "gate fails after the recurrence hit tol "
+                        "(re-enters the solver from the iterate; 0 = "
+                        "reference behavior, trust the recurrence)")
     p.add_argument("--scale", choices=["none", "jacobi"], default="none",
                    help="Jacobi (diagonal) symmetric scaling "
                         "D^-1/2 A D^-1/2 — equilibrates badly scaled "

@@ -372,8 +372,17 @@ def solve_distributed(part: PartitionedMatrix, b, x0=None,
         x0_d = df_zeros_like(b_d)
     else:
         x0_d = jnp.zeros_like(b_d)
-    return _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
-                            shifted=False)
+    res = _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
+                           shifted=False)
+    if getattr(cfg, "restarts", 0):
+        # same refinement-restart policy as the single-device api.solve:
+        # re-enter from the sharded iterate when the recurrence hit tol
+        # but the true residual stalled at the attainable floor
+        from mpi_bicgstab_tpu.api import _restarted
+        res = _restarted(
+            lambda x, c: _dist_solve_impl(part, b_d, x, method, c, mesh,
+                                          halo, shifted=False), cfg, res)
+    return res
 
 
 def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,

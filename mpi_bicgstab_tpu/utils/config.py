@@ -50,6 +50,17 @@ class SolverConfig:
     max_iter: int = 1000
     krr: int = 100
     nrr: int = 4
+    restarts: int = 2
+    # ^ iterative-refinement restarts when the true-residual gate fails:
+    #   the recurrence estimate can hit tol while the TRUE residual
+    #   stalls at the method's attainable-accuracy floor (pipelined
+    #   recurrences decouple; SURVEY quirk #4 — the reference prints
+    #   success there). When that happens, api.solve re-enters the
+    #   solver from the current iterate (fresh Krylov space, residual
+    #   re-anchored to b - A x), up to `restarts` times. Each restart
+    #   shrinks the true residual by the segment's attainable factor,
+    #   so the gate converges geometrically. 0 disables (reference
+    #   behavior: one pass, trust the recurrence).
     dtype: jnp.dtype = jnp.float64
     record_history: bool = True
     out_iter: int = 0   # print relres every N iters (DISPLAY_RESIDUAL,

@@ -103,7 +103,10 @@ def test_true_residual_gates_converged():
     genuinely converged and must keep reporting success."""
     csr = banded_random(4096, [1, -1, 40, -40], seed=3)
     prob = build_problem(csr)
-    cfg = SolverConfig(tol=1e-15, max_iter=1000)
+    # restarts=0: this test checks the GATE itself (the default
+    # restarts would re-enter the solver and may rescue the solve —
+    # that path is test_restart_rescues_gate_failure)
+    cfg = SolverConfig(tol=1e-15, max_iter=1000, restarts=0)
     res_p = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
     assert float(res_p.final_relres) < 1e-14      # est says "done"
     assert float(res_p.true_relres) > 1e-3        # truth says "no"
@@ -112,3 +115,40 @@ def test_true_residual_gates_converged():
     assert bool(res_c.converged)
     assert float(res_c.true_relres) < 1e-12
     assert np.abs(np.asarray(res_c.x) - 1.0).max() < 1e-10
+
+
+def test_restart_rescues_gate_failure():
+    """Default cfg.restarts: when the pipe recurrence hits tol but the
+    true residual stalls at the attainable-accuracy floor (est 1e-16 /
+    true ~2e-9 on this healthy fixture), the refinement restart must
+    re-enter from the iterate and converge the TRUE residual."""
+    csr = banded_random(512, [1, -1, 9, -9], seed=0)
+    prob = build_problem(csr)
+    cfg0 = SolverConfig(tol=1e-15, max_iter=1000, restarts=0)
+    r0 = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg0)
+    assert not bool(r0.converged)           # the stall this test is about
+    assert float(r0.true_relres) > 1e-12
+    cfg = SolverConfig(tol=1e-15, max_iter=1000)    # restarts default on
+    res = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    assert bool(res.converged)
+    assert float(res.true_relres) <= 1e-13          # gate: 100 * tol
+    assert int(res.n_iter) > int(r0.n_iter)         # extra segment ran
+    assert np.abs(np.asarray(res.x) - 1.0).max() < 1e-11
+    # history stays relative to the ORIGINAL r0 across segments:
+    # monotone scale, no jump back up to O(1) at the restart boundary
+    h = np.asarray(res.history)
+    h = h[np.isfinite(h)]
+    assert h.shape[0] == int(res.n_iter) or h.shape[0] == cfg.max_iter
+    assert h[int(r0.n_iter):].max() < 1e-8
+
+
+def test_restart_leaves_breakdown_alone():
+    """A max_iter exit (recurrence never hit tol) must NOT trigger
+    restarts — re-entering cannot fix a stalled recurrence and would
+    silently burn max_iter more iterations."""
+    csr = banded_random(256, [1, -1, 7, -7], seed=1)
+    prob = build_problem(csr)
+    cfg = SolverConfig(tol=1e-15, max_iter=3)       # unreachable in 3
+    res = solve(prob.A, prob.b, method="pipe_bicgstab", cfg=cfg)
+    assert not bool(res.converged)
+    assert int(res.n_iter) == 3                     # exactly one segment

@@ -210,6 +210,38 @@ def test_df32_pipe_fused_bodies_distributed(monkeypatch):
     np.testing.assert_allclose(x_on, x_off, atol=1e-9)
 
 
+@requires_8
+def test_blocked_switching_distributed():
+    """The flagship's blocked (deferred-MXU) shift updates must work
+    inside shard_map: [S, L] @ [L, n_loc] flush per shard, replicated
+    coefficient recurrences, psum'd seed dots. Trajectory must match
+    the per-iteration distributed path (shift_block=0)."""
+    from mpi_bicgstab_tpu.parallel.driver import solve_shifted_distributed
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    csr = banded_random(1024, [1, -1, 9, -9], seed=2)
+    sigma = np.array([0.0, 0.05, 0.2, 1.0, 4.0])
+    seed = 4   # decaying seed residual -> forces a mid-run seed switch
+    b = csr.matvec(np.ones(csr.nrows)) + sigma[seed] * np.ones(csr.nrows)
+    part = partition_csr(csr, 8)
+    r0 = solve_shifted_distributed(
+        part, b, sigma, seed=seed, method="shifted_lopbicg_switching",
+        cfg=ShiftedConfig(tol=1e-11, max_iter=800, shift_block=0))
+    rB = solve_shifted_distributed(
+        part, b, sigma, seed=seed, method="shifted_lopbicg_switching",
+        cfg=ShiftedConfig(tol=1e-11, max_iter=800, shift_block=7))
+    assert bool(np.asarray(rB.stop_flags).all())
+    assert int(rB.final_seed) != seed, "expected a mid-run seed switch"
+    assert int(rB.final_seed) == int(r0.final_seed)
+    assert abs(int(rB.n_iter) - int(r0.n_iter)) <= 2
+    xB = np.asarray(rB.x_set)
+    for j, sg in enumerate(sigma):
+        xj = xB[j][: csr.nrows]
+        r = csr.matvec(xj) + sg * xj - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8, j
+    np.testing.assert_allclose(xB, np.asarray(r0.x_set), atol=1e-8)
+
+
 def test_forced_window_format_not_hijacked_by_dia():
     """format='window' on a fully banded matrix must BUILD the window
     layout (honoring the request) — previously the DIA pass consumed
@@ -219,3 +251,21 @@ def test_forced_window_format_not_hijacked_by_dia():
     csr = banded_random(4096, [1, -1], seed=1)
     part = partition_csr(csr, 4, format="window")
     assert part.has_window and part.dia_mode == "none"
+
+
+@requires_8
+def test_restart_rescues_gate_failure_distributed():
+    """The refinement-restart policy must also fire on the mesh: same
+    attainable-accuracy stall fixture as the single-device test, solved
+    over 8 shards."""
+    csr = banded_random(512, [1, -1, 9, -9], seed=0)
+    part = partition_csr(csr, 8)
+    b = csr.matvec(np.ones(csr.nrows))
+    cfg0 = SolverConfig(tol=1e-15, max_iter=1000, restarts=0)
+    r0 = solve_distributed(part, b, method="pipe_bicgstab", cfg=cfg0)
+    assert not bool(r0.converged)
+    res = solve_distributed(part, b, method="pipe_bicgstab",
+                            cfg=SolverConfig(tol=1e-15, max_iter=1000))
+    assert bool(res.converged)
+    assert float(res.true_relres) <= 1e-13
+    assert np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max() < 1e-11
