@@ -276,18 +276,36 @@ def _restarted(solve_fn, cfg, res):
                                 np.asarray(res.true_relres).dtype))
 
 
+@jax.jit
+def _precond_post(A, y):
+    """x = p(A) y — exit transform of a right-preconditioned solve."""
+    return A.apply(y)
+
+
 def solve(A, b, x0=None, method: str = "bicgstab",
-          cfg: SolverConfig | None = None):
+          cfg: SolverConfig | None = None, precond=None):
     """Solve A x = b with one of the classic BiCGStab family on the
     current default device. Method names match the reference driver's
     dispatch strings (main.c:122-141). When the true-residual gate
     fails after the recurrence hit tol, up to cfg.restarts refinement
     restarts re-enter the solver from the current iterate (beyond the
-    reference — it trusts the recurrence, quirk #4)."""
+    reference — it trusts the recurrence, quirk #4).
+
+    precond: optional ops.cheby.ChebyPrecond (bounds must be set — use
+    estimate_bounds on the host matrix), or pass A already wrapped in a
+    ChebyOperator. The solve runs right-preconditioned: every residual
+    (history, final_relres, the true-residual gate) is the original
+    system's, and x = p(A) y is applied once at exit. x0, if given, is
+    in the PRECONDITIONED space (x0 = 0 is the common case)."""
+    import dataclasses
+
+    from mpi_bicgstab_tpu.ops.cheby import ChebyOperator, wrap_operator
     from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df
     if method not in CLASSIC_SOLVERS:
         raise ValueError(f"unknown method {method!r}; "
                          f"choose from {sorted(CLASSIC_SOLVERS)}")
+    if precond is not None and not isinstance(A, ChebyOperator):
+        A = wrap_operator(A, precond)
     if not is_df(b):
         b = jnp.asarray(b)
     if cfg is None:
@@ -298,4 +316,6 @@ def solve(A, b, x0=None, method: str = "bicgstab",
     if getattr(cfg, "restarts", 0):
         res = _restarted(lambda x, c: _solve_jit(A, b, x, method, c),
                          cfg, res)
+    if isinstance(A, ChebyOperator):
+        res = dataclasses.replace(res, x=_precond_post(A, res.x))
     return res

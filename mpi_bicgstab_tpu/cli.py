@@ -209,6 +209,19 @@ def cmd_solve(args):
         if b_user is not None:
             b_user = scale_rhs(b_user, d_invsqrt)
 
+    prec = None
+    if getattr(args, "precond", "none") != "none":
+        from mpi_bicgstab_tpu.ops.cheby import ChebyPrecond
+        prec = ChebyPrecond.parse(args.precond)
+        # bounds on the FINAL operator (after --reorder / --scale)
+        prec = prec.resolve(csr)
+        if args.x0 or args.checkpoint:
+            raise SystemExit(
+                "--precond cannot be combined with --x0/--checkpoint: "
+                "the preconditioned solver iterates in the transformed "
+                "space y (x = p(A) y), so an x-space warm start does "
+                "not map")
+
     x0_init = None
     if args.x0:
         if args.checkpoint:
@@ -238,7 +251,7 @@ def cmd_solve(args):
                 c = c.replace(tol=tol_seg)
             return solve_distributed(part, b, x0=x0_host,
                                      method=args.method, cfg=c,
-                                     halo=args.halo)
+                                     halo=args.halo, precond=prec)
     else:
         from mpi_bicgstab_tpu.api import solve
         from mpi_bicgstab_tpu.parallel.driver import pad_vector
@@ -269,7 +282,8 @@ def cmd_solve(args):
             c = cfg.replace(max_iter=budget)
             if tol_seg is not None:
                 c = c.replace(tol=tol_seg)
-            return solve(prob.A, b_dev, x0=x0, method=args.method, cfg=c)
+            return solve(prob.A, b_dev, x0=x0, method=args.method,
+                         cfg=c, precond=prec)
 
     if args.checkpoint:
         if args.repeat != 1:
@@ -339,6 +353,8 @@ def cmd_solve(args):
         "devices": args.devices,
         "reordered": perm is not None,
         "scaled": d_invsqrt is not None,
+        "precond": (f"cheby:{prec.degree}:{prec.lo}:{prec.hi}"
+                    if prec is not None else "none"),
         "io_time_s": round(io_time, 6),
         "total_iter": done,
         "final_relres": (cum_rel if args.checkpoint
@@ -605,6 +621,14 @@ def build_parser():
                             "pipe_bicgstab_rr"])
     p.add_argument("--krr", type=int, default=100)
     p.add_argument("--nrr", type=int, default=4)
+    p.add_argument("--precond", default="none",
+                   help="none | cheby[:D[:LO:HI]] — right Chebyshev "
+                        "polynomial preconditioning of degree D "
+                        "(default 8): ~10x fewer iterations/reductions "
+                        "for the same SpMV work on hard systems; "
+                        "bounds default to Gershgorin estimates "
+                        "(ops/cheby.py; composes with --scale/"
+                        "--reorder)")
     p.add_argument("--restarts", type=int, default=2,
                    help="refinement restarts when the true-residual "
                         "gate fails after the recurrence hit tol "

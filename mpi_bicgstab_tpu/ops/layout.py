@@ -112,6 +112,10 @@ def spmv(op, x):
     double-float DF pairs — the layout carries DF vals iff built with
     dtype='df32')."""
     from mpi_bicgstab_tpu.ops.precision import df_add, is_df
+    from mpi_bicgstab_tpu.ops.cheby import ChebyOperator, precond_spmv
+    if isinstance(op, ChebyOperator):
+        # right-preconditioned multiply: y = A p(A) x (ops/cheby.py)
+        return precond_spmv(op, x)
     if isinstance(op, DiaMatrix):
         if is_df(op.vals):
             from mpi_bicgstab_tpu.ops.dia import dia_spmv_df

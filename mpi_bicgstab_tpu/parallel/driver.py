@@ -233,9 +233,9 @@ class _HashableSkeleton:
 
 
 @partial(jax.jit, static_argnames=("skel", "method", "seed", "cfg",
-                                   "mesh", "halo", "shifted"))
+                                   "mesh", "halo", "shifted", "precond"))
 def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
-        shifted):
+        shifted, precond=None):
     p = skel.part
 
     def run(*args):
@@ -243,6 +243,14 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
         b_loc, x0_loc, sg = args[-3:]
         comm = Comm(ROWS, serialize=getattr(cfg, "serialize_comm", False))
         spmv = make_local_spmv(p, mat, comm, halo)
+        if precond is not None:
+            # right-preconditioned operator v -> A p(A) v: the inner
+            # Chebyshev steps reuse the SAME distributed spmv (halo
+            # exchanges compose; no new comm pattern — ops/cheby.py)
+            from mpi_bicgstab_tpu.ops.cheby import cheby_apply
+            base = spmv
+            spmv = lambda v: base(cheby_apply(  # noqa: E731
+                base, v, precond.degree, precond.lo, precond.hi))
         if not shifted:
             return CLASSIC_SOLVERS[method](spmv, comm, b_loc, x0_loc, cfg)
         from mpi_bicgstab_tpu.solvers.shifted import SHIFTED_SOLVERS
@@ -269,13 +277,33 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
 
 
 def _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo, shifted,
-                     sigma=None, seed=0):
+                     sigma=None, seed=0, precond=None):
     skel = _HashableSkeleton(_skeleton(part))
     if sigma is None:
         sigma = jnp.zeros((1,), b_d.dtype)
     return _go(part.arrays(), b_d, x0_d, sigma, skel=skel, method=method,
                seed=int(seed), cfg=cfg, mesh=mesh, halo=halo,
-               shifted=shifted)
+               shifted=shifted, precond=precond)
+
+
+@partial(jax.jit, static_argnames=("skel", "mesh", "halo", "precond"))
+def _go_cheby_post(mat_arrays, y, skel, mesh, halo, precond):
+    """x = p(A) y over the mesh — the exit transform of a distributed
+    right-preconditioned solve (d+1 distributed SpMVs, once per
+    solve)."""
+    p = skel.part
+
+    def run(*args):
+        mat, y_loc = args[:-1], args[-1]
+        comm = Comm(ROWS)
+        spmv = make_local_spmv(p, mat, comm, halo)
+        from mpi_bicgstab_tpu.ops.cheby import cheby_apply
+        return cheby_apply(spmv, y_loc, precond.degree, precond.lo,
+                           precond.hi)
+
+    sm = jax.shard_map(run, mesh=mesh, in_specs=p.specs(_SLAB, _VEC)
+                       + (_VEC,), out_specs=_VEC, check_vma=False)
+    return sm(*mat_arrays, y)
 
 
 @partial(jax.jit, static_argnames=("skel", "cfg", "mesh", "halo"))
@@ -347,10 +375,19 @@ def refine_shifted_distributed(part: PartitionedMatrix, b, sigma, x_set,
 def solve_distributed(part: PartitionedMatrix, b, x0=None,
                       method: str = "bicgstab",
                       cfg: SolverConfig | None = None, mesh=None,
-                      halo: str = "allgather") -> SolveResult:
-    """Distributed solve of A x = b over a 1-D row mesh."""
+                      halo: str = "allgather",
+                      precond=None) -> SolveResult:
+    """Distributed solve of A x = b over a 1-D row mesh.
+
+    precond: optional ops.cheby.ChebyPrecond with lo/hi SET (bounds
+    cannot be estimated from a partitioned matrix — compute them from
+    the host CSR with ops.cheby.estimate_bounds before partitioning).
+    Right-preconditioned: residuals are the original system's; the
+    x = p(A) y exit transform runs as one extra mesh pass."""
     if method not in CLASSIC_SOLVERS:
         raise ValueError(f"unknown method {method!r}")
+    if precond is not None:
+        precond = precond.resolve()   # raises if bounds unset
     if halo not in ("allgather", "ring"):
         raise ValueError(f"unknown halo strategy {halo!r}")
     mesh = mesh or make_row_mesh(part.n_devices)
@@ -373,7 +410,7 @@ def solve_distributed(part: PartitionedMatrix, b, x0=None,
     else:
         x0_d = jnp.zeros_like(b_d)
     res = _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
-                           shifted=False)
+                           shifted=False, precond=precond)
     if getattr(cfg, "restarts", 0):
         # same refinement-restart policy as the single-device api.solve:
         # re-enter from the sharded iterate when the recurrence hit tol
@@ -381,7 +418,14 @@ def solve_distributed(part: PartitionedMatrix, b, x0=None,
         from mpi_bicgstab_tpu.api import _restarted
         res = _restarted(
             lambda x, c: _dist_solve_impl(part, b_d, x, method, c, mesh,
-                                          halo, shifted=False), cfg, res)
+                                          halo, shifted=False,
+                                          precond=precond), cfg, res)
+    if precond is not None:
+        import dataclasses
+        skel = _HashableSkeleton(_skeleton(part))
+        x = _go_cheby_post(part.arrays(), res.x, skel=skel, mesh=mesh,
+                           halo=halo, precond=precond)
+        res = dataclasses.replace(res, x=x)
     return res
 
 
