@@ -30,7 +30,37 @@ for n in (200_704, 1_602_112):
 print(json.dumps(out))
 EOF
 
-echo "=== 4/4 full bench of record ==="
+echo "=== 4/5 Chebyshev preconditioner (hard regime, wall-clock A/B) ==="
+timeout 3600 python - <<'EOF' 2>/dev/null | tee /tmp/r3chip_cheby.json
+import json, time
+import numpy as np
+import jax.numpy as jnp
+from mpi_bicgstab_tpu.api import solve
+from mpi_bicgstab_tpu.models.generators import transport_hard
+from mpi_bicgstab_tpu.models.problem import build_problem
+from mpi_bicgstab_tpu.ops.cheby import ChebyPrecond, estimate_bounds
+from mpi_bicgstab_tpu.utils.config import SolverConfig
+csr = transport_hard(200_704)
+prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+lo, hi = estimate_bounds(csr)
+cfg = SolverConfig(tol=1e-5, max_iter=20_000, dtype=jnp.float32,
+                   restarts=0)
+out = {"n": csr.nrows, "lo": lo, "hi": hi}
+def run(tag, **kw):
+    r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg, **kw)  # warm
+    t0 = time.perf_counter()
+    r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg, **kw)
+    _ = float(r.final_relres)          # device->host fence
+    out[tag] = {"iters": int(r.n_iter),
+                "wall_s": round(time.perf_counter() - t0, 3),
+                "true_relres": float(r.true_relres)}
+run("plain")
+for d in (2, 4, 8):
+    run(f"cheby{d}", precond=ChebyPrecond(degree=d, lo=lo, hi=hi))
+print(json.dumps(out))
+EOF
+
+echo "=== 5/5 full bench of record ==="
 timeout 7200 python bench.py > /tmp/r3chip_bench.json \
     2>/tmp/r3chip_bench.err
 tail -1 /tmp/r3chip_bench.json

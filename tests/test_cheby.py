@@ -109,3 +109,46 @@ def test_cheby_distributed_requires_bounds():
     b = CSR.matvec(np.ones(CSR.nrows))
     with pytest.raises(ValueError, match="bounds"):
         solve_distributed(part, b, precond=ChebyPrecond(degree=4))
+
+
+def test_fused_chain_matches_xla(monkeypatch):
+    """ops/pallas_cheby.cheby_chain (whole degree-d application as one
+    window-resident Pallas pass) must match the XLA chain to f32
+    rounding — multi-chunk config forced via a small VMEM budget."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.models.generators import transport_like
+    from mpi_bicgstab_tpu.ops.layout import spmv
+    from mpi_bicgstab_tpu.ops.pallas_cheby import (_LANES, _TR,
+                                                   _pick_chunk,
+                                                   cheby_chain)
+    monkeypatch.setenv("MBT_CHEBY_VMEM_MB", "3")
+    csr = transport_like(65536)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    A = prob.A
+    G = A.n_rows // _LANES // _TR
+    ch = _pick_chunk(G, A.n_diags, A.offsets, 4)
+    assert 0 < ch < G, "fixture must exercise MULTIPLE chunks"
+    lo, hi = estimate_bounds(csr)
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows),
+                    jnp.float32)
+    ref = np.asarray(cheby_apply(lambda u: spmv(A, u), v, 4, lo, hi))
+    out = np.asarray(cheby_chain(A.vals, v, A.offsets, 4, lo, hi,
+                                 interpret=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 2e-6, rel
+
+
+def test_fused_chain_availability_gates():
+    """available() must refuse: non-TPU backends, df32 vals, windows
+    over budget, and halo-dominated windows (the efficiency gate)."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.ops import pallas_cheby
+    csr = banded_random(128 * 512, [1, -1, 9, -9], seed=0)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    assert pallas_cheby.format_ok(prob.A, jnp.float32, 8)
+    assert not pallas_cheby.format_ok(prob.A, jnp.float64, 8)
+    # CPU backend: auto-dispatch always off
+    assert not pallas_cheby.available(prob.A, jnp.float32, 8)

@@ -346,3 +346,30 @@ def test_butterfly_spmv_df32():
     yr = csr.matvec(x)
     rel = np.abs(y - yr).max() / np.abs(yr).max()
     assert rel < 1e-12, rel
+
+
+def test_cheby_chain_on_chip(banded_prob):
+    """Compiled fused Chebyshev chain (ops/pallas_cheby.py) vs the XLA
+    chain, plus a full preconditioned solve with auto-dispatch on."""
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.ops import pallas_cheby
+    from mpi_bicgstab_tpu.ops.cheby import (ChebyPrecond, cheby_apply,
+                                            estimate_bounds)
+    from mpi_bicgstab_tpu.ops.layout import spmv
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr, prob = banded_prob
+    A = prob.A
+    assert pallas_cheby.available(A, jnp.float32, 8)
+    lo, hi = estimate_bounds(csr)
+    v = jnp.asarray(np.random.default_rng(3).standard_normal(prob.n),
+                    jnp.float32)
+    ref = np.asarray(cheby_apply(lambda u: spmv(A, u), v, 8, lo, hi))
+    out = np.asarray(pallas_cheby.cheby_chain(A.vals, v, A.offsets, 8,
+                                              lo, hi))
+    assert float(np.abs(out - ref).max() / np.abs(ref).max()) < 1e-5
+    res = solve(prob.A, prob.b, method="bicgstab",
+                cfg=SolverConfig(tol=1e-5, max_iter=800,
+                                 dtype=jnp.float32),
+                precond=ChebyPrecond(degree=8, lo=lo, hi=hi))
+    assert bool(res.converged)
+    assert np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max() < 1e-3
