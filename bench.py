@@ -156,7 +156,56 @@ def main():
         sw_df = bench_shifted_iteration(csr_h, "df32", sigma_len=512,
                                         seed=255, iters=24)
     except Exception:  # noqa: BLE001
+        csr_h = None
         sw_df = {"time_per_iter_s": float("nan")}
+    # Chebyshev preconditioning on the hard regime: wall-clock A/B of
+    # a full solve (the win is ~10x fewer iterations/reductions for
+    # ~the same SpMV work — per-iteration metrics can't see it). A
+    # multi-second full solve dwarfs the relay's ~33 ms sync noise, so
+    # plain wall-clock is trustworthy here.
+    cheby_ab = {}
+    try:
+        from mpi_bicgstab_tpu.api import solve as _solve
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        from mpi_bicgstab_tpu.ops.cheby import (ChebyPrecond,
+                                                estimate_bounds)
+        from mpi_bicgstab_tpu.utils.config import SolverConfig
+        if csr_h is None:
+            csr_h = transport_hard(200_704)
+        prob_h = build_problem(csr_h, dtype=jnp.float32, multiple=8192)
+        lo_b, hi_b = estimate_bounds(csr_h)
+        cfg_h = SolverConfig(tol=1e-5, max_iter=20_000,
+                             dtype=jnp.float32, restarts=0)
+
+        def _wall(**kw):
+            r = _solve(prob_h.A, prob_h.b, method="bicgstab",
+                       cfg=cfg_h, **kw)          # warm-up + compile
+            t0 = time.perf_counter()
+            r = _solve(prob_h.A, prob_h.b, method="bicgstab",
+                       cfg=cfg_h, **kw)
+            _ = float(r.final_relres)            # device->host fence
+            return (time.perf_counter() - t0, int(r.n_iter),
+                    float(r.true_relres))
+
+        t_plain, it_plain, tr_plain = _wall()
+        t_ch, it_ch, tr_ch = _wall(precond=ChebyPrecond(degree=8,
+                                                        lo=lo_b,
+                                                        hi=hi_b))
+        cheby_ab = {
+            "hard_solve_s": round(t_plain, 3),
+            "hard_solve_iters": it_plain,
+            # plain f32 classic stalls ABOVE tol here (attainable
+            # floor); the preconditioned run both converges truly and
+            # runs faster — report both true residuals so the speedup
+            # is read with that asymmetry in view
+            "hard_solve_true_relres": float(f"{tr_plain:.3g}"),
+            "hard_solve_cheby8_s": round(t_ch, 3),
+            "hard_solve_cheby8_iters": it_ch,
+            "hard_solve_cheby8_true_relres": float(f"{tr_ch:.3g}"),
+            "hard_solve_cheby8_speedup": round(t_plain / t_ch, 2),
+        }
+    except Exception:  # noqa: BLE001
+        pass
 
     bpn = _bytes_per_nnz_dia(15, False)
     bpn_df = _bytes_per_nnz_dia(15, True)
@@ -207,6 +256,7 @@ def main():
         "switching_df32_time_per_iter_s_sigma512": round(
             sw_df["time_per_iter_s"], 6),
         "matrix_gen_time_s": round(gen_time, 2),
+        **cheby_ab,
     }
     print(json.dumps(out))
 
