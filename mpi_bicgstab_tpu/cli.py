@@ -593,6 +593,12 @@ def cmd_info(args):
                 ["f32 blocked-MXU", "df32 fused"] if on_tpu else [],
         },
         "layouts": ["dia", "hybrid", "ell", "window_ell", "butterfly"],
+        # right Chebyshev preconditioning (--precond cheby:D); the
+        # fused single-pass chain engages on TPU for f32 DIA when the
+        # d-deep window fits VMEM (ops/pallas_cheby.py), else the XLA
+        # chain runs (always correct, incl. df32)
+        "preconditioners": ["cheby (fused chain on TPU/f32-DIA)",
+                            "jacobi scaling (--scale)"],
     }
     print(json.dumps(payload, indent=2))
     return 0
