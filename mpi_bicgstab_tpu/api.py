@@ -282,6 +282,58 @@ def _precond_post(A, y):
     return A.apply(y)
 
 
+@jax.jit
+def _precond_post_batched(A, Y):
+    return jax.vmap(A.apply)(Y)
+
+
+@partial(jax.jit, static_argnames=("method", "cfg"))
+def _solve_batched_jit(A, B, X0, method: str, cfg: SolverConfig):
+    comm = Comm(None, serialize=cfg.serialize_comm)
+    fn = CLASSIC_SOLVERS[method]
+    run = lambda b, x0: fn(lambda v: generic_spmv(A, v),  # noqa: E731
+                           comm, b, x0, cfg)
+    return jax.vmap(run)(B, X0)
+
+
+def solve_batched(A, B, x0=None, method: str = "bicgstab",
+                  cfg: SolverConfig | None = None, precond=None):
+    """Solve A x_j = b_j for a BATCH of right-hand sides at once
+    (beyond the reference, which is strictly one RHS per run): the
+    classic solver vmaps over the batch axis, so every iteration's
+    band multiply reads the matrix values ONCE for all k systems — on
+    TPU the SpMV is HBM-bound on exactly that stream, so k solves cost
+    close to one. The batched while_loop runs until the LAST system
+    converges (converged systems coast); per-system n_iter/converged/
+    true_relres come back batched.
+
+    B: [k, n] (or a DF pair of [k, n]); returns a SolveResult whose
+    fields carry a leading batch axis. cfg.restarts is ignored here
+    (the refinement-restart policy is per-system host logic — solve
+    stragglers individually if the gate fails)."""
+    from mpi_bicgstab_tpu.ops.cheby import ChebyOperator, wrap_operator
+    from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df
+    if method not in CLASSIC_SOLVERS:
+        raise ValueError(f"unknown method {method!r}; "
+                         f"choose from {sorted(CLASSIC_SOLVERS)}")
+    if precond is not None and not isinstance(A, ChebyOperator):
+        A = wrap_operator(A, precond)
+    if not is_df(B):
+        B = jnp.asarray(B)
+        if B.ndim != 2:
+            raise ValueError(f"B must be [k, n], got shape {B.shape}")
+    if cfg is None:
+        cfg = SolverConfig(dtype=B.dtype if not is_df(B)
+                           else jnp.float32)
+    if x0 is None:
+        x0 = df_zeros_like(B) if is_df(B) else jnp.zeros_like(B)
+    res = _solve_batched_jit(A, B, x0, method, cfg)
+    if isinstance(A, ChebyOperator):
+        import dataclasses
+        res = dataclasses.replace(res, x=_precond_post_batched(A, res.x))
+    return res
+
+
 def solve(A, b, x0=None, method: str = "bicgstab",
           cfg: SolverConfig | None = None, precond=None):
     """Solve A x = b with one of the classic BiCGStab family on the

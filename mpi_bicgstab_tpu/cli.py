@@ -176,6 +176,77 @@ def _report(args, payload):
             print(f"{k:>16s}: {v}")
 
 
+def _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
+                     io_time):
+    """--rhs-batch: one vmapped multi-RHS solve (api.solve_batched)."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.api import solve_batched
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    if args.devices > 1:
+        raise SystemExit("--rhs-batch is single-device (use separate "
+                         "runs or shard the batch across processes)")
+    if args.checkpoint or args.x0 or args.repeat != 1:
+        raise SystemExit("--rhs-batch cannot be combined with "
+                         "--checkpoint/--x0/--repeat")
+    B = np.load(args.rhs_batch)
+    if B.ndim != 2 or B.shape[1] != csr.nrows:
+        raise SystemExit(f"--rhs-batch: expected [k, {csr.nrows}], "
+                         f"got {B.shape}")
+    B = np.asarray(B, np.float64)
+    if perm is not None:
+        B = B[:, perm]
+    if d_invsqrt is not None:
+        from mpi_bicgstab_tpu.ops.scale import scale_rhs
+        B = np.stack([scale_rhs(B[j], d_invsqrt)
+                      for j in range(B.shape[0])])
+    prob = build_problem(csr, dtype=dtype, multiple=1024,
+                         format=args.format)
+    Bp = np.zeros((B.shape[0], prob.n))
+    Bp[:, : csr.nrows] = B
+    if args.dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64
+        B_dev = df_from_f64(Bp)
+    else:
+        B_dev = jnp.asarray(Bp, dtype)
+    tol = args.tol if args.tol is not None else 1e-15
+    cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
+    cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
+                       nrr=args.nrr, dtype=cfg_dtype)
+    t0 = time.perf_counter()
+    res = solve_batched(prob.A, B_dev, method=args.method, cfg=cfg,
+                        precond=prec)
+    conv = np.asarray(res.converged)
+    _ = float(np.asarray(res.final_relres).max())    # fence
+    wall = time.perf_counter() - t0
+    if args.write_solution:
+        from mpi_bicgstab_tpu.ops.precision import df_to_f64, is_df
+        X = (df_to_f64(res.x) if is_df(res.x)
+             else np.asarray(res.x, np.float64))[:, : csr.nrows]
+        if d_invsqrt is not None:
+            from mpi_bicgstab_tpu.ops.scale import unscale_solution
+            X = np.stack([unscale_solution(X[j], d_invsqrt)
+                          for j in range(X.shape[0])])
+        if perm is not None:
+            from mpi_bicgstab_tpu.ops.reorder import unpermute_vector
+            X = np.stack([unpermute_vector(X[j], perm)
+                          for j in range(X.shape[0])])
+        np.save(args.write_solution, X)
+    _report(args, {
+        "method": args.method,
+        "matrix": args.matrix,
+        "n": csr.nrows,
+        "batch": int(np.asarray(res.n_iter).shape[0]),
+        "io_time_s": round(io_time, 6),
+        "n_iter": np.asarray(res.n_iter).tolist(),
+        "converged": conv.tolist(),
+        "max_true_relres": float(np.asarray(res.true_relres).max()),
+        "total_time_s": round(wall, 6),
+    })
+    return 0 if bool(conv.all()) else 2
+
+
 def cmd_solve(args):
     _maybe_enable_x64(args.dtype, args.platform)
     import jax
@@ -221,6 +292,10 @@ def cmd_solve(args):
                 "the preconditioned solver iterates in the transformed "
                 "space y (x = p(A) y), so an x-space warm start does "
                 "not map")
+
+    if getattr(args, "rhs_batch", None):
+        return _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
+                                io_time)
 
     x0_init = None
     if args.x0:
@@ -627,6 +702,12 @@ def build_parser():
                             "pipe_bicgstab_rr"])
     p.add_argument("--krr", type=int, default=100)
     p.add_argument("--nrr", type=int, default=4)
+    p.add_argument("--rhs-batch", default=None, metavar="FILE.npy",
+                   help="solve A x_j = b_j for a BATCH of right-hand "
+                        "sides ([k, n] .npy) in one vmapped run — the "
+                        "band values stream once per iteration for "
+                        "the whole batch (api.solve_batched; single "
+                        "device, classic family)")
     p.add_argument("--precond", default="none",
                    help="none | cheby[:D[:LO:HI]] — right Chebyshev "
                         "polynomial preconditioning of degree D "

@@ -1,0 +1,86 @@
+"""Batched multi-RHS solves (api.solve_batched) — beyond the reference
+(one RHS per run): vmapped classic solvers where every iteration's band
+multiply streams the matrix values once for the whole batch. JAX's
+batched while_loop freezes converged lanes (select old carry), so each
+lane's trajectory is BIT-IDENTICAL to its standalone solve."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from mpi_bicgstab_tpu.api import solve, solve_batched  # noqa: E402
+from mpi_bicgstab_tpu.models.generators import (banded_random,  # noqa: E402
+                                                transport_hard)
+from mpi_bicgstab_tpu.models.problem import build_problem  # noqa: E402
+from mpi_bicgstab_tpu.utils.config import SolverConfig  # noqa: E402
+
+CSR = transport_hard(4096)
+PROB = build_problem(CSR)
+
+
+def _rhs_batch():
+    b1 = CSR.matvec(np.ones(CSR.nrows))
+    b2 = CSR.matvec(np.linspace(0, 1, CSR.nrows))
+    b3 = np.zeros(CSR.nrows)
+    b3[123] = 1.0
+    return np.stack([b1, b2, b3])
+
+
+@pytest.mark.parametrize("method", ["bicgstab", "pipe_bicgstab"])
+def test_batched_lanes_match_standalone(method):
+    """Heterogeneous difficulty: lanes converge at different k; each
+    must freeze at ITS OWN n_iter with a bit-identical iterate."""
+    B = _rhs_batch()
+    cfg = SolverConfig(tol=1e-10, max_iter=3000, restarts=0)
+    res = solve_batched(PROB.A, B, method=method, cfg=cfg)
+    iters = np.asarray(res.n_iter)
+    assert len(set(iters.tolist())) > 1, "fixture must be heterogeneous"
+    for j in range(B.shape[0]):
+        r1 = solve(PROB.A, B[j], method=method, cfg=cfg)
+        assert int(res.n_iter[j]) == int(r1.n_iter)
+        assert bool(res.converged[j]) == bool(r1.converged)
+        np.testing.assert_array_equal(np.asarray(res.x)[j],
+                                      np.asarray(r1.x))
+
+
+def test_batched_df32():
+    from mpi_bicgstab_tpu.ops.precision import DF, df_from_f64, df_to_f64
+    prob = build_problem(CSR, dtype="df32")
+    K = 3
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((K, CSR.nrows))
+    B = df_from_f64(np.stack([CSR.matvec(X[j]) for j in range(K)]))
+    # pad to the problem's padded width
+    n = df_to_f64(prob.b).shape[0]
+    pad = n - CSR.nrows
+    B = DF(np.pad(np.asarray(B.hi), ((0, 0), (0, pad))),
+           np.pad(np.asarray(B.lo), ((0, 0), (0, pad))))
+    cfg = SolverConfig(tol=1e-11, max_iter=3000, dtype="df32")
+    res = solve_batched(prob.A, B, method="bicgstab", cfg=cfg)
+    assert np.asarray(res.converged).all()
+    x = df_to_f64(res.x)
+    for j in range(K):
+        # error bound is kappa * relres (kappa ~1e4 on this fixture)
+        assert np.abs(x[j][: CSR.nrows] - X[j]).max() < 1e-6
+
+
+def test_batched_with_precond():
+    from mpi_bicgstab_tpu.ops.cheby import ChebyPrecond, estimate_bounds
+    lo, hi = estimate_bounds(CSR)
+    B = _rhs_batch()
+    cfg = SolverConfig(tol=1e-10, max_iter=3000)
+    res = solve_batched(PROB.A, B, method="bicgstab", cfg=cfg,
+                        precond=ChebyPrecond(degree=8, lo=lo, hi=hi))
+    assert np.asarray(res.converged).all()
+    assert int(np.asarray(res.n_iter).max()) < 120   # ~8x fewer
+    x0 = np.asarray(res.x)[0][: CSR.nrows]
+    assert np.abs(x0 - 1.0).max() < 1e-6
+
+
+def test_batched_shape_errors():
+    with pytest.raises(ValueError, match="k, n"):
+        solve_batched(PROB.A, np.ones(64))
+    with pytest.raises(ValueError, match="unknown method"):
+        solve_batched(PROB.A, np.ones((2, 64)), method="nope")
