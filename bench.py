@@ -62,6 +62,7 @@ def main():
     dtype = jnp.float32
 
     from mpi_bicgstab_tpu.benchmarks.runner import (REF_SPMV_NNZ_PER_S,
+                                                    bench_batched_iteration,
                                                     bench_iteration,
                                                     bench_shifted_iteration)
     from mpi_bicgstab_tpu.models.generators import transport_like
@@ -158,6 +159,14 @@ def main():
     except Exception:  # noqa: BLE001
         csr_h = None
         sw_df = {"time_per_iter_s": float("nan")}
+    # batched multi-RHS: how much of the band-values stream a k=8
+    # batch amortizes (k solves for ~the HBM cost of one)
+    try:
+        it_b8 = bench_batched_iteration(csr, dtype, k=8,
+                                        method="bicgstab",
+                                        iters=max(iters // 2, 20))
+    except Exception:  # noqa: BLE001
+        it_b8 = {"time_per_iter_s": float("nan")}
     # Chebyshev preconditioning on the hard regime: wall-clock A/B of
     # a full solve (the win is ~10x fewer iterations/reductions for
     # ~the same SpMV work — per-iteration metrics can't see it). A
@@ -255,6 +264,11 @@ def main():
             sw["time_per_iter_s"], 6),
         "switching_df32_time_per_iter_s_sigma512": round(
             sw_df["time_per_iter_s"], 6),
+        "batched8_time_per_iter_s": round(it_b8["time_per_iter_s"], 6),
+        # >1 means the batch amortizes the vals stream; 8.0 would be
+        # a perfectly-amortized batch (8 solves for the cost of one)
+        "batched8_per_rhs_speedup": round(
+            8 * it_cl["time_per_iter_s"] / it_b8["time_per_iter_s"], 2),
         "matrix_gen_time_s": round(gen_time, 2),
         **cheby_ab,
     }

@@ -170,6 +170,39 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
             "nnz": csr.nnz, "spmv_equiv_nnz_per_s": 2 * csr.nnz / sec}
 
 
+def bench_batched_iteration(csr, dtype, k=8, method="bicgstab",
+                            iters=60):
+    """Time per BATCHED solver iteration (api.solve_batched, k RHS):
+    same tol=0 slope trick as bench_iteration. The interesting ratio is
+    k * time_per_iter(single) / time_per_iter(batched) — how much of
+    the band-values stream the batch amortizes."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.api import solve_batched
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+    K1, K2 = max(2, iters // 6), iters
+    prob = build_problem(csr, dtype=dtype, multiple=1024)
+    rng = np.random.default_rng(0)
+    n = (prob.b.hi if hasattr(prob.b, "hi") else prob.b).shape[0]
+    B_host = rng.standard_normal((k, n))
+    if dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64
+        B = df_from_f64(B_host)
+    else:
+        B = jnp.asarray(B_host, dtype)
+
+    def make_chain(K):
+        cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype)
+        return lambda: jnp.max(solve_batched(prob.A, B, method=method,
+                                             cfg=cfg).final_relres)
+
+    sec = _slope_time(make_chain, K1=K1, K2=K2, reps=3)
+    return {"iter_method": method, "batch": k, "time_per_iter_s": sec,
+            "nnz": csr.nnz}
+
+
 def bench_shifted_iteration(csr, dtype, sigma_len=512, seed=255,
                             devices=1,
                             method="shifted_lopbicg_switching",
