@@ -55,6 +55,36 @@ print(f"df32: relres {float(res_df.final_relres):.2e}, "
       f"max|x-1| {np.abs(x_df[:csr.nrows] - 1).max():.2e} "
       f"(plain f32 floors at ~1e-7)")
 
+# --- Chebyshev preconditioning: ~10x fewer iterations on hard systems ----
+from mpi_bicgstab_tpu.models.generators import transport_hard  # noqa: E402
+from mpi_bicgstab_tpu.ops.cheby import (ChebyPrecond,  # noqa: E402
+                                        estimate_bounds)
+
+csr_h = transport_hard(4096)
+prob_h = build_problem(csr_h)
+lo, hi = estimate_bounds(csr_h)
+r_plain = solve(prob_h.A, prob_h.b, cfg=SolverConfig(tol=1e-10,
+                                                     max_iter=3000))
+r_prec = solve(prob_h.A, prob_h.b, cfg=SolverConfig(tol=1e-10,
+                                                    max_iter=3000),
+               precond=ChebyPrecond(degree=8, lo=lo, hi=hi))
+print(f"hard regime: {int(r_plain.n_iter)} iters plain -> "
+      f"{int(r_prec.n_iter)} with cheby:8")
+
+# --- batched multi-RHS: k solves for ~the HBM cost of one -----------------
+from mpi_bicgstab_tpu.api import solve_batched  # noqa: E402
+
+rng = np.random.default_rng(0)
+B = np.stack([csr.matvec(rng.standard_normal(csr.nrows))
+              for _ in range(4)])
+Bp = np.zeros((4, prob.n))
+Bp[:, : csr.nrows] = B
+res_b = solve_batched(prob.A, jnp.asarray(Bp),
+                      cfg=SolverConfig(tol=1e-10, max_iter=1000))
+print(f"batched 4-RHS: n_iter per system "
+      f"{np.asarray(res_b.n_iter).tolist()}, all converged: "
+      f"{bool(np.asarray(res_b.converged).all())}")
+
 # --- distributed over every visible device -------------------------------
 n_dev = len(jax.devices())
 if n_dev > 1:
