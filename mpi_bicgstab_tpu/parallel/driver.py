@@ -286,6 +286,109 @@ def _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo, shifted,
                shifted=shifted, precond=precond)
 
 
+@partial(jax.jit, static_argnames=("skel", "method", "cfg", "mesh",
+                                   "halo", "precond"))
+def _go_batched(mat_arrays, B, X0, skel, method, cfg, mesh, halo,
+                precond=None):
+    """Batched multi-RHS distributed solve: vmap over the batch axis
+    INSIDE shard_map — per-shard [k, n_loc] slabs, batched psum
+    reductions, while_loop until the last system converges (converged
+    lanes freeze, same semantics as api.solve_batched)."""
+    p = skel.part
+
+    def run(*args):
+        mat = args[:-2]
+        B_loc, X0_loc = args[-2:]
+        comm = Comm(ROWS, serialize=getattr(cfg, "serialize_comm", False))
+        spmv = make_local_spmv(p, mat, comm, halo)
+        if precond is not None:
+            from mpi_bicgstab_tpu.ops.cheby import cheby_apply
+            base = spmv
+            spmv = lambda v: base(cheby_apply(  # noqa: E731
+                base, v, precond.degree, precond.lo, precond.hi))
+        run1 = lambda b, x0: CLASSIC_SOLVERS[method](  # noqa: E731
+            spmv, comm, b, x0, cfg)
+        return jax.vmap(run1)(B_loc, X0_loc)
+
+    out_specs = SolveResult(x=P(None, ROWS), n_iter=_REP,
+                            final_relres=_REP, history=_REP,
+                            converged=_REP, true_relres=_REP)
+    sm = jax.shard_map(run, mesh=mesh, in_specs=p.specs(_SLAB, _VEC)
+                       + (P(None, ROWS), P(None, ROWS)),
+                       out_specs=out_specs, check_vma=False)
+    return sm(*mat_arrays, B, X0)
+
+
+def solve_batched_distributed(part: PartitionedMatrix, B,
+                              method: str = "bicgstab",
+                              cfg: SolverConfig | None = None,
+                              mesh=None, halo: str = "allgather",
+                              precond=None) -> SolveResult:
+    """Distributed batched multi-RHS solve: rows sharded over the mesh,
+    k right-hand sides vmapped per shard — the band values stream once
+    per iteration for the whole batch AND the k systems' psum
+    reductions batch into one rendezvous per reduction point.
+
+    B: [k, n] host array (f64; converted per the partition dtype).
+    precond: optional ChebyPrecond with bounds set."""
+    import dataclasses
+
+    mesh = mesh or make_row_mesh(part.n_devices)
+    if method not in CLASSIC_SOLVERS:
+        raise ValueError(f"unknown method {method!r}")
+    if precond is not None:
+        precond = precond.resolve()
+    if not isinstance(jax.tree_util.tree_leaves(part.arrays())[0],
+                      jax.Array):
+        part = put_partitioned(part, mesh)
+    dtype = _mat_dtype(part)
+    if cfg is None:
+        cfg = SolverConfig(dtype=jnp.float32 if dtype == "df32" else dtype)
+    B = np.asarray(B, np.float64)
+    if B.ndim != 2:
+        raise ValueError(f"B must be [k, n], got shape {B.shape}")
+    Bp = np.zeros((B.shape[0], part.n_global))
+    Bp[:, : B.shape[1]] = B
+    sh = NamedSharding(mesh, P(None, ROWS))
+    if dtype == "df32":
+        from mpi_bicgstab_tpu.ops.precision import (DF, df_split_f64_host,
+                                                    df_zeros_like)
+        hi, lo = df_split_f64_host(Bp)
+        B_d = DF(jax.device_put(hi, sh), jax.device_put(lo, sh))
+        X0 = df_zeros_like(B_d)
+    else:
+        B_d = jax.device_put(Bp.astype(dtype), sh)
+        X0 = jnp.zeros_like(B_d)
+    skel = _HashableSkeleton(_skeleton(part))
+    res = _go_batched(part.arrays(), B_d, X0, skel=skel, method=method,
+                      cfg=cfg, mesh=mesh, halo=halo, precond=precond)
+    if precond is not None:
+        x = _go_cheby_post_batched(part.arrays(), res.x, skel=skel,
+                                   mesh=mesh, halo=halo,
+                                   precond=precond)
+        res = dataclasses.replace(res, x=x)
+    return res
+
+
+@partial(jax.jit, static_argnames=("skel", "mesh", "halo", "precond"))
+def _go_cheby_post_batched(mat_arrays, Y, skel, mesh, halo, precond):
+    p = skel.part
+
+    def run(*args):
+        mat, y_loc = args[:-1], args[-1]
+        comm = Comm(ROWS)
+        spmv = make_local_spmv(p, mat, comm, halo)
+        from mpi_bicgstab_tpu.ops.cheby import cheby_apply
+        return jax.vmap(lambda y: cheby_apply(spmv, y, precond.degree,
+                                              precond.lo,
+                                              precond.hi))(y_loc)
+
+    sm = jax.shard_map(run, mesh=mesh, in_specs=p.specs(_SLAB, _VEC)
+                       + (P(None, ROWS),), out_specs=P(None, ROWS),
+                       check_vma=False)
+    return sm(*mat_arrays, Y)
+
+
 @partial(jax.jit, static_argnames=("skel", "mesh", "halo", "precond"))
 def _go_cheby_post(mat_arrays, y, skel, mesh, halo, precond):
     """x = p(A) y over the mesh — the exit transform of a distributed

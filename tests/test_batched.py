@@ -84,3 +84,30 @@ def test_batched_shape_errors():
         solve_batched(PROB.A, np.ones(64))
     with pytest.raises(ValueError, match="unknown method"):
         solve_batched(PROB.A, np.ones((2, 64)), method="nope")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_batched_distributed():
+    """vmap inside shard_map: per-shard [k, n_loc] slabs with batched
+    psum reductions. Lanes must converge independently and match the
+    truth; the preconditioner composes."""
+    from mpi_bicgstab_tpu.ops.cheby import ChebyPrecond, estimate_bounds
+    from mpi_bicgstab_tpu.parallel.driver import solve_batched_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((3, CSR.nrows))
+    B = np.stack([CSR.matvec(X[j]) for j in range(3)])
+    part = partition_csr(CSR, 8)
+    cfg = SolverConfig(tol=1e-11, max_iter=3000)
+    res = solve_batched_distributed(part, B, method="bicgstab", cfg=cfg)
+    assert np.asarray(res.converged).all()
+    assert len(set(np.asarray(res.n_iter).tolist())) > 1
+    assert np.abs(np.asarray(res.x)[:, : CSR.nrows] - X).max() < 1e-6
+    lo, hi = estimate_bounds(CSR)
+    res2 = solve_batched_distributed(
+        part, B, method="bicgstab", cfg=cfg,
+        precond=ChebyPrecond(degree=8, lo=lo, hi=hi))
+    assert np.asarray(res2.converged).all()
+    assert int(np.asarray(res2.n_iter).max()) * 4 \
+        < int(np.asarray(res.n_iter).max())
+    assert np.abs(np.asarray(res2.x)[:, : CSR.nrows] - X).max() < 1e-6
