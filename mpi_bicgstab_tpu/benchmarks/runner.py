@@ -364,5 +364,16 @@ def run_bench(args):
     if "overlap" in what:
         out.update(bench_overlap(csr, dtype, args.devices,
                                  iters=args.iters))
+    if "batched" in what:
+        if args.devices > 1:
+            raise SystemExit("--what batched is single-device")
+        kw = {"method": args.method} if getattr(args, "method", None) \
+            else {}
+        b8 = bench_batched_iteration(csr, dtype, k=8, iters=args.iters,
+                                     **kw)
+        out["batched8_time_per_iter_s"] = b8["time_per_iter_s"]
+        if "time_per_iter_s" in out:
+            out["batched8_per_rhs_speedup"] = round(
+                8 * out["time_per_iter_s"] / b8["time_per_iter_s"], 2)
     print(json.dumps(out))
     return 0
