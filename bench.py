@@ -153,9 +153,11 @@ def main():
         sw = {"time_per_iter_s": float("nan")}
     try:
         from mpi_bicgstab_tpu.models.generators import transport_hard
-        csr_h = transport_hard(200_704)
-        sw_df = bench_shifted_iteration(csr_h, "df32", sigma_len=512,
-                                        seed=255, iters=24)
+        csr_h = transport_hard(50_176 if small else 200_704)
+        sw_df = bench_shifted_iteration(csr_h, "df32",
+                                        sigma_len=64 if small else 512,
+                                        seed=255 if not small else 63,
+                                        iters=12 if small else 24)
     except Exception:  # noqa: BLE001
         csr_h = None
         sw_df = {"time_per_iter_s": float("nan")}
@@ -180,7 +182,7 @@ def main():
                                                 estimate_bounds)
         from mpi_bicgstab_tpu.utils.config import SolverConfig
         if csr_h is None:
-            csr_h = transport_hard(200_704)
+            csr_h = transport_hard(50_176 if small else 200_704)
         prob_h = build_problem(csr_h, dtype=jnp.float32, multiple=8192)
         lo_b, hi_b = estimate_bounds(csr_h)
         cfg_h = SolverConfig(tol=1e-5, max_iter=20_000,

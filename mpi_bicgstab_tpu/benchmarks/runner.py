@@ -367,13 +367,19 @@ def run_bench(args):
     if "batched" in what:
         if args.devices > 1:
             raise SystemExit("--what batched is single-device")
-        kw = {"method": args.method} if getattr(args, "method", None) \
-            else {}
+        # the speedup must compare like with like: measure the
+        # single-RHS iteration with the SAME method (the 'iter'
+        # section defaults to pipe_bicgstab, which has different
+        # per-iteration work)
+        m = getattr(args, "method", None) or "bicgstab"
+        b1 = bench_iteration(csr, dtype, devices=1, method=m,
+                             iters=args.iters)
         b8 = bench_batched_iteration(csr, dtype, k=8, iters=args.iters,
-                                     **kw)
+                                     method=m)
+        out["batched8_method"] = m
+        out["batched8_single_time_per_iter_s"] = b1["time_per_iter_s"]
         out["batched8_time_per_iter_s"] = b8["time_per_iter_s"]
-        if "time_per_iter_s" in out:
-            out["batched8_per_rhs_speedup"] = round(
-                8 * out["time_per_iter_s"] / b8["time_per_iter_s"], 2)
+        out["batched8_per_rhs_speedup"] = round(
+            8 * b1["time_per_iter_s"] / b8["time_per_iter_s"], 2)
     print(json.dumps(out))
     return 0

@@ -190,6 +190,16 @@ def _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
     if args.checkpoint or args.x0 or args.repeat != 1:
         raise SystemExit("--rhs-batch cannot be combined with "
                          "--checkpoint/--x0/--repeat")
+    if args.rhs or args.dump_history:
+        raise SystemExit("--rhs-batch cannot be combined with --rhs "
+                         "or --dump-history (one batch IS the set of "
+                         "right-hand sides; per-system histories are "
+                         "available via the library API)")
+    if args.restarts is not None:
+        raise SystemExit("--restarts does not apply to --rhs-batch "
+                         "(the refinement-restart policy is per-"
+                         "system host logic; solve stragglers "
+                         "individually if the gate fails)")
     B = np.load(args.rhs_batch)
     if B.ndim != 2 or B.shape[1] != csr.nrows:
         raise SystemExit(f"--rhs-batch: expected [k, {csr.nrows}], "
@@ -263,7 +273,8 @@ def cmd_solve(args):
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
                        nrr=args.nrr, dtype=cfg_dtype,
                        out_iter=args.verbose_every,
-                       restarts=getattr(args, "restarts", 2))
+                       restarts=2 if getattr(args, "restarts", None)
+                       is None else args.restarts)
     # custom RHS: loaded in the ORIGINAL row ordering, permuted with the
     # matrix (solving (PAP^T)(Px) = Pb)
     b_user = None
@@ -716,11 +727,12 @@ def build_parser():
                         "bounds default to Gershgorin estimates "
                         "(ops/cheby.py; composes with --scale/"
                         "--reorder)")
-    p.add_argument("--restarts", type=int, default=2,
+    p.add_argument("--restarts", type=int, default=None,
                    help="refinement restarts when the true-residual "
                         "gate fails after the recurrence hit tol "
-                        "(re-enters the solver from the iterate; 0 = "
-                        "reference behavior, trust the recurrence)")
+                        "(re-enters the solver from the iterate; "
+                        "default 2; 0 = reference behavior, trust the "
+                        "recurrence; not applicable to --rhs-batch)")
     p.add_argument("--scale", choices=["none", "jacobi"], default="none",
                    help="Jacobi (diagonal) symmetric scaling "
                         "D^-1/2 A D^-1/2 — equilibrates badly scaled "

@@ -77,13 +77,22 @@ def estimate_bounds(csr) -> tuple[float, float]:
 class ChebyPrecond:
     """Preconditioner spec (hashable/static — safe as a jit key).
 
-    degree: polynomial degree d (d+1 SpMVs per application; 0 disables)
+    degree: polynomial degree d >= 1 (d+1 SpMVs per application; to
+            disable preconditioning, don't pass a precond at all)
     lo/hi:  spectral bounds; 0.0 = estimate from the matrix at build
     """
 
     degree: int = 8
     lo: float = 0.0
     hi: float = 0.0
+
+    def __post_init__(self):
+        if self.degree < 1:
+            raise ValueError(
+                "ChebyPrecond degree must be >= 1 (degree 0 would "
+                "wrap the operator in a pure scaling that costs an "
+                "extra SpMV per application and changes nothing — "
+                "omit the precond instead)")
 
     @staticmethod
     def parse(spec: str) -> "ChebyPrecond | None":

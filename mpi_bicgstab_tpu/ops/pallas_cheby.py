@@ -205,7 +205,18 @@ def cheby_chain(vals, v, offsets: tuple, degree: int, lo: float,
     ops/cheby.cheby_apply up to f32 reassociation."""
     from mpi_bicgstab_tpu.ops.cheby import _coeffs
     inv_theta, pairs = _coeffs(degree, lo, hi)
-    n = v.shape[0]
+    # pad to the kernel's row-tile grid (zero rows are inert: the DIA
+    # builder already zeroes out-of-range diagonal slots, so boundary
+    # rows read 0*0). Without this, an n whose nr = n/128 is not a
+    # multiple of _TR would leave the last nr % _TR row-tiles of every
+    # output UNWRITTEN (the grid rounds down) — exactly the shapes the
+    # CLI's multiple=1024 padding produces.
+    n0 = v.shape[0]
+    blk = _TR * _LANES
+    n = -(-n0 // blk) * blk
+    if n != n0:
+        v = jnp.pad(v, (0, n - n0))
+        vals = jnp.pad(vals, ((0, 0), (0, n - n0)))
     nr = n // _LANES
     G = nr // _TR
     W = len(offsets)
@@ -237,4 +248,4 @@ def cheby_chain(vals, v, offsets: tuple, degree: int, lo: float,
         + [pltpu.SemaphoreType.DMA(())] * 2,
         interpret=interpret,
     )(vp, valsp)
-    return out.reshape(n)
+    return out.reshape(n)[:n0]

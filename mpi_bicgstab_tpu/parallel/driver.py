@@ -246,7 +246,15 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
         if precond is not None:
             # right-preconditioned operator v -> A p(A) v: the inner
             # Chebyshev steps reuse the SAME distributed spmv (halo
-            # exchanges compose; no new comm pattern — ops/cheby.py)
+            # exchanges compose; no new comm pattern — ops/cheby.py).
+            # CLASSIC FAMILY ONLY: p(A) does not commute with the
+            # shift structure (A p(A) + sigma I is not a shift of the
+            # preconditioned operator), so a shifted ladder over it
+            # would be silently wrong math
+            if shifted:
+                raise ValueError("precond is classic-family only: a "
+                                 "polynomial in A breaks the shifted "
+                                 "ladder's shared Krylov space")
             from mpi_bicgstab_tpu.ops.cheby import cheby_apply
             base = spmv
             spmv = lambda v: base(cheby_apply(  # noqa: E731
@@ -363,37 +371,19 @@ def solve_batched_distributed(part: PartitionedMatrix, B,
     res = _go_batched(part.arrays(), B_d, X0, skel=skel, method=method,
                       cfg=cfg, mesh=mesh, halo=halo, precond=precond)
     if precond is not None:
-        x = _go_cheby_post_batched(part.arrays(), res.x, skel=skel,
-                                   mesh=mesh, halo=halo,
-                                   precond=precond)
+        x = _go_cheby_post(part.arrays(), res.x, skel=skel, mesh=mesh,
+                           halo=halo, precond=precond, batched=True)
         res = dataclasses.replace(res, x=x)
     return res
 
 
-@partial(jax.jit, static_argnames=("skel", "mesh", "halo", "precond"))
-def _go_cheby_post_batched(mat_arrays, Y, skel, mesh, halo, precond):
-    p = skel.part
-
-    def run(*args):
-        mat, y_loc = args[:-1], args[-1]
-        comm = Comm(ROWS)
-        spmv = make_local_spmv(p, mat, comm, halo)
-        from mpi_bicgstab_tpu.ops.cheby import cheby_apply
-        return jax.vmap(lambda y: cheby_apply(spmv, y, precond.degree,
-                                              precond.lo,
-                                              precond.hi))(y_loc)
-
-    sm = jax.shard_map(run, mesh=mesh, in_specs=p.specs(_SLAB, _VEC)
-                       + (P(None, ROWS),), out_specs=P(None, ROWS),
-                       check_vma=False)
-    return sm(*mat_arrays, Y)
-
-
-@partial(jax.jit, static_argnames=("skel", "mesh", "halo", "precond"))
-def _go_cheby_post(mat_arrays, y, skel, mesh, halo, precond):
+@partial(jax.jit, static_argnames=("skel", "mesh", "halo", "precond",
+                                   "batched"))
+def _go_cheby_post(mat_arrays, y, skel, mesh, halo, precond,
+                   batched: bool = False):
     """x = p(A) y over the mesh — the exit transform of a distributed
     right-preconditioned solve (d+1 distributed SpMVs, once per
-    solve)."""
+    solve). batched=True applies it to [k, n] (vmapped per shard)."""
     p = skel.part
 
     def run(*args):
@@ -401,11 +391,13 @@ def _go_cheby_post(mat_arrays, y, skel, mesh, halo, precond):
         comm = Comm(ROWS)
         spmv = make_local_spmv(p, mat, comm, halo)
         from mpi_bicgstab_tpu.ops.cheby import cheby_apply
-        return cheby_apply(spmv, y_loc, precond.degree, precond.lo,
-                           precond.hi)
+        one = lambda v: cheby_apply(spmv, v, precond.degree,  # noqa: E731
+                                    precond.lo, precond.hi)
+        return jax.vmap(one)(y_loc) if batched else one(y_loc)
 
+    vec = P(None, ROWS) if batched else _VEC
     sm = jax.shard_map(run, mesh=mesh, in_specs=p.specs(_SLAB, _VEC)
-                       + (_VEC,), out_specs=_VEC, check_vma=False)
+                       + (vec,), out_specs=vec, check_vma=False)
     return sm(*mat_arrays, y)
 
 

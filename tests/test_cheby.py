@@ -152,3 +152,37 @@ def test_fused_chain_availability_gates():
     assert not pallas_cheby.format_ok(prob.A, jnp.float64, 8)
     # CPU backend: auto-dispatch always off
     assert not pallas_cheby.available(prob.A, jnp.float32, 8)
+
+
+def test_fused_chain_covers_unaligned_sizes():
+    """Regression: with n/128 not a multiple of the 64-row tile, the
+    chain's grid used to round DOWN and leave the tail row-tiles of
+    every output UNWRITTEN while format_ok rounded UP and approved the
+    shape — exactly what the CLI's multiple=1024 padding produces
+    (e.g. n=200704 -> nr=1568, 1568 % 64 = 32). The kernel now pads
+    internally."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.ops.layout import spmv
+    from mpi_bicgstab_tpu.ops.pallas_cheby import cheby_chain
+    n = 36_864                       # nr = 288; 288 % 64 = 32 != 0
+    csr = banded_random(n, [1, -1, 9, -9], seed=0)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=1024)
+    A = prob.A
+    assert (A.n_rows // 128) % 64 != 0, "fixture must be unaligned"
+    lo, hi = estimate_bounds(csr)
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows),
+                    jnp.float32)
+    ref = np.asarray(cheby_apply(lambda u: spmv(A, u), v, 4, lo, hi))
+    out = np.asarray(cheby_chain(A.vals, v, A.offsets, 4, lo, hi,
+                                 interpret=True))
+    # the bug left the TAIL garbage — check it explicitly, then all
+    tail = slice(-64 * 128, None)
+    assert np.abs(out[tail] - ref[tail]).max() / np.abs(ref).max() < 2e-6
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-6
+
+
+def test_precond_degree_zero_rejected():
+    with pytest.raises(ValueError, match="degree"):
+        ChebyPrecond(degree=0, lo=1.0, hi=10.0)
