@@ -39,9 +39,11 @@ def _bytes_per_nnz_dia(W: int, df: bool) -> float:
 
 
 def _bytes_per_nnz_window(width: int, df: bool) -> float:
-    """vals(4) + sub_sel(1) + lane_idx(1) per slot; x resident, y once."""
+    """vals(4) + sub_sel(1) + lane_idx(1) per slot; x resident, y
+    written once per row (4 B, doubled in DF) amortized over the row's
+    `width` slots."""
     val = 4.0 * (2 if df else 1)
-    return val + 2.0 + 8.0 / max(width, 1) * (2 if df else 1)
+    return val + 2.0 + 4.0 / max(width, 1) * (2 if df else 1)
 
 
 def _median_spmv(csr, dtype, iters, reps=3):
@@ -112,7 +114,7 @@ def main():
         n_w = 200_704 if small else 1_602_560
         csr_w = clustered_random(n_w)
         spmv_w = _median_spmv(csr_w, dtype, iters)
-        win_width = 20
+        win_width = spmv_w.get("spmv_window_width", 0)
     except Exception:  # noqa: BLE001
         spmv_w = {"spmv_nnz_per_s": float("nan"), "spmv_layout": None}
         win_width = 0

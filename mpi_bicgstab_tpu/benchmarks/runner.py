@@ -132,8 +132,15 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
     # via _single_op just for the name would double multi-minute builds
     # (butterfly routing at 1.6M rows)
     layout = type(A).__name__ if devices == 1 else None
-    return {"spmv_s": sec, "spmv_nnz_per_s": nnz / sec,
-            "spmv_layout": layout}
+    out = {"spmv_s": sec, "spmv_nnz_per_s": nnz / sec,
+           "spmv_layout": layout}
+    if layout == "WindowEllMatrix":
+        # slot width of the BUILT layout (vals is [W, T, 8, 128]) —
+        # the roofline model needs the real padded width, not a guess
+        from mpi_bicgstab_tpu.ops.precision import is_df as _isdf
+        v = A.vals.hi if _isdf(A.vals) else A.vals
+        out["spmv_window_width"] = int(v.shape[0])
+    return out
 
 
 def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
@@ -330,10 +337,12 @@ def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
 def run_bench(args):
     """CLI `bench` entry; prints a JSON line per requested benchmark."""
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "float64":
-        jax.config.update("jax_enable_x64", True)
+    # same x64 policy as the solve CLI: f64 needs it everywhere; df32
+    # needs it on NON-TPU backends (ops/precision computes DF through
+    # native f64 there — XLA:CPU's LLVM FMA-contracts the f32 EFTs),
+    # and must NOT have it on TPU (Mosaic x64 fence)
+    from mpi_bicgstab_tpu.cli import _maybe_enable_x64
+    _maybe_enable_x64(args.dtype, args.platform)
     import jax.numpy as jnp
     dtype = {"float32": jnp.float32, "float64": jnp.float64,
              "df32": "df32"}[args.dtype]

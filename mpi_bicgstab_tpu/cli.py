@@ -661,22 +661,51 @@ def cmd_info(args):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import os
     devs = jax.devices()
-    on_tpu = jax.default_backend() == "tpu"
+    # the census must answer "will the fused build engage HERE?" —
+    # that is backend==tpu AND x64 off (Mosaic fence) AND the
+    # per-method MBT_FUSED_* env gate not set to 0/off
+    base_ok = (jax.default_backend() == "tpu"
+               and not jax.config.jax_enable_x64)
+
+    def _env_on(*names):
+        return base_ok and all(
+            os.environ.get(v, "").lower() not in ("0", "off")
+            for v in names)
+
+    def _meth(f32_env, df_envs):
+        out = []
+        if _env_on(f32_env):
+            out.append("f32")
+        if any(_env_on(v) for v in df_envs):
+            out.append("df32")
+        return out
+
     payload = {
         "process_count": jax.process_count(),
         "device_count": len(devs),
         "devices": [str(d) for d in devs],
         "default_backend": jax.default_backend(),
+        "x64": bool(jax.config.jax_enable_x64),
         # fused Pallas iteration builds engage automatically for DIA
         # operators on TPU (per-method env opt-outs MBT_FUSED_*)
         "fused_kernels": {
-            "bicgstab": ["f32", "df32"] if on_tpu else [],
-            "ca_bicgstab": ["f32", "df32"] if on_tpu else [],
-            "pipe_bicgstab": ["f32", "df32"] if on_tpu else [],
-            "pipe_bicgstab_rr": ["f32", "df32"] if on_tpu else [],
+            "bicgstab": _meth("MBT_FUSED_CLASSIC",
+                              ["MBT_FUSED_CLASSIC_DF"]),
+            "ca_bicgstab": _meth("MBT_FUSED_CA", ["MBT_FUSED_CA_DF"]),
+            "pipe_bicgstab": _meth(
+                "MBT_FUSED_PIPE",
+                ["MBT_FUSED_DF2", "MBT_FUSED_DF",
+                 "MBT_FUSED_DF_BODIES"]),
+            "pipe_bicgstab_rr": _meth("MBT_FUSED_PIPE",
+                                      ["MBT_FUSED_DF2"]),
             "shifted_lopbicg_switching":
-                ["f32 blocked-MXU", "df32 fused"] if on_tpu else [],
+                ((["f32 blocked-MXU"] if base_ok else [])
+                 + (["df32 fused"] if _env_on("MBT_FUSED_SHIFT")
+                    else [])),
+            "cheby_chain": (["f32"] if _env_on("MBT_FUSED_CHEBY")
+                            else []),
         },
         "layouts": ["dia", "hybrid", "ell", "window_ell", "butterfly"],
         # right Chebyshev preconditioning (--precond cheby:D); the

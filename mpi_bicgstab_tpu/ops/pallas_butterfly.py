@@ -34,13 +34,24 @@ from mpi_bicgstab_tpu.ops.butterfly import _B, _LANES, _SUB, ButterflyMatrix
 _TB = 16     # windows per grid step (grid-overhead lesson)
 
 
+def _vmem_ok(bf: ButterflyMatrix, df: bool) -> bool:
+    """K1 holds the ENTIRE padded iterate VMEM-resident (x2 streams in
+    DF). Large single-device matrices and distributed rectangular
+    layouts (nc_pad = GLOBAL columns) can bust the ~13 MB budget the
+    sibling kernels enforce — fall back to the XLA path there instead
+    of failing Mosaic compilation mid-solve."""
+    resident = bf.nc_pad * 4 * (2 if df else 1)
+    return resident <= 10 * 1024 * 1024   # leave room for the streams
+
+
 def available(bf: ButterflyMatrix, dtype) -> bool:
     import os
     if os.environ.get("MBT_BUTTERFLY", "").lower() in ("0", "off"):
         return False
     if jax.default_backend() != "tpu" or jax.config.jax_enable_x64:
         return False
-    return dtype == jnp.float32 and not hasattr(bf.k3_vals, "hi")
+    return (dtype == jnp.float32 and not hasattr(bf.k3_vals, "hi")
+            and _vmem_ok(bf, df=False))
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +221,8 @@ def available_df(bf: ButterflyMatrix, dtype) -> bool:
         return False
     if jax.default_backend() != "tpu" or jax.config.jax_enable_x64:
         return False
-    return dtype == jnp.float32 and hasattr(bf.k3_vals, "hi")
+    return (dtype == jnp.float32 and hasattr(bf.k3_vals, "hi")
+            and _vmem_ok(bf, df=True))
 
 
 def _gather_stacked(stacked, ss, li, F):

@@ -46,12 +46,11 @@ from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df import (_df, _df_scalar,
                                                        _tile_df_dot)
 from mpi_bicgstab_tpu.ops.pallas_fused_pipe_df2 import (_dia_core_df,
                                                         _pad_rows)
+from mpi_bicgstab_tpu.ops.pallas_fused_classic import (_LANES, _SLACK,
+                                                       _SUB, _TR,
+                                                       _dots_spec,
+                                                       _tile_spec)
 from mpi_bicgstab_tpu.ops.pallas_spmv import _halo_rows
-
-_LANES = 128
-_SUB = 8
-_TR = 64
-_SLACK = 8
 
 
 def _chunk_tiles(G: int) -> int:
@@ -179,16 +178,6 @@ def _k3_kernel(sc_ref, xh_, xl_, p2h_, p2l_, qh_, ql_, yh_, yl_,
     r2h[...], r2l[...] = r2.hi, r2.lo
     dots_ref[...] = _dot_row_df([_tile_df_dot(r2, r2),
                                  _tile_df_dot(rh, r2)])
-
-
-def _tile_spec(tr):
-    return pl.BlockSpec((tr, _LANES), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _dots_spec():
-    return pl.BlockSpec((1, _SUB, _LANES), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
 
 
 def _vspec(W, tr):

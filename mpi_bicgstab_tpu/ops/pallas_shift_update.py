@@ -50,8 +50,14 @@ def available(S: int, n: int, dtype) -> bool:
 
 
 def format_ok(S: int, n: int, dtype) -> bool:
-    return (dtype == jnp.float32 and S % 8 == 0 and S >= 8
-            and n % _LANES == 0)
+    if not (dtype == jnp.float32 and S % 8 == 0 and S >= 8
+            and n % _LANES == 0):
+        return False
+    # wide ladders can leave NO feasible tile width (the 8 S x nt
+    # double-buffered DF streams bust VMEM for every nt dividing n) —
+    # the kernel would raise at trace time; gate it so the XLA branch
+    # runs instead
+    return _pick_nt(S, n) > 0
 
 
 def _pick_nt(S: int, n: int) -> int:

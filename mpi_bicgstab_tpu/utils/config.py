@@ -101,7 +101,9 @@ class ShiftedConfig:
     serialize_comm: bool = False  # nooverlap mode (see SolverConfig)
     shift_block: int = -1
     # ^ blocked (deferred, MXU-matmul) shift updates for the
-    #   seed-switching solver: -1 auto (L=32 on TPU, f32, >=8 shifts),
+    #   seed-switching solver: -1 auto (L=64 on TPU, f32, >=8 shifts —
+    #   the measured knee; budget 2 x L x n x 4 B HBM for the Q/R
+    #   recording buffers, ~820 MB at 1.6M rows),
     #   0 = per-iteration reference path, >0 = explicit block depth L
     #   (solvers/switching_blocked.py). The checkpointed segment driver
     #   always uses the per-iteration path (bit-exact resume contract).
