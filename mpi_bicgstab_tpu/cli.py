@@ -431,6 +431,11 @@ def cmd_solve(args):
             from mpi_bicgstab_tpu.ops.reorder import unpermute_vector
             x = unpermute_vector(x, perm)
         np.save(args.write_solution, x)
+    if prec is None and done >= 1000:
+        print("hint: this solve took {} iterations — Chebyshev "
+              "preconditioning (--precond cheby:8) typically cuts "
+              "slow-converging systems ~8-10x for the same SpMV work "
+              "(ops/cheby.py)".format(done), file=sys.stderr)
     _report(args, {
         "method": args.method,
         "matrix": args.matrix,
