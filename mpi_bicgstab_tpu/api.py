@@ -287,6 +287,50 @@ def _precond_post_batched(A, Y):
     return jax.vmap(A.apply)(Y)
 
 
+def _restart_batch_lanes(solve_lane_fn, extract_b, cfg, res):
+    """Per-lane refinement restarts for a batched solve: lanes whose
+    recurrence hit tol but failed the true-residual gate re-enter the
+    solver INDIVIDUALLY (the restart policy is host logic, so it can't
+    live inside the vmapped while_loop). solve_lane_fn(b, x0, cfg) runs
+    one single-RHS segment; extract_b(j) returns lane j's RHS."""
+    import dataclasses
+
+    import numpy as np
+
+    from mpi_bicgstab_tpu.ops.precision import DF, is_df
+    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    conv = np.asarray(res.converged)
+    if conv.all():
+        return res
+    x, hist = res.x, res.history
+    n_iter, fr = res.n_iter, res.final_relres
+    cv, tr = res.converged, res.true_relres
+    for j in np.where(~conv)[0]:
+        j = int(j)
+        lane = SolveResult(
+            x=DF(x.hi[j], x.lo[j]) if is_df(x) else x[j],
+            n_iter=n_iter[j], final_relres=fr[j],
+            history=hist[j], converged=cv[j], true_relres=tr[j])
+        bj = extract_b(j)
+        lane2 = _restarted(
+            lambda x0, c, bj=bj: solve_lane_fn(bj, x0, c), cfg, lane)
+        if lane2 is lane:
+            continue                  # no restart fired for this lane
+        if is_df(x):
+            x = DF(x.hi.at[j].set(lane2.x.hi),
+                   x.lo.at[j].set(lane2.x.lo))
+        else:
+            x = x.at[j].set(lane2.x)
+        hist = hist.at[j].set(lane2.history)
+        n_iter = n_iter.at[j].set(lane2.n_iter)
+        fr = fr.at[j].set(lane2.final_relres)
+        cv = cv.at[j].set(lane2.converged)
+        tr = tr.at[j].set(lane2.true_relres)
+    return dataclasses.replace(res, x=x, history=hist, n_iter=n_iter,
+                               final_relres=fr, converged=cv,
+                               true_relres=tr)
+
+
 @partial(jax.jit, static_argnames=("method", "cfg"))
 def _solve_batched_jit(A, B, X0, method: str, cfg: SolverConfig):
     comm = Comm(None, serialize=cfg.serialize_comm)
@@ -308,9 +352,9 @@ def solve_batched(A, B, x0=None, method: str = "bicgstab",
     true_relres come back batched.
 
     B: [k, n] (or a DF pair of [k, n]); returns a SolveResult whose
-    fields carry a leading batch axis. cfg.restarts is ignored here
-    (the refinement-restart policy is per-system host logic — solve
-    stragglers individually if the gate fails)."""
+    fields carry a leading batch axis. Lanes whose recurrence hit tol
+    but failed the true-residual gate re-enter the solver individually
+    afterwards (cfg.restarts, same policy as the single-RHS solve)."""
     from mpi_bicgstab_tpu.ops.cheby import ChebyOperator, wrap_operator
     from mpi_bicgstab_tpu.ops.precision import df_zeros_like, is_df
     if method not in CLASSIC_SOLVERS:
@@ -328,6 +372,15 @@ def solve_batched(A, B, x0=None, method: str = "bicgstab",
     if x0 is None:
         x0 = df_zeros_like(B) if is_df(B) else jnp.zeros_like(B)
     res = _solve_batched_jit(A, B, x0, method, cfg)
+    if getattr(cfg, "restarts", 0):
+        from mpi_bicgstab_tpu.ops.precision import DF
+
+        def _lane_b(j):
+            return DF(B.hi[j], B.lo[j]) if is_df(B) else B[j]
+
+        res = _restart_batch_lanes(
+            lambda bj, x, c: _solve_jit(A, bj, x, method, c), _lane_b,
+            cfg, res)
     if isinstance(A, ChebyOperator):
         import dataclasses
         res = dataclasses.replace(res, x=_precond_post_batched(A, res.x))

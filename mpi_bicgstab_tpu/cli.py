@@ -195,11 +195,6 @@ def _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
                          "or --dump-history (one batch IS the set of "
                          "right-hand sides; per-system histories are "
                          "available via the library API)")
-    if args.restarts is not None:
-        raise SystemExit("--restarts does not apply to --rhs-batch "
-                         "(the refinement-restart policy is per-"
-                         "system host logic; solve stragglers "
-                         "individually if the gate fails)")
     B = np.load(args.rhs_batch)
     if B.ndim != 2 or B.shape[1] != csr.nrows:
         raise SystemExit(f"--rhs-batch: expected [k, {csr.nrows}], "
@@ -223,7 +218,9 @@ def _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
     tol = args.tol if args.tol is not None else 1e-15
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
-                       nrr=args.nrr, dtype=cfg_dtype)
+                       nrr=args.nrr, dtype=cfg_dtype,
+                       restarts=2 if args.restarts is None
+                       else args.restarts)
     t0 = time.perf_counter()
     res = solve_batched(prob.A, B_dev, method=args.method, cfg=cfg,
                         precond=prec)
@@ -766,7 +763,8 @@ def build_parser():
                         "gate fails after the recurrence hit tol "
                         "(re-enters the solver from the iterate; "
                         "default 2; 0 = reference behavior, trust the "
-                        "recurrence; not applicable to --rhs-batch)")
+                        "recurrence; batched solves restart gate-"
+                        "failed lanes individually)")
     p.add_argument("--scale", choices=["none", "jacobi"], default="none",
                    help="Jacobi (diagonal) symmetric scaling "
                         "D^-1/2 A D^-1/2 — equilibrates badly scaled "

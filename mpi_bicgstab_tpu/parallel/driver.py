@@ -370,6 +370,16 @@ def solve_batched_distributed(part: PartitionedMatrix, B,
     skel = _HashableSkeleton(_skeleton(part))
     res = _go_batched(part.arrays(), B_d, X0, skel=skel, method=method,
                       cfg=cfg, mesh=mesh, halo=halo, precond=precond)
+    if getattr(cfg, "restarts", 0):
+        # per-lane refinement restarts (same policy as solve_batched):
+        # gate-failed lanes re-enter the distributed solver one at a
+        # time, in the preconditioned space when precond is set
+        from mpi_bicgstab_tpu.api import _restart_batch_lanes
+        res = _restart_batch_lanes(
+            lambda bj, x, c: _dist_solve_impl(
+                part, bj, x, method, c, mesh, halo, shifted=False,
+                precond=precond),
+            lambda j: put_vector(Bp[j], part, mesh, dtype), cfg, res)
     if precond is not None:
         x = _go_cheby_post(part.arrays(), res.x, skel=skel, mesh=mesh,
                            halo=halo, precond=precond, batched=True)

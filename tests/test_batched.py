@@ -111,3 +111,46 @@ def test_batched_distributed():
     assert int(np.asarray(res2.n_iter).max()) * 4 \
         < int(np.asarray(res.n_iter).max())
     assert np.abs(np.asarray(res2.x)[:, : CSR.nrows] - X).max() < 1e-6
+
+
+def test_batched_lane_restarts():
+    """Gate-failed lanes must re-enter individually (same refinement-
+    restart policy as single-RHS): the pipe stall fixture in a batch
+    comes back truly converged with restarts on."""
+    csr = banded_random(512, [1, -1, 9, -9], seed=0)
+    prob = build_problem(csr)
+    # two gate-failing lanes (the second is the same system scaled, so
+    # both are KNOWN rescuable; arbitrary RHS can decouple the pipe
+    # recurrence beyond what a restart can fix at tol=1e-15)
+    B = np.stack([np.asarray(prob.b), 2.0 * np.asarray(prob.b)])
+    r0 = solve_batched(prob.A, B, method="pipe_bicgstab",
+                       cfg=SolverConfig(tol=1e-15, max_iter=1000,
+                                        restarts=0))
+    assert not np.asarray(r0.converged).all()   # the stall
+    r1 = solve_batched(prob.A, B, method="pipe_bicgstab",
+                       cfg=SolverConfig(tol=1e-15, max_iter=1000))
+    assert np.asarray(r1.converged).all()
+    assert np.asarray(r1.true_relres).max() <= 1e-13
+    x0 = np.asarray(r1.x)[0][: csr.nrows]
+    assert np.abs(x0 - 1.0).max() < 1e-11
+    x1 = np.asarray(r1.x)[1][: csr.nrows]
+    assert np.abs(x1 - 2.0).max() < 1e-11
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_batched_lane_restarts_distributed():
+    csr = banded_random(512, [1, -1, 9, -9], seed=0)
+    from mpi_bicgstab_tpu.parallel.driver import solve_batched_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    b = csr.matvec(np.ones(csr.nrows))
+    B = np.stack([b, 2.0 * b])
+    part = partition_csr(csr, 8)
+    r0 = solve_batched_distributed(
+        part, B, method="pipe_bicgstab",
+        cfg=SolverConfig(tol=1e-15, max_iter=1000, restarts=0))
+    assert not np.asarray(r0.converged).any()
+    r1 = solve_batched_distributed(
+        part, B, method="pipe_bicgstab",
+        cfg=SolverConfig(tol=1e-15, max_iter=1000))
+    assert np.asarray(r1.converged).all()
+    assert np.abs(np.asarray(r1.x)[1][: csr.nrows] - 2.0).max() < 1e-11
