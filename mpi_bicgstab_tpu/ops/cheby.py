@@ -152,12 +152,30 @@ def _scale(c: float, v):
     return c * v
 
 
+def df_const(c: float):
+    """Trace-time split of a host float into a full-precision DF
+    scalar (hi, lo) — the DF coefficient form shared by the XLA chain
+    and the fused kernels (a DF(f32(c), 0) coefficient would round the
+    polynomial at 2^-24)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.ops.precision import DF
+    hi = float(np.float32(c))
+    return DF(jnp.float32(hi), jnp.float32(c - hi))
+
+
 def cheby_apply(spmv_fn, v, degree: int, lo: float, hi: float):
     """x ~= A^-1 v by `degree` Chebyshev iteration steps on [lo, hi]
     (d+1 spmv_fn calls; dtype-generic: f32/f64/DF pairs). The step
     coefficients are python floats folded at trace time — the loop is
-    unrolled (degree is small and static)."""
+    unrolled (degree is small and static). DF inputs get full-precision
+    DF coefficients (df_const)."""
     inv_theta, pairs = _coeffs(degree, lo, hi)
+    if is_df(v):
+        inv_theta = df_const(inv_theta)
+        pairs = [(df_const(c_d), df_const(c_r)) for c_d, c_r in pairs]
     x = _scale(inv_theta, v)
     r = vfma(v, -1.0, spmv_fn(x))
     d = _scale(inv_theta, r)
@@ -190,7 +208,7 @@ class ChebyOperator:
         the WHOLE degree-d chain runs as one Pallas pass
         (ops/pallas_cheby.py — ~d x less HBM traffic than the XLA
         chain); anything else falls back to the XLA build."""
-        from mpi_bicgstab_tpu.ops import pallas_cheby
+        from mpi_bicgstab_tpu.ops import pallas_cheby, pallas_cheby_df
         from mpi_bicgstab_tpu.ops.layout import spmv as base_spmv
         if (not is_df(v)
                 and pallas_cheby.available(self.op, v.dtype,
@@ -199,6 +217,12 @@ class ChebyOperator:
                                             self.op.offsets,
                                             self.degree, self.lo,
                                             self.hi)
+        if (is_df(v)
+                and pallas_cheby_df.available(self.op, v.hi.dtype,
+                                              self.degree)):
+            return pallas_cheby_df.cheby_chain_df(
+                self.op.vals, v, self.op.offsets, self.degree,
+                self.lo, self.hi)
         return cheby_apply(lambda u: base_spmv(self.op, u), v,
                            self.degree, self.lo, self.hi)
 

@@ -186,3 +186,28 @@ def test_fused_chain_covers_unaligned_sizes():
 def test_precond_degree_zero_rejected():
     with pytest.raises(ValueError, match="degree"):
         ChebyPrecond(degree=0, lo=1.0, hi=10.0)
+
+
+def test_fused_chain_df_matches_xla():
+    """df32 chain kernel (ops/pallas_cheby_df.py): one window-resident
+    pass with in-kernel EFT arithmetic must match the XLA DF chain to
+    DF rounding (same full-precision df_const coefficients), including
+    an unaligned size and multiple chunks."""
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.ops.layout import spmv
+    from mpi_bicgstab_tpu.ops.pallas_cheby_df import (_pick_chunk_df,
+                                                      cheby_chain_df)
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_to_f64
+    import jax.numpy as jnp
+    csr = banded_random(36_864, [1, -1, 9, -9], seed=0)
+    prob = build_problem(csr, dtype="df32", multiple=1024)
+    A = prob.A
+    lo, hi = estimate_bounds(csr)
+    v = df_from_f64(np.random.default_rng(0).standard_normal(A.n_rows))
+    ref = df_to_f64(cheby_apply(lambda u: spmv(A, u), v, 4, lo, hi))
+    out = df_to_f64(cheby_chain_df(A.vals, v, A.offsets, 4, lo, hi,
+                                   interpret=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    # CPU interpret: both sides run the f64-exact DF ops; on chip the
+    # compiled EFT path is validated by tests/test_chip_kernels.py
+    assert rel < 1e-9, rel

@@ -373,3 +373,24 @@ def test_cheby_chain_on_chip(banded_prob):
                 precond=ChebyPrecond(degree=8, lo=lo, hi=hi))
     assert bool(res.converged)
     assert np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max() < 1e-3
+
+
+def test_cheby_chain_df_on_chip(banded_prob):
+    """Compiled df32 fused Chebyshev chain vs the XLA DF chain: the
+    in-kernel EFTs must preserve DF accuracy under Mosaic."""
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.ops import pallas_cheby_df
+    from mpi_bicgstab_tpu.ops.cheby import cheby_apply, estimate_bounds
+    from mpi_bicgstab_tpu.ops.layout import spmv
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_to_f64
+    csr, _ = banded_prob
+    prob = build_problem(csr, dtype="df32", multiple=8192)
+    A = prob.A
+    assert pallas_cheby_df.available(A, jnp.float32, 8)
+    lo, hi = estimate_bounds(csr)
+    v = df_from_f64(np.random.default_rng(5).standard_normal(A.n_rows))
+    ref = df_to_f64(cheby_apply(lambda u: spmv(A, u), v, 8, lo, hi))
+    out = df_to_f64(pallas_cheby_df.cheby_chain_df(
+        A.vals, v, A.offsets, 8, lo, hi))
+    rel = float(np.abs(out - ref).max() / np.abs(ref).max())
+    assert rel < 1e-10, rel
