@@ -373,6 +373,73 @@ def run_bench(args):
     if "overlap" in what:
         out.update(bench_overlap(csr, dtype, args.devices,
                                  iters=args.iters))
+    if "cheby" in what:
+        # fused-chain vs XLA-chain application rate (degree 8)
+        if args.devices > 1:
+            raise SystemExit("--what cheby is single-device")
+        import jax.numpy as _jnp
+
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        from mpi_bicgstab_tpu.ops import pallas_cheby, pallas_cheby_df
+        from mpi_bicgstab_tpu.ops.cheby import (cheby_apply,
+                                                estimate_bounds)
+        from mpi_bicgstab_tpu.ops.layout import spmv as _spmv
+        from mpi_bicgstab_tpu.ops.precision import df_from_f64, is_df
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
+        A = prob.A
+        lo_b, hi_b = estimate_bounds(csr)
+        rng = np.random.default_rng(0)
+        d = 8
+        if dtype == "df32":
+            v0 = df_from_f64(rng.standard_normal(prob.n))
+            fused_ok = pallas_cheby_df.available(A, _jnp.float32, d)
+            chain = lambda u: pallas_cheby_df.cheby_chain_df(  # noqa
+                A.vals, u, A.offsets, d, lo_b, hi_b)
+        else:
+            v0 = _jnp.asarray(rng.standard_normal(prob.n), dtype)
+            fused_ok = pallas_cheby.available(A, dtype, d)
+            chain = lambda u: pallas_cheby.cheby_chain(  # noqa: E731
+                A.vals, u, A.offsets, d, lo_b, hi_b)
+        xla = lambda u: cheby_apply(lambda w: _spmv(A, w),  # noqa: E731
+                                    u, d, lo_b, hi_b)
+
+        def _norm(u):
+            h = u.hi if is_df(u) else u
+            return jnp.sum(jnp.abs(h))
+
+        def make(apply_fn):
+            def mk(K):
+                @jax.jit
+                def go(v):
+                    from jax import lax
+
+                    def body(i, v):
+                        y = apply_fn(v)
+                        if is_df(y):
+                            s = 1.0 / (1.0 + _norm(y))
+                            from mpi_bicgstab_tpu.ops.precision import \
+                                vfma
+                            from mpi_bicgstab_tpu.ops.precision import \
+                                df_zeros_like as _z
+                            return vfma(_z(y), s, y)
+                        return y / (1.0 + _norm(y))
+
+                    return _norm(lax.fori_loop(0, K, body, v))
+
+                return lambda: go(v0)
+            return mk
+
+        out["cheby_degree"] = d
+        out["cheby_xla_apply_s"] = _slope_time(make(xla), K1=4,
+                                               K2=max(args.iters, 12),
+                                               reps=3)
+        out["cheby_fused_available"] = bool(fused_ok)
+        if fused_ok:
+            out["cheby_fused_apply_s"] = _slope_time(
+                make(chain), K1=4, K2=max(args.iters, 12), reps=3)
+            out["cheby_fused_speedup"] = round(
+                out["cheby_xla_apply_s"] / out["cheby_fused_apply_s"],
+                2)
     if "batched" in what:
         if args.devices > 1:
             raise SystemExit("--what batched is single-device")

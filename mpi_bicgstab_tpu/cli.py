@@ -842,7 +842,8 @@ def build_parser():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--what", default="spmv,iter",
                    help="comma list: spmv, iter, shifted, overlap, "
-                        "batched (k=8 multi-RHS amortization)")
+                        "batched (k=8 multi-RHS amortization), cheby "
+                        "(fused-chain vs XLA preconditioner apply)")
     p.add_argument("--method", default=None,
                    help="solver for iter/shifted/overlap benchmarks")
     p.add_argument("--sigma-len", type=int, default=512,
