@@ -60,6 +60,14 @@ for d in (2, 4, 8):
 print(json.dumps(out))
 EOF
 
+echo "=== 4b/5 fused Chebyshev chain A/B (f32 + df32, 1.6M banded) ==="
+timeout 1800 python -m mpi_bicgstab_tpu bench \
+    --matrix banded:1602112 --what cheby --iters 12 \
+    2>/dev/null | tee /tmp/r3chip_cheby_chain_f32.json
+timeout 1800 python -m mpi_bicgstab_tpu bench \
+    --matrix banded:1602112 --what cheby --dtype df32 --iters 12 \
+    2>/dev/null | tee /tmp/r3chip_cheby_chain_df32.json
+
 echo "=== 5/5 full bench of record ==="
 timeout 7200 python bench.py > /tmp/r3chip_bench.json \
     2>/tmp/r3chip_bench.err
