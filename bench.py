@@ -156,12 +156,13 @@ def main():
     try:
         from mpi_bicgstab_tpu.models.generators import transport_hard
         csr_h = transport_hard(50_176 if small else 200_704)
-        sw_df = bench_shifted_iteration(csr_h, "df32",
-                                        sigma_len=64 if small else 512,
+        sl_df = 64 if small else 512
+        sw_df = bench_shifted_iteration(csr_h, "df32", sigma_len=sl_df,
                                         seed=255 if not small else 63,
                                         iters=12 if small else 24)
     except Exception:  # noqa: BLE001
         csr_h = None
+        sl_df = 512
         sw_df = {"time_per_iter_s": float("nan")}
     # batched multi-RHS: how much of the band-values stream a k=8
     # batch amortizes (k solves for ~the HBM cost of one)
@@ -251,8 +252,11 @@ def main():
         "df32_spmv_implied_GBps": round(
             spmv_df["spmv_nnz_per_s"] * bpn_df / 1e9, 1),
         "window_spmv_nnz_per_s": round(spmv_w["spmv_nnz_per_s"], 1),
-        "window_spmv_implied_GBps": round(
-            spmv_w["spmv_nnz_per_s"] * bpn_w / 1e9, 1),
+        # nan when the auto layout was not windowed-ELL (width
+        # unknown -> the model would overstate bytes/nnz)
+        "window_spmv_implied_GBps": (round(
+            spmv_w["spmv_nnz_per_s"] * bpn_w / 1e9, 1) if win_width
+            else float("nan")),
         "window_layout": spmv_w.get("spmv_layout"),
         "window_n": 200_704 if small else 1_602_560,
         # uniform-random (locality-free) SpMV: gather-rate-bound, not
@@ -266,7 +270,7 @@ def main():
         "uniform_n": n_u,
         "switching_time_per_iter_s_sigma512": round(
             sw["time_per_iter_s"], 6),
-        "switching_df32_time_per_iter_s_sigma512": round(
+        f"switching_df32_time_per_iter_s_sigma{sl_df}": round(
             sw_df["time_per_iter_s"], 6),
         "batched8_time_per_iter_s": round(it_b8["time_per_iter_s"], 6),
         # >1 means the batch amortizes the vals stream; 8.0 would be

@@ -137,9 +137,7 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
     if layout == "WindowEllMatrix":
         # slot width of the BUILT layout (vals is [W, T, 8, 128]) —
         # the roofline model needs the real padded width, not a guess
-        from mpi_bicgstab_tpu.ops.precision import is_df as _isdf
-        v = A.vals.hi if _isdf(A.vals) else A.vals
-        out["spmv_window_width"] = int(v.shape[0])
+        out["spmv_window_width"] = int(A.width)
     return out
 
 
@@ -448,8 +446,11 @@ def run_bench(args):
         # section defaults to pipe_bicgstab, which has different
         # per-iteration work)
         m = getattr(args, "method", None) or "bicgstab"
-        b1 = bench_iteration(csr, dtype, devices=1, method=m,
-                             iters=args.iters)
+        if out.get("iter_method") == m:
+            b1 = {"time_per_iter_s": out["time_per_iter_s"]}
+        else:
+            b1 = bench_iteration(csr, dtype, devices=1, method=m,
+                                 iters=args.iters)
         b8 = bench_batched_iteration(csr, dtype, k=8, iters=args.iters,
                                      method=m)
         out["batched8_method"] = m

@@ -219,8 +219,7 @@ def _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
     cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
                        nrr=args.nrr, dtype=cfg_dtype,
-                       restarts=2 if args.restarts is None
-                       else args.restarts)
+                       restarts=args.restarts)
     t0 = time.perf_counter()
     res = solve_batched(prob.A, B_dev, method=args.method, cfg=cfg,
                         precond=prec)
@@ -270,8 +269,7 @@ def cmd_solve(args):
     cfg = SolverConfig(tol=tol, max_iter=args.max_iter, krr=args.krr,
                        nrr=args.nrr, dtype=cfg_dtype,
                        out_iter=args.verbose_every,
-                       restarts=2 if getattr(args, "restarts", None)
-                       is None else args.restarts)
+                       restarts=getattr(args, "restarts", 2))
     # custom RHS: loaded in the ORIGINAL row ordering, permuted with the
     # matrix (solving (PAP^T)(Px) = Pb)
     b_user = None
@@ -706,15 +704,16 @@ def cmd_info(args):
                 ((["f32 blocked-MXU"] if base_ok else [])
                  + (["df32 fused"] if _env_on("MBT_FUSED_SHIFT")
                     else [])),
-            "cheby_chain": (["f32"] if _env_on("MBT_FUSED_CHEBY")
-                            else []),
+            "cheby_chain": (["f32", "df32"]
+                            if _env_on("MBT_FUSED_CHEBY") else []),
         },
         "layouts": ["dia", "hybrid", "ell", "window_ell", "butterfly"],
         # right Chebyshev preconditioning (--precond cheby:D); the
         # fused single-pass chain engages on TPU for f32 DIA when the
         # d-deep window fits VMEM (ops/pallas_cheby.py), else the XLA
         # chain runs (always correct, incl. df32)
-        "preconditioners": ["cheby (fused chain on TPU/f32-DIA)",
+        "preconditioners": ["cheby (fused chain on TPU DIA, "
+                            "f32 + df32)",
                             "jacobi scaling (--scale)"],
     }
     print(json.dumps(payload, indent=2))
@@ -758,7 +757,7 @@ def build_parser():
                         "bounds default to Gershgorin estimates "
                         "(ops/cheby.py; composes with --scale/"
                         "--reorder)")
-    p.add_argument("--restarts", type=int, default=None,
+    p.add_argument("--restarts", type=int, default=2,
                    help="refinement restarts when the true-residual "
                         "gate fails after the recurrence hit tol "
                         "(re-enters the solver from the iterate; "
