@@ -60,6 +60,11 @@ def main():
     dtype_name = "float32"
 
     import jax
+    # CPU smoke runs: the df32 sections need x64 for exact DF ops
+    # (same policy as cli._maybe_enable_x64; on TPU x64 must stay OFF
+    # — Mosaic fence)
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     dtype = jnp.float32
 
