@@ -507,6 +507,12 @@ def cmd_solve_shifted(args):
         if args.checkpoint_every < 1:
             raise SystemExit("--checkpoint-every must be >= 1")
 
+    if args.sigma_devices < 1:
+        raise SystemExit("--sigma-devices must be >= 1")
+    if args.sigma_devices > 1 and args.devices < 2:
+        raise SystemExit("--sigma-devices shards the ladder over a "
+                         "2-D (rows x sigma) mesh; it requires the "
+                         "distributed path (--devices > 1)")
     sweep = ([int(s) for s in args.sigma_len_sweep.split(",")]
              if args.sigma_len_sweep else [args.sigma_len])
     rows = []
@@ -519,6 +525,11 @@ def cmd_solve_shifted(args):
             # main_shifted.c:95-100: sigma_i = (i+1)*(sigma_max/len)
             sigma = (np.arange(S) + 1) * (args.sigma_max / S)
             seed = args.seed
+            if not (0 <= seed < S):
+                raise SystemExit(
+                    f"--seed {seed} out of range for --sigma-len {S} "
+                    "(the sweep mode clamps; the direct mode wants an "
+                    "explicit in-range seed)")
         tol = args.tol if args.tol is not None else 1e-12
         import jax.numpy as jnp
         cfg_dtype = jnp.float32 if args.dtype == "df32" else dtype
@@ -538,7 +549,7 @@ def cmd_solve_shifted(args):
                                  format=args.format)
             runner = lambda: solve_shifted_distributed(  # noqa: E731
                 part, b, sigma, seed=seed, method=args.method, cfg=cfg,
-                halo=args.halo)
+                halo=args.halo, sigma_devices=args.sigma_devices)
         else:
             from mpi_bicgstab_tpu.api import solve_shifted
             prob = build_problem(csr, dtype=dtype, multiple=1024,
@@ -615,6 +626,7 @@ def cmd_solve_shifted(args):
             "seed": seed,
             "final_seed": int(res.final_seed),
             "devices": args.devices,
+            "sigma_devices": args.sigma_devices,
             "io_time_s": round(io_time, 6),
             "total_iter": int(res.n_iter),
             "final_relres": float(res.final_relres),
@@ -790,6 +802,14 @@ def build_parser():
     p.add_argument("--sigma-len", type=int, default=512)
     p.add_argument("--sigma-max", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=255)
+    p.add_argument("--sigma-devices", type=int, default=1, metavar="G",
+                   help="shard the shift ladder's [S, n] state over a "
+                        "second mesh axis of G devices (uses "
+                        "--devices x G devices as a rows-by-sigma "
+                        "grid; requires --devices > 1 and sigma-len "
+                        "divisible by G) — divides slab memory and "
+                        "shift-update bandwidth per device by G "
+                        "(parallel/sigma.py)")
     p.add_argument("--sigma-len-sweep", default=None,
                    help="comma list, e.g. 8,32,128,512 (main_seed_diff.c)")
     p.add_argument("--refine", action="store_true",

@@ -19,8 +19,10 @@ from mpi_bicgstab_tpu.parallel.comm import Comm
 from mpi_bicgstab_tpu.parallel.dist_spmv import (spmv_allgather,
                                                  spmv_dia_gather,
                                                  spmv_dia_halo, spmv_ring)
-from mpi_bicgstab_tpu.parallel.mesh import ROWS, make_row_mesh
+from mpi_bicgstab_tpu.parallel.mesh import (ROWS, SIGMA, make_grid_mesh,
+                                            make_row_mesh)
 from mpi_bicgstab_tpu.parallel.partition import PartitionedMatrix
+from mpi_bicgstab_tpu.parallel.sigma import SigmaComm
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult, SolveResult
 from mpi_bicgstab_tpu.solvers.bicgstab import CLASSIC_SOLVERS
 from mpi_bicgstab_tpu.utils.config import SolverConfig
@@ -233,15 +235,18 @@ class _HashableSkeleton:
 
 
 @partial(jax.jit, static_argnames=("skel", "method", "seed", "cfg",
-                                   "mesh", "halo", "shifted", "precond"))
+                                   "mesh", "halo", "shifted", "precond",
+                                   "sigma_groups"))
 def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
-        shifted, precond=None):
+        shifted, precond=None, sigma_groups=1):
     p = skel.part
 
     def run(*args):
         mat = args[:-3]
         b_loc, x0_loc, sg = args[-3:]
         comm = Comm(ROWS, serialize=getattr(cfg, "serialize_comm", False))
+        sc = (SigmaComm(SIGMA, sigma_groups) if sigma_groups > 1
+              else None)
         spmv = make_local_spmv(p, mat, comm, halo)
         if precond is not None:
             # right-preconditioned operator v -> A p(A) v: the inner
@@ -266,15 +271,16 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
         solvers = {**SHIFTED_SOLVERS, **SWITCHING_SOLVERS}
         fn = solvers[method]
         if method == "shifted_bicgstab":
-            return fn(spmv, comm, b_loc, sg, cfg)
-        return fn(spmv, comm, b_loc, sg, seed, cfg)
+            return fn(spmv, comm, b_loc, sg, cfg, shift_comm=sc)
+        return fn(spmv, comm, b_loc, sg, seed, cfg, shift_comm=sc)
 
     if not shifted:
         out_specs = SolveResult(x=_VEC, n_iter=_REP, final_relres=_REP,
                                 history=_REP, converged=_REP,
                                 true_relres=_REP)
     else:
-        out_specs = ShiftedResult(x_set=P(None, ROWS), n_iter=_REP,
+        xs_spec = P(SIGMA, ROWS) if sigma_groups > 1 else P(None, ROWS)
+        out_specs = ShiftedResult(x_set=xs_spec, n_iter=_REP,
                                   final_relres=_REP, history=_REP,
                                   stop_flags=_REP, final_seed=_REP,
                                   shift_relres=_REP, true_relres=_REP)
@@ -285,13 +291,14 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
 
 
 def _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo, shifted,
-                     sigma=None, seed=0, precond=None):
+                     sigma=None, seed=0, precond=None, sigma_groups=1):
     skel = _HashableSkeleton(_skeleton(part))
     if sigma is None:
         sigma = jnp.zeros((1,), b_d.dtype)
     return _go(part.arrays(), b_d, x0_d, sigma, skel=skel, method=method,
                seed=int(seed), cfg=cfg, mesh=mesh, halo=halo,
-               shifted=shifted, precond=precond)
+               shifted=shifted, precond=precond,
+               sigma_groups=sigma_groups)
 
 
 @partial(jax.jit, static_argnames=("skel", "method", "cfg", "mesh",
@@ -462,6 +469,12 @@ def refine_shifted_distributed(part: PartitionedMatrix, b, sigma, x_set,
     else:
         sig_d = jax.device_put(np.asarray(sigma, dtype=dtype), rep)
     skel = _HashableSkeleton(_skeleton(part))
+    # x_set may arrive on a different device set (e.g. the 2-D
+    # rows x sigma mesh of a sigma-sharded solve) — jit refuses mixed
+    # device sets, so lay it onto this row mesh explicitly
+    xsh = NamedSharding(mesh, P(None, ROWS))
+    x_set = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, xsh), x_set)
     S = np.asarray(sigma).shape[0]
     outs, iters, rels = [], 0, []
     for s0 in range(0, S, chunk):
@@ -538,18 +551,45 @@ def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
                               seed: int = 0,
                               method: str = "shifted_lopbicg_switching",
                               cfg=None, mesh=None,
-                              halo: str = "allgather") -> ShiftedResult:
+                              halo: str = "allgather",
+                              sigma_devices: int = 1) -> ShiftedResult:
     """Distributed multi-shift solve: (A + sigma_j I) x_j = b for the
     whole ladder from one Krylov sequence (the distributed analogue of
     main_shifted.c / main_repeat.c). x_set is [n_sigma, n_global]
-    sharded on the row axis."""
+    sharded on the row axis.
+
+    sigma_devices > 1 adds a SECOND mesh axis sharding the shift
+    ladder's [S, n] slabs (parallel/sigma.py): the run uses
+    part.n_devices * sigma_devices devices as a (rows x sigma) grid,
+    dividing the per-device slab memory and shift-update bandwidth by
+    sigma_devices while the seed iteration and all scalar recurrences
+    replicate (bit-identical trajectories to sigma_devices=1 at the
+    same row count). sigma_len must divide by sigma_devices."""
     from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
-    mesh = mesh or make_row_mesh(part.n_devices)
-    if mesh.devices.size != part.n_devices:
+    sigma_devices = int(sigma_devices)
+    if sigma_devices < 1:
+        raise ValueError(f"sigma_devices must be >= 1, got {sigma_devices}")
+    S_total = np.asarray(
+        sigma.hi if hasattr(sigma, "hi") else sigma).shape[0]
+    if S_total % sigma_devices:
         raise ValueError(
-            f"mesh has {mesh.devices.size} devices but the matrix was "
-            f"partitioned for {part.n_devices}")
+            f"sigma_len {S_total} not divisible by sigma_devices "
+            f"{sigma_devices}")
+    if sigma_devices > 1:
+        mesh = mesh or make_grid_mesh(part.n_devices, sigma_devices)
+        if dict(zip(mesh.axis_names, mesh.devices.shape)) != {
+                ROWS: part.n_devices, SIGMA: sigma_devices}:
+            raise ValueError(
+                f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+                f"does not match rows={part.n_devices} x "
+                f"sigma={sigma_devices}")
+    else:
+        mesh = mesh or make_row_mesh(part.n_devices)
+        if mesh.devices.size != part.n_devices:
+            raise ValueError(
+                f"mesh has {mesh.devices.size} devices but the matrix was "
+                f"partitioned for {part.n_devices}")
     if not isinstance(jax.tree_util.tree_leaves(part.arrays())[0],
                       jax.Array):
         part = put_partitioned(part, mesh)
@@ -574,4 +614,5 @@ def solve_shifted_distributed(part: PartitionedMatrix, b, sigma,
     else:
         x0_d = jnp.zeros_like(b_d)
     return _dist_solve_impl(part, b_d, x0_d, method, cfg, mesh, halo,
-                            shifted=True, sigma=sig_d, seed=seed)
+                            shifted=True, sigma=sig_d, seed=seed,
+                            sigma_groups=sigma_devices)

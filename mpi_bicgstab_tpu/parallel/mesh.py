@@ -12,6 +12,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ROWS = "rows"
+SIGMA = "sigma"
+
+
+def make_grid_mesh(n_rows: int, n_sigma: int, devices=None) -> Mesh:
+    """2-D mesh (rows x sigma) for sigma-sharded shifted solves: the
+    row partition of A/vectors on one axis, the shift ladder's [S, n]
+    slabs on the other (parallel/sigma.py). Uses the first
+    n_rows * n_sigma devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_rows * n_sigma
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_rows}x{n_sigma} mesh, only {len(devices)} "
+            "devices present")
+    return Mesh(np.array(devices[:need]).reshape(n_rows, n_sigma),
+                (ROWS, SIGMA))
 
 
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:

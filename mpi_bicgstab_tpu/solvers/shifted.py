@@ -85,13 +85,16 @@ def seed_true_relres(spmv, comm, b, sigma_seed, x_seed, dot_zero):
 
 
 def _shift_result(x_set, k, dot_r, dot_zero, scale_abs, tol2, hist, seed,
-                  spmv, comm, b, sigma_seed):
+                  spmv, comm, b, sigma_seed, sc=None):
+    from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
+    sc = as_shift_comm(sc)
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
     history = jnp.sqrt(hist / vvalue(dot_zero))
     stop = scale_abs * scale_abs * vvalue(dot_r) \
         <= tol2 * vvalue(dot_zero)
     true_rr = seed_true_relres(spmv, comm, b, sigma_seed,
-                               _vtake0(x_set, seed), dot_zero)
+                               sc.take_row(x_set, seed, scale_abs.shape[0]),
+                               dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=history, stop_flags=stop,
                          final_seed=jnp.int32(seed),
@@ -99,7 +102,8 @@ def _shift_result(x_set, k, dot_r, dot_zero, scale_abs, tol2, hist, seed,
                          true_relres=true_rr)
 
 
-def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
+def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig,
+                     shift_comm=None) -> ShiftedResult:
     """Multi-shift BiCGStab with the UNSHIFTED A as seed (reference
     shifted_solver.c:13-180; seed index 0 by construction, sigma[0] is
     expected to be 0 in the xi recurrence's derivation but any ladder is
@@ -110,9 +114,14 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
                (a0*b_old*(xi_o - xi_c) + xi_o*a_old*(1 + a0*sigma_j))
     maps the seed polynomial to the shifted one; tau (:132) accumulates
     the omega-stabilizer ratios.
+
+    shift_comm: optional parallel.sigma.SigmaComm — shards the [S, n]
+    slabs over a second mesh axis (scalar recurrences replicate).
     """
+    from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -122,8 +131,8 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
     r_hat = b                                   # :72 (r = b, x0 = 0)
     rTr0 = comm.dot(b, b)                       # :70-71
     dot_zero = rTr0
-    x_set0 = vzeros((S, n), b)
-    p_set0 = vbroadcast_rows(b, S)              # :74 p[j]=b
+    x_set0 = vzeros((sc.s_local(S), n), b)
+    p_set0 = vbroadcast_rows(b, sc.s_local(S))  # :74 p[j]=b
     alpha0 = vones((S,), b)                     # :76
     beta0 = vzeros((S,), b)                     # :75
     omega0 = vzeros((S,), b)
@@ -140,13 +149,14 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
     def body(c):
         (k, x_set, p_set, r, alpha, beta, omega, tau, xi_old, xi_curr,
          rTr, dot_r, max_xi, hist) = c
-        s = spmv(p_set[0])                      # :90 — seed is UNSHIFTED A
+        p_seed = sc.take_row(p_set, 0, S)
+        s = spmv(p_seed)                        # :90 — seed is UNSHIFTED A
         rTs = comm.dot(r_hat, s)                # :91
-        # shift p part 1 (:92-96)
+        # shift p part 1 (:92-96) — mask folded into the coefficients
+        # (seed row: (1,0)-affine identity), sliced to this sigma group
         beta_sh = (xi_curr / xi_old) ** 2 * beta[0]
-        p_upd = vfma(beta_sh[:, None] * p_set,
-                     (tau * xi_curr)[:, None], r[None, :])
-        p_set = vwhere(mask[:, None], p_upd, p_set)
+        p_set = vfma(sc.coeff(mask, beta_sh, 1.0) * p_set,
+                     sc.coeff(mask, tau * xi_curr), r[None, :])
         r_old = r                               # :97
         alpha_old = alpha[0]                    # :98
         beta_old = beta[0]                      # :99
@@ -160,15 +170,18 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
             + xi_old * alpha_old * (1.0 + a0 * sigma))
         alpha_sh = (xi_new / xi_curr) * a0
         w0 = qTy / yTy                          # omega[0], :117
-        x_set = x_set.at[0].add(vfma(a0 * p_set[0], w0, q))  # :118-119
+        x_set = sc.row_add(x_set, 0,
+                           vfma(a0 * p_seed, w0, q), S)  # :118-119
         # shift x / p part 2 (:120-126)
         omega_sh = w0 / (1.0 + w0 * sigma)      # :121
-        x_upd = vfma(alpha_sh[:, None] * p_set,
-                     (omega_sh * tau * xi_new)[:, None], q[None, :])
-        x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
-        p_upd2 = (omega_sh * tau * xi_new / alpha_sh)[:, None] * q[None, :] \
-            - (omega_sh * tau * xi_curr / alpha_sh)[:, None] * r_old[None, :]
-        p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
+        x_set = x_set + vfma(
+            sc.coeff(mask, alpha_sh) * p_set,
+            sc.coeff(mask, omega_sh * tau * xi_new), q[None, :])
+        p_upd2 = sc.coeff(mask, omega_sh * tau * xi_new / alpha_sh) \
+            * q[None, :] \
+            - sc.coeff(mask, omega_sh * tau * xi_curr / alpha_sh) \
+            * r_old[None, :]
+        p_set = p_set + p_upd2
         r_new = q - w0 * y                      # :127
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :128-130
         tau = vwhere(mask, tau / (1.0 + w0 * sigma), tau)           # :132
@@ -179,8 +192,8 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
                              jnp.max(jnp.where(mask, abs_xi, 0.0)))
         xi_old = vwhere(mask, xi_curr, xi_old)      # :143
         xi_curr = vwhere(mask, xi_new, xi_curr)     # :144
-        p_set = p_set.at[0].set(
-            vfma(r_new, b0, vfma(p_set[0], -w0, s)))      # :145-147
+        p_set = sc.row_set(
+            p_set, 0, vfma(r_new, b0, vfma(p_seed, -w0, s)), S)  # :145-147
         alpha = vwhere(mask, alpha_sh, alpha).at[0].set(a0)
         beta = vwhere(mask, beta_sh, beta).at[0].set(b0)
         omega = vwhere(mask, omega_sh, omega).at[0].set(w0)
@@ -196,11 +209,11 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig) -> ShiftedResult:
      _mx, hist) = out
     scale = jnp.where(mask, vvalue(vabs(xi_curr * tau)), 1.0)
     return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist, 0,
-                         spmv, comm, b, vzeros((), b))
+                         spmv, comm, b, vzeros((), b), sc=sc)
 
 
 def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
-                        cfg: ShiftedConfig) -> ShiftedResult:
+                        cfg: ShiftedConfig, shift_comm=None) -> ShiftedResult:
     """Shifted LOP-BiCGStab (reference shifted_solver.c:182-354).
 
     Seed system is (A + sigma[seed] I); shifts are RELATIVE:
@@ -208,8 +221,10 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     omega_seed = (q,q)/(q,y) (:293) — the 'locally optimal' choice that
     keeps the shifted omega recurrence rational.
     """
+    from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -220,8 +235,9 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     r_hat = b                                   # :242
     rTr0 = comm.dot(b, b)                       # :240-241
     dot_zero = rTr0
-    x_set0 = vzeros((S, n), b)
-    p_set0 = vzeros((S, n), b).at[seed].set(b)  # :226,:252
+    x_set0 = vzeros((sc.s_local(S), n), b)
+    p_set0 = sc.row_set(vzeros((sc.s_local(S), n), b), seed, b,
+                        S)                      # :226,:252
     alpha0 = vones((S,), b)
     beta0 = vzeros((S,), b)
     omega0 = vzeros((S,), b)
@@ -239,13 +255,14 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     def body(c):
         (k, x_set, p_set, r, alpha, beta, omega, eta, zeta, pi_old,
          pi_new, rTr, dot_r, max_zp, hist) = c
-        s = spmv(p_set[seed]) + sig_seed * p_set[seed]   # :261-262
+        p_seed = sc.take_row(p_set, seed, S)
+        s = spmv(p_seed) + sig_seed * p_seed             # :261-262
         rTs = comm.dot(r_hat, s)                         # :263
-        # shift p part 1 (:264-269)
+        # shift p part 1 (:264-269) — mask folded into coefficients
+        # (seed row: (1,0)-affine identity), sliced per sigma group
         beta_sh = (pi_old / pi_new) ** 2 * beta[seed]
-        p_upd = vfma(beta_sh[:, None] * p_set,
-                     (1.0 / (pi_new * zeta))[:, None], r[None, :])
-        p_set = vwhere(mask[:, None], p_upd, p_set)
+        p_set = vfma(sc.coeff(mask, beta_sh, 1.0) * p_set,
+                     sc.coeff(mask, 1.0 / (pi_new * zeta)), r[None, :])
         pi_old = pi_new                                  # :270
         r_old = r                                        # :271
         alpha_old = alpha[seed]                          # :272
@@ -262,16 +279,18 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
         eta = vwhere(mask, eta2, eta)
         pi_new = vwhere(mask, pi_new2, pi_new)
         w_s = qTq / qTy                                  # :293
-        x_set = x_set.at[seed].add(
-            vfma(a_s * p_set[seed], w_s, q))                 # :294-295
+        x_set = sc.row_add(x_set, seed,
+                           vfma(a_s * p_seed, w_s, q), S)    # :294-295
         # shift x / p part 2 (:296-304); q is `r` in the C code there
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))        # :298
-        x_upd = vfma(alpha_sh[:, None] * p_set,
-                     (omega_sh / (pi_new2 * zeta))[:, None], q[None, :])
-        x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
-        p_upd2 = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
-            - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
-        p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
+        x_set = x_set + vfma(
+            sc.coeff(mask, alpha_sh) * p_set,
+            sc.coeff(mask, omega_sh / (pi_new2 * zeta)), q[None, :])
+        p_upd2 = sc.coeff(mask, omega_sh / (alpha_sh * zeta * pi_new2)) \
+            * q[None, :] \
+            - sc.coeff(mask, omega_sh / (alpha_sh * zeta * pi_old)) \
+            * r_old[None, :]
+        p_set = p_set + p_upd2
         zeta = vwhere(mask,
                       (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :303
         r_new = vfma(q, -w_s, y)                         # :305
@@ -280,8 +299,9 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
         abs_zp = vvalue(vabs(1.0 / (zeta * pi_new2)))    # :316
         max_zp = jnp.maximum(jnp.asarray(1.0, dtype),
                              jnp.max(jnp.where(mask, abs_zp, 0.0)))
-        p_set = p_set.at[seed].set(
-            vfma(r_new, b_s, vfma(p_set[seed], -w_s, s)))    # :319-321
+        p_set = sc.row_set(
+            p_set, seed,
+            vfma(r_new, b_s, vfma(p_seed, -w_s, s)), S)      # :319-321
         alpha = vwhere(mask, alpha_sh, alpha).at[seed].set(a_s)
         beta = vwhere(mask, beta_sh, beta).at[seed].set(b_s)
         omega = vwhere(mask, omega_sh, omega).at[seed].set(w_s)
@@ -297,7 +317,7 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
      dot_r, _mzp, hist) = out
     scale = jnp.where(mask, vvalue(vabs(1.0 / (zeta * pi_new))), 1.0)
     return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist,
-                         seed, spmv, comm, b, sig_seed)
+                         seed, spmv, comm, b, sig_seed, sc=sc)
 
 
 # The reference's reordered/no-overlap twins are the same recurrences;
@@ -307,7 +327,8 @@ shifted_lopbicgstab_nooverlap = shifted_lopbicgstab     # ref :531-701
 
 
 def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
-                             cfg: ShiftedConfig) -> ShiftedResult:
+                             cfg: ShiftedConfig,
+                             shift_comm=None) -> ShiftedResult:
     """Shifted PIPELINED LOP-BiCGStab (reference shifted_solver.c:703-895).
 
     The seed iteration is the pipelined BiCGStab recurrence (vectors
@@ -315,8 +336,10 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     overlaps the in-flight dot reductions; the shift updates are the
     same pi/eta/zeta recurrences as the LOP variant, fused in.
     """
+    from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -336,8 +359,8 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     alpha_old0 = vones((), b)                   # :786
     beta_seed0 = vzeros((), b)
     omega_seed0 = vzeros((), b)
-    x_set0 = vzeros((S, n), b)
-    p_set0 = vzeros((S, n), b).at[seed].set(b)  # :782
+    x_set0 = vzeros((sc.s_local(S), n), b)
+    p_set0 = sc.row_set(vzeros((sc.s_local(S), n), b), seed, b, S)  # :782
     z0 = vzeros((n,), b)
     s0 = vzeros((n,), b)
     v0 = vzeros((n,), b)
@@ -355,15 +378,16 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     def body(c):
         (k, x_set, p_set, r, w, t, s, z, v, a_s, a_old, b_s, w_s, eta,
          zeta, pi_old, pi_new, rTr, dot_r, max_zp, hist) = c
-        p_seed = r + b_s * (p_set[seed] - w_s * s)       # :795-797
-        p_set = p_set.at[seed].set(p_seed)
+        p_seed = r + b_s * (sc.take_row(p_set, seed, S)
+                            - w_s * s)                   # :795-797
+        p_set = sc.row_set(p_set, seed, p_seed, S)
         s = w + b_s * (s - w_s * z)                      # :798-800
         z = t + b_s * (z - w_s * v)                      # :801-803
-        # shift p part 1 (:804-809)
+        # shift p part 1 (:804-809) — mask folded into coefficients
+        # (seed row: (1,0)-affine identity), sliced per sigma group
         beta_sh = (pi_old / pi_new) ** 2 * b_s
-        p_upd = vfma(beta_sh[:, None] * p_set,
-                     (1.0 / (pi_new * zeta))[:, None], r[None, :])
-        p_set = vwhere(mask[:, None], p_upd, p_set)
+        p_set = vfma(sc.coeff(mask, beta_sh, 1.0) * p_set,
+                     sc.coeff(mask, 1.0 / (pi_new * zeta)), r[None, :])
         r_old = r                                        # :810
         q = r - a_s * s                                  # :811
         y = w - a_s * z                                  # :812
@@ -380,15 +404,18 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
         eta = vwhere(mask, eta2, eta)
         pi_new = vwhere(mask, pi_new2, pi_new)
         w_s = qTy / yTy                                  # :829
-        x_set = x_set.at[seed].add(a_s * p_set[seed] + w_s * q)  # :830-831
+        x_set = sc.row_add(x_set, seed,
+                           a_s * p_seed + w_s * q, S)    # :830-831
         # shift x / p part 2 (:832-840)
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))        # :834
-        x_upd = vfma(alpha_sh[:, None] * p_set,
-                     (omega_sh / (pi_new2 * zeta))[:, None], q[None, :])
-        x_set = x_set + vwhere(mask[:, None], x_upd, 0.0)
-        p_upd2 = (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :] \
-            - (omega_sh / (alpha_sh * zeta * pi_old))[:, None] * r_old[None, :]
-        p_set = p_set + vwhere(mask[:, None], p_upd2, 0.0)
+        x_set = x_set + vfma(
+            sc.coeff(mask, alpha_sh) * p_set,
+            sc.coeff(mask, omega_sh / (pi_new2 * zeta)), q[None, :])
+        p_upd2 = sc.coeff(mask, omega_sh / (alpha_sh * zeta * pi_new2)) \
+            * q[None, :] \
+            - sc.coeff(mask, omega_sh / (alpha_sh * zeta * pi_old)) \
+            * r_old[None, :]
+        p_set = p_set + p_upd2
         zeta = vwhere(mask,
                       (1.0 - w_s * (sig_seed - sigma)) * zeta, zeta)  # :839
         r_new = q - w_s * y                              # :841
@@ -418,7 +445,7 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     dot_r, hist = out[18], out[20]
     scale = jnp.where(mask, vvalue(vabs(1.0 / (zeta * pi_new))), 1.0)
     return _shift_result(x_set, k, dot_r, dot_zero, scale, tol2, hist,
-                         seed, spmv, comm, b, sig_seed)
+                         seed, spmv, comm, b, sig_seed, sc=sc)
 
 
 shifted_pipe_lopbicgstab_nooverlap = shifted_pipe_lopbicgstab  # ref :897-1086

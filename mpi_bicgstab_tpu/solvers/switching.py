@@ -48,21 +48,26 @@ from jax import lax
 from mpi_bicgstab_tpu.ops.precision import (vabs, vbroadcast_rows, vcat,
                                             vfma, vones, vvalue, vwhere,
                                             vzeros)
+from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
 from mpi_bicgstab_tpu.solvers.base import ShiftedResult
 from mpi_bicgstab_tpu.solvers.shifted import _as_sigma
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
 
 def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
-                    cfg: ShiftedConfig) -> ShiftedResult:
+                    cfg: ShiftedConfig, shift_comm=None) -> ShiftedResult:
     """Per-shift-stopping LOP-BiCG (shifted_switching_solver.c:20-257).
 
     Converged shifts keep their x/p frozen via the active mask; the loop
     runs until every shift (including the seed system itself) meets
     |1/(zeta_j pi_j)|^2 (r,r) <= tol^2 (r0,r0)   (:199, seed scale 1 :192).
+
+    shift_comm: optional parallel.sigma.SigmaComm — shards the [S, n]
+    slabs over a second mesh axis; the [S] recurrences stay replicated.
     """
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     n = b.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
@@ -73,8 +78,8 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
     r_hat = b
     rTr0 = comm.dot(b, b)                       # :83-84
     dot_zero = rTr0
-    x_set0 = vzeros((S, n), b)
-    p_set0 = vbroadcast_rows(b, S)              # :87 p[j]=b
+    x_set0 = vzeros((sc.s_local(S), n), b)
+    p_set0 = vbroadcast_rows(b, sc.s_local(S))  # :87 p[j]=b
     alpha0 = vones((S,), b)
     beta0 = vzeros((S,), b)
     eta0 = vzeros((S,), b)
@@ -96,7 +101,7 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         pi_old = pi_new                         # :109
         alpha_old = alpha[seed]                 # :110
         beta_old = beta[seed]                   # :111
-        p_seed = p_set[seed]
+        p_seed = sc.take_row(p_set, seed, S)
         s = spmv(p_seed) + sig_seed * p_seed    # :113-114
         rTs = comm.dot(r_hat, s)                # :116
         a_s = rTr / rTs                         # :119
@@ -104,21 +109,25 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         y = spmv(q) + sig_seed * q              # :121-122
         qTq, qTy = comm.dots((q, q), (q, y))    # :123-124
         w_s = qTq / qTy                         # :128
-        x_set = x_set.at[seed].add(vfma(a_s * p_seed, w_s, q))  # :129-130
-        # fused shift update (:136-149)
+        x_set = sc.row_add(x_set, seed,
+                           vfma(a_s * p_seed, w_s, q), S)  # :129-130
+        # fused shift update (:136-149); the active mask is folded into
+        # the coefficients (inactive rows: 0-increment / (1,0)-affine
+        # identity — bit-preserving, same trick as the fused kernels)
+        # and sc.coeff slices them to this sigma group's slab rows
         eta2 = (beta_old / alpha_old) * a_s * eta \
             - (sig_seed - sigma) * a_s * pi_old
         pi_new2 = eta2 + pi_old
         alpha_sh = (pi_old / pi_new2) * a_s
         omega_sh = w_s / (1.0 - w_s * (sig_seed - sigma))
-        x_upd = vfma(alpha_sh[:, None] * p_set,
-                     (omega_sh / (pi_new2 * zeta))[:, None], q[None, :])
-        x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
-        p_upd = vfma(
-            (omega_sh / (alpha_sh * zeta * pi_new2))[:, None] * q[None, :],
-            -(omega_sh / (alpha_sh * zeta * pi_old))[:, None],
+        x_set = x_set + vfma(
+            sc.coeff(active, alpha_sh) * p_set,
+            sc.coeff(active, omega_sh / (pi_new2 * zeta)), q[None, :])
+        p_set = p_set + vfma(
+            sc.coeff(active, omega_sh / (alpha_sh * zeta * pi_new2))
+            * q[None, :],
+            sc.coeff(active, -(omega_sh / (alpha_sh * zeta * pi_old))),
             r_old[None, :])
-        p_set = p_set + vwhere(active[:, None], p_upd, 0.0)
         zeta2 = (1.0 - w_s * (sig_seed - sigma)) * zeta
         eta = vwhere(active, eta2, eta)
         pi_new = vwhere(active, pi_new2, pi_new)
@@ -127,13 +136,14 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         r_new = vfma(q, -w_s, y)                # :156
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :157-159
         b_s = (a_s / w_s) * (rTr_new / rTr)     # :163
-        p_set = p_set.at[seed].set(
-            vfma(r_new, b_s, vfma(p_set[seed], -w_s, s)))   # :164-166
+        p_set = sc.row_set(
+            p_set, seed,
+            vfma(r_new, b_s, vfma(p_seed, -w_s, s)), S)     # :164-166
         # shift p part (:168-174) — uses the UPDATED zeta
         beta_sh = (pi_old / pi_new) ** 2 * b_s
-        p_upd2 = vfma(beta_sh[:, None] * p_set,
-                      (1.0 / (pi_new * zeta))[:, None], r_new[None, :])
-        p_set = vwhere(active[:, None], p_upd2, p_set)
+        p_set = vfma(sc.coeff(active, beta_sh, 1.0) * p_set,
+                     sc.coeff(active, 1.0 / (pi_new * zeta)),
+                     r_new[None, :])
         beta = vwhere(active, beta_sh, beta).at[seed].set(b_s)
         # per-shift convergence (:184-203)
         abs_zp = jnp.where(not_seed, vvalue(vabs(1.0 / (zeta * pi_new))),
@@ -151,10 +161,9 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
      hist) = out
     relres = jnp.sqrt(vvalue(dot_r) / vvalue(dot_zero))
     scale = jnp.where(not_seed, vvalue(vabs(1.0 / (_zeta * _pi))), 1.0)
-    from mpi_bicgstab_tpu.solvers.shifted import (_vtake0,
-                                                  seed_true_relres)
+    from mpi_bicgstab_tpu.solvers.shifted import seed_true_relres
     true_rr = seed_true_relres(spmv, comm, b, sig_seed,
-                               _vtake0(x_set, seed), dot_zero)
+                               sc.take_row(x_set, seed, S), dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k, final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
                          stop_flags=stop, final_seed=jnp.int32(seed),
@@ -163,19 +172,22 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
 
 
 def init_switching_carry(b, sigma, seed: int, cfg: ShiftedConfig,
-                         comm=None):
+                         comm=None, shift_comm=None):
     """Initial while_loop carry of the seed-switching solver
     (shifted_switching_solver.c:297-364) — exposed so checkpoint/resume
     can rebuild the carry TEMPLATE (comm=None: rTr slots are zeros of
     the right type/shape) and swap in saved leaves
-    (utils/checkpoint.save_carry / load_carry)."""
+    (utils/checkpoint.save_carry / load_carry). With a sigma-sharded
+    shift_comm the slab leaves are this group's [S/G, n] slice; all
+    other leaves are replicated."""
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     n = b.shape[0]
     M = cfg.max_iter                   # archives sized M+1 (:297-299)
-    x_set0 = vzeros((S, n), b)
-    p_set0 = vbroadcast_rows(b, S)               # :348
+    x_set0 = vzeros((sc.s_local(S), n), b)
+    p_set0 = vbroadcast_rows(b, sc.s_local(S))   # :348
     eta0 = vzeros((S,), b)                       # :351
     zeta0 = vones((S,), b)                       # :354
     pi_arc0 = vones((M + 1, S), b)               # :352-353 (rows 0,1 = 1)
@@ -238,7 +250,7 @@ def _switch_dot_zero(comm, b):
 
 
 def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
-                    k_stop):
+                    k_stop, shift_comm=None):
     """Run the seed-switching while_loop from `carry` until every shift
     stops, k reaches max_iter, or k reaches the traced bound `k_stop`
     (segmented execution for checkpoint/resume). Returns the final
@@ -246,6 +258,7 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
     the carry IS the complete solver state."""
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     tol2 = jnp.asarray(cfg.tol, dtype) ** 2
     M = cfg.max_iter
@@ -267,7 +280,7 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
         not_seed = idxS != seed_i
         active = not_seed & ~stop
         r_old = r                                # :376
-        p_seed = p_set[seed_i]
+        p_seed = sc.take_row(p_set, seed_i, S)
         # --- seed iteration (one LOP-BiCGStab step on A + sig_seed I) ---
         s = spmv(p_seed) + sig_seed * p_seed     # :379-387
         rTs = comm.dot(r_hat, s)                 # :388
@@ -278,13 +291,15 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
         qTq, qTy = comm.dots((q, q), (q, y))     # :405-406
         w_k = qTq / qTy                          # :410
         w_arc = w_arc.at[k].set(w_k)
-        x_set = x_set.at[seed_i].add(vfma(a_k * p_seed, w_k, q))  # :411-412
+        x_set = sc.row_add(x_set, seed_i,
+                           vfma(a_k * p_seed, w_k, q), S)  # :411-412
         r_new = vfma(q, -w_k, y)                 # :413
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))  # :414-416
         b_k = (a_k / w_k) * (rTr_new / rTr)      # :420
         b_arc = b_arc.at[k].set(b_k)
-        p_set = p_set.at[seed_i].set(
-            vfma(r_new, b_k, vfma(p_set[seed_i], -w_k, s)))    # :421-423
+        p_set = sc.row_set(
+            p_set, seed_i,
+            vfma(r_new, b_k, vfma(p_seed, -w_k, s)), S)    # :421-423
         # --- fused shift update (:429-445) ---
         pi_prev = pi_arc[k - 1]                  # pi_archive[j, k-1]
         a_km1 = a_arc[k - 1]
@@ -299,36 +314,41 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
         if _fused_shift_ok(x_set):
             # df32 on TPU: all three update stages of the [S, n] state
             # in ONE in-place Pallas pass, mask folded into the
-            # coefficients (ops/pallas_shift_update.py)
+            # coefficients (ops/pallas_shift_update.py); under sigma
+            # sharding the kernel runs on this group's slab with the
+            # local coefficient slices
             from mpi_bicgstab_tpu.ops.pallas_shift_update import \
                 fused_shift_update_df
             zero_s = vzeros((S,), b)
             one_s = vones((S,), b)
             x_set, p_set = fused_shift_update_df(
                 x_set, p_set, q, r_old, r_new,
-                vwhere(active, alpha_sh, zero_s),
-                vwhere(active, omega_sh / (pi_k * zeta), zero_s),
-                vwhere(active, omega_sh / (alpha_sh * zeta * pi_k),
-                       zero_s),
-                vwhere(active, -(omega_sh / (alpha_sh * zeta * pi_prev)),
-                       zero_s),
-                vwhere(active, beta_sh, one_s),
-                vwhere(active, 1.0 / (pi_k * zeta2), zero_s))
+                sc.loc(vwhere(active, alpha_sh, zero_s)),
+                sc.loc(vwhere(active, omega_sh / (pi_k * zeta), zero_s)),
+                sc.loc(vwhere(active, omega_sh / (alpha_sh * zeta * pi_k),
+                              zero_s)),
+                sc.loc(vwhere(active,
+                              -(omega_sh / (alpha_sh * zeta * pi_prev)),
+                              zero_s)),
+                sc.loc(vwhere(active, beta_sh, one_s)),
+                sc.loc(vwhere(active, 1.0 / (pi_k * zeta2), zero_s)))
         else:
-            x_upd = vfma(alpha_sh[:, None] * p_set,
-                         (omega_sh / (pi_k * zeta))[:, None],
-                         q[None, :])                            # :437-438
-            x_set = x_set + vwhere(active[:, None], x_upd, 0.0)
-            p_upd = vfma(
-                (omega_sh / (alpha_sh * zeta * pi_k))[:, None]
+            # mask folded into coefficients (inactive rows: 0-increment
+            # / (1,0)-affine identity, bit-preserving) and sliced to
+            # this sigma group's slab rows by sc.coeff
+            x_set = x_set + vfma(
+                sc.coeff(active, alpha_sh) * p_set,
+                sc.coeff(active, omega_sh / (pi_k * zeta)),
+                q[None, :])                                     # :437-438
+            p_set = p_set + vfma(
+                sc.coeff(active, omega_sh / (alpha_sh * zeta * pi_k))
                 * q[None, :],
-                -(omega_sh / (alpha_sh * zeta * pi_prev))[:, None],
-                r_old[None, :])
-            p_set = p_set + vwhere(active[:, None], p_upd, 0.0)  # :439-440
-            p_upd2 = vfma(beta_sh[:, None] * p_set,
-                          (1.0 / (pi_k * zeta2))[:, None],
-                          r_new[None, :])                        # :443-444
-            p_set = vwhere(active[:, None], p_upd2, p_set)
+                sc.coeff(active,
+                         -(omega_sh / (alpha_sh * zeta * pi_prev))),
+                r_old[None, :])                                  # :439-440
+            p_set = vfma(sc.coeff(active, beta_sh, 1.0) * p_set,
+                         sc.coeff(active, 1.0 / (pi_k * zeta2)),
+                         r_new[None, :])                         # :443-444
         eta = vwhere(active, eta2, eta)
         zeta = vwhere(active, zeta2, zeta)
         zp_eff = vwhere(active, zeta2 * pi_k, zp_eff)
@@ -418,9 +438,11 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
     return lax.while_loop(cond, body, carry)
 
 
-def _switching_finish(out, spmv, comm, b, sigma) -> ShiftedResult:
+def _switching_finish(out, spmv, comm, b, sigma,
+                      shift_comm=None) -> ShiftedResult:
     """Carry -> ShiftedResult (the reference's exit prints, :555-598)."""
     sigma = _as_sigma(sigma, b)
+    sc = as_shift_comm(shift_comm)
     S = sigma.shape[0]
     idxS = jnp.arange(S)
     dot_zero = _switch_dot_zero(comm, b)
@@ -435,7 +457,7 @@ def _switching_finish(out, spmv, comm, b, sigma) -> ShiftedResult:
     from mpi_bicgstab_tpu.solvers.shifted import (_vtake0,
                                                   seed_true_relres)
     true_rr = seed_true_relres(spmv, comm, b, _vtake0(sigma, seed_i),
-                               _vtake0(x_set, seed_i), dot_zero)
+                               sc.take_row(x_set, seed_i, S), dot_zero)
     return ShiftedResult(x_set=x_set, n_iter=k - 1,        # :559 reports k-1
                          final_relres=relres,
                          history=jnp.sqrt(hist / vvalue(dot_zero)),
@@ -445,29 +467,34 @@ def _switching_finish(out, spmv, comm, b, sigma) -> ShiftedResult:
 
 
 def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
-                              cfg: ShiftedConfig) -> ShiftedResult:
+                              cfg: ShiftedConfig,
+                              shift_comm=None) -> ShiftedResult:
     """Seed-switching shifted solver (shifted_switching_solver.c:260-608).
 
     On TPU with a non-DF f32 ladder the shift updates run BLOCKED: L
     iterations of [S, n] updates deferred and applied as [S, L] @ [L, n]
     MXU matmuls (solvers/switching_blocked.py — cuts the hot loop's HBM
     traffic by L; cfg.shift_block controls it). The per-iteration path
-    below remains the reference-exact build (f64, df32, CPU, and the
-    segmented checkpoint driver always use it)."""
+    below remains the reference-exact build (f64, df32, CPU, the
+    segmented checkpoint driver, and sigma-sharded ladders always use
+    it)."""
     from mpi_bicgstab_tpu.solvers.switching_blocked import (
         blocked_switching_loop, resolve_block)
-    carry0 = init_switching_carry(b, sigma, seed, cfg, comm=comm)
+    carry0 = init_switching_carry(b, sigma, seed, cfg, comm=comm,
+                                  shift_comm=shift_comm)
     sigma_arr = _as_sigma(sigma, b)
     L = resolve_block(cfg, b, int(sigma_arr.hi.shape[0]
                                   if hasattr(sigma_arr, "hi")
                                   else sigma_arr.shape[0]))
-    if L:
+    if L and shift_comm is None:
         out = blocked_switching_loop(spmv, comm, b, sigma, cfg, carry0,
                                      L)
     else:
         out = _switching_loop(spmv, comm, b, sigma, cfg, carry0,
-                              k_stop=jnp.int32(cfg.max_iter + 1))
-    return _switching_finish(out, spmv, comm, b, sigma)
+                              k_stop=jnp.int32(cfg.max_iter + 1),
+                              shift_comm=shift_comm)
+    return _switching_finish(out, spmv, comm, b, sigma,
+                             shift_comm=shift_comm)
 
 
 def shifted_lopbicg_switching_segment(spmv, comm, b, sigma,
