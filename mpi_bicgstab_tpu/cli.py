@@ -49,6 +49,10 @@ def _load_matrix(spec: str, dtype):
         elif kind == "banded":
             w = max(2, int(round(n ** (1 / 3))))
             csr = G.banded_random(n, [1, -1, w, -w, w * w, -w * w], seed=0)
+        elif kind == "skew":
+            # skew-dominant (convection-like) spectrum: the classic
+            # family stagnates; use --method bicgstab_l2 / _l4
+            csr = G.skew_banded(n)
         else:
             raise SystemExit(f"unknown generator {kind!r}")
     else:
@@ -752,7 +756,8 @@ def build_parser():
     _common(p)
     p.add_argument("--method", default="bicgstab",
                    choices=["bicgstab", "ca_bicgstab", "pipe_bicgstab",
-                            "pipe_bicgstab_rr"])
+                            "pipe_bicgstab_rr", "bicgstab_l2",
+                            "bicgstab_l4"])
     p.add_argument("--krr", type=int, default=100)
     p.add_argument("--nrr", type=int, default=4)
     p.add_argument("--rhs-batch", default=None, metavar="FILE.npy",

@@ -301,3 +301,34 @@ def clustered_random(n: int, nnz_per_row: int = 8, seed: int = 0,
     from mpi_bicgstab_tpu.ops.sparse import coo_to_csr
     coo = COOMatrix(rows_all, cols_all, vals_all, (n, n))
     return coo_to_csr(coo, sum_duplicates=True)
+
+
+def skew_banded(n: int, w: int = 0, diag: float = 0.05,
+                seed: int = 0) -> CSRMatrix:
+    """Skew-dominant operator A = diag*I + S with S^T = -S on a +/-1,
+    +/-w band: eigenvalues diag +/- i*s_k — a spectrum the classic
+    BiCGStab family CANNOT handle (its stabilizer is a degree-1 REAL
+    minimal-residual polynomial; omega collapses on conjugate pairs
+    and the solve stagnates or diverges). The motivating fixture for
+    BiCGStab(l) (solvers/bicgstab_l.py): l >= 2 fits a degree-l
+    polynomial per cycle and converges. Models convection-dominated
+    transport (central-difference convection >> diffusion), the
+    standard real-world source of such spectra."""
+    rng = np.random.default_rng(seed)
+    w = w or max(2, int(round(n ** (1 / 3))))
+    rows = [np.arange(n, dtype=np.int64)]
+    cols = [np.arange(n, dtype=np.int64)]
+    vals = [np.full(n, diag)]
+    for off in (1, w):
+        if off >= n:
+            continue
+        size = n - off
+        v = rng.uniform(0.5, 1.5, size)
+        i = np.arange(size, dtype=np.int64)
+        rows += [i, i + off]
+        cols += [i + off, i]
+        vals += [v, -v]          # S[i, i+off] = v, S[i+off, i] = -v
+    coo = COOMatrix(np.concatenate(rows), np.concatenate(cols),
+                    np.concatenate(vals), (n, n))
+    from mpi_bicgstab_tpu.ops.sparse import coo_to_csr
+    return coo_to_csr(coo)

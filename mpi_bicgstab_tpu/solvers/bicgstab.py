@@ -499,3 +499,13 @@ CLASSIC_SOLVERS = {
     "pipe_bicgstab": pipe_bicgstab,
     "pipe_bicgstab_rr": pipe_bicgstab_rr,
 }
+
+# BiCGStab(l) — beyond the reference (solvers/bicgstab_l.py): the
+# degree-l stabilizer for spectra the degree-1 omega cannot damp
+# (skew-dominant / strongly convective operators). Imported at the
+# bottom because the module reuses this file's _finish/_scalar_zero.
+from mpi_bicgstab_tpu.solvers.bicgstab_l import (bicgstab_l2,  # noqa: E402
+                                                 bicgstab_l4)
+
+CLASSIC_SOLVERS["bicgstab_l2"] = bicgstab_l2
+CLASSIC_SOLVERS["bicgstab_l4"] = bicgstab_l4
