@@ -474,10 +474,10 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     On TPU with a non-DF f32 ladder the shift updates run BLOCKED: L
     iterations of [S, n] updates deferred and applied as [S, L] @ [L, n]
     MXU matmuls (solvers/switching_blocked.py — cuts the hot loop's HBM
-    traffic by L; cfg.shift_block controls it). The per-iteration path
-    below remains the reference-exact build (f64, df32, CPU, the
-    segmented checkpoint driver, and sigma-sharded ladders always use
-    it)."""
+    traffic by L; cfg.shift_block controls it; composes with sigma
+    sharding — each group flushes its local coefficient slices). The
+    per-iteration path below remains the reference-exact build (f64,
+    df32, CPU, and the segmented checkpoint driver always use it)."""
     from mpi_bicgstab_tpu.solvers.switching_blocked import (
         blocked_switching_loop, resolve_block)
     carry0 = init_switching_carry(b, sigma, seed, cfg, comm=comm,
@@ -486,9 +486,9 @@ def shifted_lopbicg_switching(spmv, comm, b, sigma, seed: int,
     L = resolve_block(cfg, b, int(sigma_arr.hi.shape[0]
                                   if hasattr(sigma_arr, "hi")
                                   else sigma_arr.shape[0]))
-    if L and shift_comm is None:
+    if L:
         out = blocked_switching_loop(spmv, comm, b, sigma, cfg, carry0,
-                                     L)
+                                     L, shift_comm=shift_comm)
     else:
         out = _switching_loop(spmv, comm, b, sigma, cfg, carry0,
                               k_stop=jnp.int32(cfg.max_iter + 1),

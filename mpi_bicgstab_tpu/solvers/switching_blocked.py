@@ -92,11 +92,19 @@ def resolve_block(cfg, b, sigma_len: int) -> int:
 
 
 def blocked_switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig,
-                           carry, L: int):
+                           carry, L: int, shift_comm=None):
     """Run the seed-switching solve from `carry` (the 16-leaf tuple of
     init_switching_carry) to termination with block depth L. Returns
     the final 16-leaf carry (same contract as _switching_loop with
-    k_stop=max_iter+1, so _switching_finish applies unchanged)."""
+    k_stop=max_iter+1, so _switching_finish applies unchanged).
+
+    shift_comm: optional parallel.sigma.SigmaComm — the [S, n] slabs
+    (and the [L, n] Q/R basis) are per-sigma-group shards; ALL blocked
+    coefficient state (aP..CxR) is [S]/[S, L] scalar-rate work and
+    replicates, so only the flush matmuls and the seed-row accesses
+    need the local view."""
+    from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
+    sc = as_shift_comm(shift_comm)
     dtype = b.dtype
     sigma = _as_sigma(sigma, b)
     S = sigma.shape[0]
@@ -127,7 +135,7 @@ def blocked_switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig,
         not_seed = idxS != seed_i
         active = not_seed & ~stop
         # --- seed iteration (identical to _switching_loop, :376-423) ---
-        p_seed = p_set[seed_i]
+        p_seed = sc.take_row(p_set, seed_i, S)
         s = spmv(p_seed) + sig_seed * p_seed     # :379-387
         rTs = comm.dot(r_hat, s)                 # :388
         a_k = rTr / rTs                          # :391
@@ -137,13 +145,15 @@ def blocked_switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig,
         qTq, qTy = comm.dots((q, q), (q, y))     # :405-406
         w_k = qTq / qTy                          # :410
         w_arc = w_arc.at[k].set(w_k)
-        x_set = x_set.at[seed_i].add(a_k * p_seed + w_k * q)  # :411-412
+        x_set = sc.row_add(x_set, seed_i,
+                           a_k * p_seed + w_k * q, S)  # :411-412
         r_new = q - w_k * y                      # :413
         dot_r, rTr_new = comm.dots((r_new, r_new), (r_hat, r_new))
         b_k = (a_k / w_k) * (rTr_new / rTr)      # :420
         b_arc = b_arc.at[k].set(b_k)
-        p_set = p_set.at[seed_i].set(
-            r_new + b_k * (p_set[seed_i] - w_k * s))     # :421-423
+        p_set = sc.row_set(
+            p_set, seed_i,
+            r_new + b_k * (p_seed - w_k * s), S)     # :421-423
         # --- shift-update COEFFICIENTS (:429-445, composed not applied) ---
         pi_prev = pi_arc[k - 1]
         a_km1 = a_arc[k - 1]
@@ -236,15 +246,17 @@ def blocked_switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig,
             inner_cond, inner_body, inner0)
         # --- FLUSH: rank-L application on the MXU (x before p: x reads
         # the block-entry p, whose non-seed rows are untouched until
-        # the p overwrite below; the seed row's coefficient is 0) ---
-        x_set = (x_set + xA[:, None] * p_set
-                 + xr0[:, None] * r0_blk[None, :]
-                 + jnp.matmul(CxQ, Q, precision=_HI)
-                 + jnp.matmul(CxR, R, precision=_HI))
-        p_set = (aP[:, None] * p_set
-                 + pr0[:, None] * r0_blk[None, :]
-                 + jnp.matmul(CpQ, Q, precision=_HI)
-                 + jnp.matmul(CpR, R, precision=_HI))
+        # the p overwrite below; the seed row's coefficient is 0).
+        # Under sigma sharding each group applies its local coefficient
+        # slices to its [S/G, n] slab — the matmuls shrink with G. ---
+        x_set = (x_set + sc.loc(xA)[:, None] * p_set
+                 + sc.loc(xr0)[:, None] * r0_blk[None, :]
+                 + jnp.matmul(sc.loc(CxQ), Q, precision=_HI)
+                 + jnp.matmul(sc.loc(CxR), R, precision=_HI))
+        p_set = (sc.loc(aP)[:, None] * p_set
+                 + sc.loc(pr0)[:, None] * r0_blk[None, :]
+                 + jnp.matmul(sc.loc(CpQ), Q, precision=_HI)
+                 + jnp.matmul(sc.loc(CpR), R, precision=_HI))
 
         # --- seed switching (:490-527), after the flush — identical to
         # _switching_loop.do_switch with k_sw = k - 1 (the iteration

@@ -119,6 +119,36 @@ def test_sigma_sharded_switching_df32():
 
 
 @requires_8
+def test_sigma_sharded_blocked_flush():
+    """The blocked (deferred-MXU) shift updates compose with sigma
+    sharding: each group flushes its LOCAL slice of the [S, L]
+    coefficient matrices against its slab. Trajectory must match the
+    blocked 1-D run (the coefficients are replicated; the flush is the
+    same arithmetic on slab slices)."""
+    seed_idx = 7
+    csr, b = _fixture(seed_idx)
+    part = partition_csr(csr, 2)
+    cfg = ShiftedConfig(tol=1e-11, max_iter=800, shift_block=7)
+    r1 = solve_shifted_distributed(
+        part, b, SIGMA8, seed=seed_idx,
+        method="shifted_lopbicg_switching", cfg=cfg)
+    rG = solve_shifted_distributed(
+        part, b, SIGMA8, seed=seed_idx,
+        method="shifted_lopbicg_switching", cfg=cfg, sigma_devices=4)
+    assert int(rG.n_iter) == int(r1.n_iter)
+    assert int(rG.final_seed) == int(r1.final_seed) != seed_idx
+    assert bool(np.asarray(rG.stop_flags).all())
+    np.testing.assert_allclose(np.asarray(rG.x_set),
+                               np.asarray(r1.x_set),
+                               atol=1e-11, rtol=1e-11)
+    xG = np.asarray(rG.x_set)
+    for j, sg in enumerate(SIGMA8):
+        xj = xG[j][: csr.nrows]
+        r = csr.matvec(xj) + sg * xj - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8, j
+
+
+@requires_8
 def test_sigma_devices_must_divide_ladder():
     csr, b = _fixture(0)
     part = partition_csr(csr, 2)
