@@ -54,10 +54,39 @@ def _median_spmv(csr, dtype, iters, reps=3):
     return runs[len(runs) // 2]
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout. A half-hung
+    TPU relay blocks `import jax; jax.devices()` forever (observed:
+    the axon transport can wedge so even backend init never returns) —
+    probing in-process would hang this script and whatever driver
+    invoked it. CPU backends skip the probe (always reachable)."""
+    import os
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     small = "--small" in sys.argv  # quick mode for CPU smoke runs
     n = 200_000 if small else 1_602_112
     dtype_name = "float32"
+
+    if not _backend_reachable():
+        # one honest JSON line instead of hanging the invoking driver
+        print(json.dumps({
+            "metric": "spmv_nnz_per_s", "value": 0.0, "unit": "nnz/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend unreachable (init timed out "
+                     "— relay down); no measurement taken"}))
+        return
 
     import jax
     # CPU smoke runs: the df32 sections need x64 for exact DF ops

@@ -100,3 +100,31 @@ else:
     print(f"(1 device visible — run with "
           f"XLA_FLAGS=--xla_force_host_platform_device_count=8 "
           f"JAX_PLATFORMS=cpu for the mesh demo)")
+
+# --- BiCGStab(l): spectra the classic family cannot solve -----------------
+from mpi_bicgstab_tpu.models.generators import skew_banded  # noqa: E402
+
+csr_s = skew_banded(1024)
+prob_s = build_problem(csr_s)
+r_classic = solve(prob_s.A, prob_s.b, method="bicgstab",
+                  cfg=SolverConfig(tol=1e-10, max_iter=2000, restarts=0))
+r_l2 = solve(prob_s.A, prob_s.b, method="bicgstab_l2",
+             cfg=SolverConfig(tol=1e-10, max_iter=2000, restarts=0))
+print(f"skew-dominant spectrum: classic converged="
+      f"{bool(r_classic.converged)} (true relres "
+      f"{float(r_classic.true_relres):.1e}); bicgstab_l2 converged="
+      f"{bool(r_l2.converged)} in {int(r_l2.n_iter)} iters")
+
+# --- sigma-sharded shifted ladder: 2-D (rows x sigma) mesh ----------------
+if n_dev >= 8:
+    from mpi_bicgstab_tpu.parallel.driver import solve_shifted_distributed
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+    sig = np.array([0.0, 0.02, 0.1, 0.5])
+    b_s = csr.matvec(np.ones(csr.nrows)) + sig[3] * np.ones(csr.nrows)
+    part2 = partition_csr(csr, 2, dtype=np.float64)
+    res_sg = solve_shifted_distributed(
+        part2, b_s, sig, seed=3,
+        cfg=ShiftedConfig(tol=1e-10, max_iter=1000), sigma_devices=4)
+    print(f"sigma-sharded (2 rows x 4 sigma): {int(res_sg.n_iter)} iters, "
+          f"all shifts stopped: "
+          f"{bool(np.asarray(res_sg.stop_flags).all())}")
