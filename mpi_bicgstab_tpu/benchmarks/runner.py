@@ -211,7 +211,8 @@ def bench_batched_iteration(csr, dtype, k=8, method="bicgstab",
 def bench_shifted_iteration(csr, dtype, sigma_len=512, seed=255,
                             devices=1,
                             method="shifted_lopbicg_switching",
-                            iters=40, shift_block=-1):
+                            iters=40, shift_block=-1,
+                            sigma_devices=1):
     """Time per iteration of the SHIFTED solver family — the
     reference's flagship workload (its root Makefile builds the
     seed-switching solver, and its entire section-timing apparatus,
@@ -249,7 +250,7 @@ def bench_shifted_iteration(csr, dtype, sigma_len=512, seed=255,
                                 shift_block=shift_block)
             return lambda: solve_shifted_distributed(
                 part, b_host, sigma, seed=seed, method=method,
-                cfg=cfg).final_relres
+                cfg=cfg, sigma_devices=sigma_devices).final_relres
     else:
         prob = build_problem(csr, dtype=dtype, multiple=1024,
                              sigma_seed=float(sigma[seed]))
@@ -267,10 +268,13 @@ def bench_shifted_iteration(csr, dtype, sigma_len=512, seed=255,
     # x_set/p_set state per iteration (the daxpy loop ssw:429-445)
     elem = 4 if dtype != "df32" else 8
     bytes_iter = 4 * sigma_len * csr.nrows * elem
-    return {"iter_method": method, "sigma_len": sigma_len,
-            "time_per_iter_s": sec, "n": csr.nrows,
-            "shift_block": shift_block,
-            "shift_update_GBps": bytes_iter / sec / 1e9}
+    out = {"iter_method": method, "sigma_len": sigma_len,
+           "time_per_iter_s": sec, "n": csr.nrows,
+           "shift_block": shift_block,
+           "shift_update_GBps": bytes_iter / sec / 1e9}
+    if sigma_devices > 1:
+        out["sigma_devices"] = sigma_devices
+    return out
 
 
 def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
@@ -367,7 +371,8 @@ def run_bench(args):
             csr, dtype, sigma_len=getattr(args, "sigma_len", 512),
             seed=getattr(args, "seed", 255), devices=args.devices,
             iters=args.iters,
-            shift_block=getattr(args, "shift_block", -1), **kw))
+            shift_block=getattr(args, "shift_block", -1),
+            sigma_devices=getattr(args, "sigma_devices", 1), **kw))
     if "overlap" in what:
         out.update(bench_overlap(csr, dtype, args.devices,
                                  iters=args.iters))

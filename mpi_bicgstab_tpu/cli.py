@@ -877,6 +877,10 @@ def build_parser():
     p.add_argument("--shift-block", type=int, default=-1,
                    help="blocked shift-update depth for --what shifted: "
                         "-1 auto, 0 per-iteration path, >0 explicit L")
+    p.add_argument("--sigma-devices", type=int, default=1, metavar="G",
+                   help="for --what shifted with --devices > 1: shard "
+                        "the ladder over a second mesh axis of G "
+                        "devices (rows x sigma grid; parallel/sigma.py)")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_bench)
     return ap
