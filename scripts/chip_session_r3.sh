@@ -3,20 +3,37 @@
 # reachable). Each stage is independently fault-tolerant; outputs land
 # in /tmp/r3chip_* and the JSON artifacts should be folded into
 # docs/RESULTS_TPU.md + ROUND3.md afterwards.
+#
+# Stage order is by value-at-risk: the TPU relay has a history of
+# multi-hour outages, so the full bench of record runs FIRST — if the
+# relay dies mid-session we still hold the headline artifact.
 set -u
 cd "$(dirname "$0")/.."
 
-echo "=== 1/4 compiled-kernel chip CI (trajectory gates) ==="
+echo "=== 1/5 full bench of record ==="
+timeout 7200 python bench.py > /tmp/r3chip_bench.json \
+    2>/tmp/r3chip_bench.err
+tail -1 /tmp/r3chip_bench.json
+
+echo "=== 2/5 compiled-kernel chip CI (trajectory gates) ==="
 MBT_TEST_PLATFORM=tpu timeout 3600 python -m pytest \
     tests/test_chip_kernels.py -q 2>&1 | tail -5 \
     | tee /tmp/r3chip_tests.log
 
-echo "=== 2/4 fused method matrix (slope-timed, 1.6M) ==="
+echo "=== 3/5 fused method matrix (slope-timed, 1.6M) ==="
 timeout 5400 python scripts/chip_fused_bench.py \
     > /tmp/r3chip_fused.json 2>/tmp/r3chip_fused.err
 tail -1 /tmp/r3chip_fused.json
 
-echo "=== 3/4 uniform-random butterfly SpMV (200k then 1.6M) ==="
+echo "=== 4/5 fused Chebyshev chain A/B (f32 + df32, 1.6M banded) ==="
+timeout 1800 python -m mpi_bicgstab_tpu bench \
+    --matrix banded:1602112 --what cheby --iters 12 \
+    2>/dev/null | tee /tmp/r3chip_cheby_chain_f32.json
+timeout 1800 python -m mpi_bicgstab_tpu bench \
+    --matrix banded:1602112 --what cheby --dtype df32 --iters 12 \
+    2>/dev/null | tee /tmp/r3chip_cheby_chain_df32.json
+
+echo "=== 5/5 uniform-random butterfly SpMV (200k then 1.6M) ==="
 timeout 3600 python - <<'EOF' 2>/dev/null | tee /tmp/r3chip_butterfly.json
 import json
 from mpi_bicgstab_tpu.benchmarks.runner import bench_spmv
@@ -29,46 +46,4 @@ for n in (200_704, 1_602_112):
                            "layout": r.get("spmv_layout")}
 print(json.dumps(out))
 EOF
-
-echo "=== 4/5 Chebyshev preconditioner (hard regime, wall-clock A/B) ==="
-timeout 3600 python - <<'EOF' 2>/dev/null | tee /tmp/r3chip_cheby.json
-import json, time
-import numpy as np
-import jax.numpy as jnp
-from mpi_bicgstab_tpu.api import solve
-from mpi_bicgstab_tpu.models.generators import transport_hard
-from mpi_bicgstab_tpu.models.problem import build_problem
-from mpi_bicgstab_tpu.ops.cheby import ChebyPrecond, estimate_bounds
-from mpi_bicgstab_tpu.utils.config import SolverConfig
-csr = transport_hard(200_704)
-prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
-lo, hi = estimate_bounds(csr)
-cfg = SolverConfig(tol=1e-5, max_iter=20_000, dtype=jnp.float32,
-                   restarts=0)
-out = {"n": csr.nrows, "lo": lo, "hi": hi}
-def run(tag, **kw):
-    r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg, **kw)  # warm
-    t0 = time.perf_counter()
-    r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg, **kw)
-    _ = float(r.final_relres)          # device->host fence
-    out[tag] = {"iters": int(r.n_iter),
-                "wall_s": round(time.perf_counter() - t0, 3),
-                "true_relres": float(r.true_relres)}
-run("plain")
-for d in (2, 4, 8):
-    run(f"cheby{d}", precond=ChebyPrecond(degree=d, lo=lo, hi=hi))
-print(json.dumps(out))
-EOF
-
-echo "=== 4b/5 fused Chebyshev chain A/B (f32 + df32, 1.6M banded) ==="
-timeout 1800 python -m mpi_bicgstab_tpu bench \
-    --matrix banded:1602112 --what cheby --iters 12 \
-    2>/dev/null | tee /tmp/r3chip_cheby_chain_f32.json
-timeout 1800 python -m mpi_bicgstab_tpu bench \
-    --matrix banded:1602112 --what cheby --dtype df32 --iters 12 \
-    2>/dev/null | tee /tmp/r3chip_cheby_chain_df32.json
-
-echo "=== 5/5 full bench of record ==="
-timeout 7200 python bench.py > /tmp/r3chip_bench.json \
-    2>/tmp/r3chip_bench.err
-tail -1 /tmp/r3chip_bench.json
+echo "=== chip session complete $(date) ==="
