@@ -46,4 +46,8 @@ for n in (200_704, 1_602_112):
                            "layout": r.get("spmv_layout")}
 print(json.dumps(out))
 EOF
+echo "=== 6/6 butterfly phase breakdown (where the budget went) ==="
+timeout 2400 python scripts/chip_butterfly_phases.py 200704 \
+    2>/dev/null | tee /tmp/r3chip_butterfly_phases.json
+
 echo "=== chip session complete $(date) ==="
