@@ -867,7 +867,10 @@ def build_parser():
     p.add_argument("--what", default="spmv,iter",
                    help="comma list: spmv, iter, shifted, overlap, "
                         "batched (k=8 multi-RHS amortization), cheby "
-                        "(fused-chain vs XLA preconditioner apply)")
+                        "(fused-chain vs XLA preconditioner apply), "
+                        "scaling (strong-scaling sweep over meshes of "
+                        "1..--devices devices, the reference's "
+                        "speedup-plot artifact)")
     p.add_argument("--method", default=None,
                    help="solver for iter/shifted/overlap benchmarks")
     p.add_argument("--sigma-len", type=int, default=512,
