@@ -145,6 +145,13 @@ def _common(p):
                    help="device layout (ops/layout.build_operator); "
                         "'auto' routes by structure analysis, 'ell' is "
                         "the faithful-to-reference gather layout")
+    p.add_argument("--layout-cache", default=None, metavar="DIR",
+                   help="persistent operator-layout cache directory "
+                        "(utils/opcache.py): repeat solves of the same "
+                        "matrix skip the host layout build (butterfly "
+                        "routing is ~27 s at Transport scale); keyed "
+                        "by matrix content + build options, single "
+                        "device only")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu / tpu / axon)")
     p.add_argument("--repeat", type=int, default=1,
@@ -211,7 +218,8 @@ def _solve_rhs_batch(args, csr, perm, d_invsqrt, prec, dtype,
         B = np.stack([scale_rhs(B[j], d_invsqrt)
                       for j in range(B.shape[0])])
     prob = build_problem(csr, dtype=dtype, multiple=1024,
-                         format=args.format)
+                         format=args.format,
+                         layout_cache=args.layout_cache)
     Bp = np.zeros((B.shape[0], prob.n))
     Bp[:, : csr.nrows] = B
     if args.dtype == "df32":
@@ -343,7 +351,8 @@ def cmd_solve(args):
         # multiple=1024: lane-aligned padding so the Pallas fast paths'
         # shape gates (n % 128) hold — identity pad rows are inert
         prob = build_problem(csr, dtype=dtype, multiple=1024,
-                             format=args.format)
+                             format=args.format,
+                             layout_cache=args.layout_cache)
         n_state = prob.n
         if x0_init is not None:
             x0_init = pad_vector(x0_init, prob.n)
@@ -558,7 +567,8 @@ def cmd_solve_shifted(args):
             from mpi_bicgstab_tpu.api import solve_shifted
             prob = build_problem(csr, dtype=dtype, multiple=1024,
                                  sigma_seed=float(sigma[seed]),
-                                 format=args.format)
+                                 format=args.format,
+                                 layout_cache=args.layout_cache)
             b_dev = prob.b
             if b_user is not None:
                 from mpi_bicgstab_tpu.parallel.driver import pad_vector

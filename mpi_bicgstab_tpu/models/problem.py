@@ -72,7 +72,8 @@ class Problem:
 
 def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
                   sigma_seed: float = 0.0, ell_width: int | None = None,
-                  format: str = "auto", reorder: str = "none") -> Problem:
+                  format: str = "auto", reorder: str = "none",
+                  layout_cache: str | None = None) -> Problem:
     """b = (A + sigma_seed I) * ones (ones over the logical rows only);
     computed on host in float64 for accuracy, then cast to dtype.
     format selects the device layout (ops/layout.py): 'auto' routes to
@@ -86,7 +87,12 @@ def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
     permutation (ops/reorder.py) applied BEFORE layout analysis;
     'auto' reorders only when it moves the matrix onto the DIA fast
     path. The returned Problem carries the permutation for
-    unpermute()."""
+    unpermute().
+
+    layout_cache: directory for the persistent operator cache
+    (utils/opcache.py) — repeat builds of the same matrix + options
+    load the serialized layout instead of re-running the host
+    construction (butterfly routing, window assignment, DIA scan)."""
     from mpi_bicgstab_tpu.ops.layout import build_operator
     from mpi_bicgstab_tpu.ops.reorder import maybe_reorder
 
@@ -100,12 +106,12 @@ def build_problem(csr: CSRMatrix, dtype=jnp.float64, multiple: int = 8,
     if dtype == "df32":
         from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_zeros_like
         A = build_operator(csr_p, format=format, dtype="df32",
-                           ell_width=ell_width)
+                           ell_width=ell_width, cache_dir=layout_cache)
         b = df_from_f64(b_host)
         x0 = df_zeros_like(b)
     else:
         A = build_operator(csr_p, format=format, dtype=np.dtype(dtype),
-                           ell_width=ell_width)
+                           ell_width=ell_width, cache_dir=layout_cache)
         b = jnp.asarray(b_host, dtype=dtype)
         x0 = jnp.zeros_like(b)
     return Problem(csr_p, A, b, x0, n_logical, sigma_seed, perm)

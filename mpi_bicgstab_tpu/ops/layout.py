@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mpi_bicgstab_tpu.ops.dia import (DiaMatrix, analyze_diagonals,
                                       csr_to_dia, dia_spmv)
@@ -50,8 +51,14 @@ class HybridMatrix:
 
 def build_operator(csr, format: str = "auto", dtype=None,
                    max_diags: int = 64, dia_min_fill: float = 0.02,
-                   ell_width: int | None = None):
+                   ell_width: int | None = None,
+                   cache_dir: str | None = None):
     """Pick and build the device layout for a square CSR matrix.
+
+    cache_dir: directory for the persistent layout cache
+    (utils/opcache.py) — keyed by a content hash of the CSR plus every
+    option here, so repeat solves of the same matrix skip the host
+    build (butterfly routing alone is ~27 s at Transport scale).
 
     format:
       'auto'   — DIA if the top diagonals cover everything, hybrid if
@@ -69,6 +76,22 @@ def build_operator(csr, format: str = "auto", dtype=None,
     if format not in ("auto", "dia", "ell", "hybrid", "window",
                       "butterfly"):
         raise ValueError(f"unknown format {format!r}")
+    if cache_dir is not None:
+        from mpi_bicgstab_tpu.utils import opcache
+        dtype_tag = "df32" if dtype == "df32" else str(np.dtype(
+            dtype if dtype is not None else csr.val.dtype))
+        key = opcache.operator_key(
+            csr, format=format, dtype=dtype_tag, max_diags=max_diags,
+            dia_min_fill=dia_min_fill, ell_width=ell_width)
+        op = opcache.load_operator(cache_dir, key)
+        if op is not None:
+            return op
+        op = build_operator(csr, format=format, dtype=dtype,
+                            max_diags=max_diags,
+                            dia_min_fill=dia_min_fill,
+                            ell_width=ell_width)
+        opcache.save_operator(cache_dir, key, op)
+        return op
     if format == "ell":
         return csr_to_ell(csr, width=ell_width, dtype=dtype)
     if format == "window":
