@@ -88,6 +88,9 @@ def main():
                      "— relay down); no measurement taken"}))
         return
 
+    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
+    enable_compile_cache()   # skip repeat XLA/Mosaic compiles (relay!)
+
     import jax
     # CPU smoke runs: the df32 sections need x64 for exact DF ops
     # (same policy as cli._maybe_enable_x64; on TPU x64 must stay OFF

@@ -901,6 +901,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # persistent XLA compilation cache: repeat CLI invocations skip the
+    # compile (10-250 s per config through the TPU relay); opt out with
+    # MBT_COMPILE_CACHE=0
+    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
+    enable_compile_cache()
     return args.fn(args)
 
 

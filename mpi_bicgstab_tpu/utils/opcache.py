@@ -34,6 +34,28 @@ _ARRAY_KIND_JAX = "jax"
 _ARRAY_KIND_NP = "np"
 
 
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a stable directory
+    (default ~/.cache/mpi_bicgstab_tpu/xla; MBT_COMPILE_CACHE overrides,
+    '0'/'off' disables). Complements the layout cache: repeat
+    invocations skip XLA/Mosaic recompilation, which costs 10-250 s per
+    distinct solver config on relay-tunneled TPU backends. Returns the
+    directory in use, or None when disabled/unsupported."""
+    p = path or os.environ.get("MBT_COMPILE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mpi_bicgstab_tpu", "xla")
+    if p.lower() in ("0", "off"):
+        return None
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", p)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — older jax: run uncached
+        return None
+    return p
+
+
 def _registry():
     """name -> class map of everything the cache may reconstruct.
     Imported lazily: ops modules pull in jax."""

@@ -43,6 +43,9 @@ def _slope(fn, K1, K2, reps=5):
 
 
 def main():
+    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     from jax import lax

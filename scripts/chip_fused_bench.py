@@ -38,6 +38,8 @@ def _set_fused(on: bool):
 def main():
     quick = "--quick" in sys.argv
     n = 200_704 if quick else 1_602_112
+    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
+    enable_compile_cache()
     from mpi_bicgstab_tpu.benchmarks.runner import bench_iteration
     from mpi_bicgstab_tpu.models.generators import transport_like
     csr = transport_like(n)
