@@ -150,8 +150,8 @@ def _common(p):
                         "(utils/opcache.py): repeat solves of the same "
                         "matrix skip the host layout build (butterfly "
                         "routing is ~27 s at Transport scale); keyed "
-                        "by matrix content + build options, single "
-                        "device only")
+                        "by matrix content + build options; covers "
+                        "the distributed partition too")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu / tpu / axon)")
     p.add_argument("--repeat", type=int, default=1,
@@ -333,7 +333,8 @@ def cmd_solve(args):
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
         part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
         part = partition_csr(csr, args.devices, dtype=part_dtype,
-                             format=args.format)
+                             format=args.format,
+                             cache_dir=args.layout_cache)
         b = (b_user if b_user is not None
              else csr.matvec(np.ones(csr.nrows)))   # b = A*1 (main.c:109-117)
         n_state = part.n_global
@@ -559,7 +560,8 @@ def cmd_solve_shifted(args):
             from mpi_bicgstab_tpu.parallel.partition import partition_csr
             part_dtype = "df32" if args.dtype == "df32" else np.dtype(dtype)
             part = partition_csr(csr, args.devices, dtype=part_dtype,
-                                 format=args.format)
+                                 format=args.format,
+                                 cache_dir=args.layout_cache)
             runner = lambda: solve_shifted_distributed(  # noqa: E731
                 part, b, sigma, seed=seed, method=args.method, cfg=cfg,
                 halo=args.halo, sigma_devices=args.sigma_devices)

@@ -239,14 +239,35 @@ def _stack_ell_blocks(blocks, width):
 def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                   width: int | None = None, format: str = "auto",
                   max_diags: int = 64,
-                  dia_min_fill: float = 0.02) -> PartitionedMatrix:
+                  dia_min_fill: float = 0.02,
+                  cache_dir: str | None = None) -> PartitionedMatrix:
     """Partition a square CSR into per-shard DIA + ELL blocks.
 
     format: 'auto' (diagonal analysis routes between DIA/hybrid/ELL),
     'dia' (force DIA + ELL remainder), 'ell' (pure gather-ELL — the
-    faithful-to-reference layout)."""
+    faithful-to-reference layout).
+
+    cache_dir: persistent layout cache (utils/opcache.py) — the whole
+    PartitionedMatrix (per-shard window/butterfly builds included) is
+    keyed by matrix content + every option here."""
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("matrix must be square")
+    if cache_dir is not None:
+        from mpi_bicgstab_tpu.utils import opcache
+        dtype_tag = "df32" if dtype == "df32" else str(np.dtype(
+            dtype if dtype is not None else csr.val.dtype))
+        key = opcache.operator_key(
+            csr, kind="partition", n_devices=n_devices,
+            dtype=dtype_tag, width=width, format=format,
+            max_diags=max_diags, dia_min_fill=dia_min_fill)
+        part = opcache.load_operator(cache_dir, key)
+        if part is not None:
+            return part
+        part = partition_csr(csr, n_devices, dtype=dtype, width=width,
+                             format=format, max_diags=max_diags,
+                             dia_min_fill=dia_min_fill)
+        opcache.save_operator(cache_dir, key, part)
+        return part
     df_mode = dtype == "df32"
     host_dtype = np.float64 if df_mode else dtype
     n_logical = csr.nrows

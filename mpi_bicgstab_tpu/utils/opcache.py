@@ -65,8 +65,9 @@ def _registry():
     from mpi_bicgstab_tpu.ops.layout import HybridMatrix
     from mpi_bicgstab_tpu.ops.precision import DF
     from mpi_bicgstab_tpu.ops.window_ell import WindowEllMatrix
+    from mpi_bicgstab_tpu.parallel.partition import PartitionedMatrix
     classes = (DiaMatrix, EllMatrix, HybridMatrix, WindowEllMatrix,
-               ButterflyMatrix, DF)
+               ButterflyMatrix, DF, PartitionedMatrix)
     return {c.__name__: c for c in classes}
 
 

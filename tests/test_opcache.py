@@ -79,6 +79,30 @@ def test_key_sensitivity():
                                         dtype="float32", ell_width=None)
 
 
+def test_partition_roundtrip_distributed_solve(tmp_path):
+    """A cached PartitionedMatrix must drive the distributed solver to
+    the same trajectory as a fresh partition (same n_iter, bit-equal
+    relres)."""
+    import jax.numpy as jnp
+    from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+    from mpi_bicgstab_tpu.parallel.partition import partition_csr
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    csr = banded_random(512, [1, -1, 7, -7], seed=0)
+    b = csr.matvec(np.ones(csr.nrows))
+    cfg = SolverConfig(tol=1e-8, max_iter=200, dtype=jnp.float64)
+    fresh = partition_csr(csr, 4, dtype=np.float64)
+    partition_csr(csr, 4, dtype=np.float64,
+                  cache_dir=str(tmp_path))                # build + save
+    cached = partition_csr(csr, 4, dtype=np.float64,
+                           cache_dir=str(tmp_path))       # load
+    assert type(cached) is type(fresh)
+    r1 = solve_distributed(fresh, b, method="bicgstab", cfg=cfg)
+    r2 = solve_distributed(cached, b, method="bicgstab", cfg=cfg)
+    assert int(r1.n_iter) == int(r2.n_iter)
+    assert float(r1.final_relres) == float(r2.final_relres)
+    assert bool(r2.converged)
+
+
 def test_corrupt_entry_falls_back_to_rebuild(tmp_path):
     csr = banded_random(512, [1, -1, 7, -7], seed=0)
     op = build_operator(csr, format="dia", dtype=np.float32,
