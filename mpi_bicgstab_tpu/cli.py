@@ -748,6 +748,171 @@ def cmd_info(args):
     return 0
 
 
+def cmd_selftest(args):
+    """One-command install/backend validation: a small system runs
+    through every solver family, layout, and precision on the CURRENT
+    backend, each checked against ground truth (b is built as A*ones).
+    On TPU this exercises the compiled Mosaic kernels (the fused
+    builds dispatch automatically), so it doubles as a chip sanity
+    check. Exit 0 = all pass. The reference's analogue is recompiling
+    test_shifted.c with DISPLAY_ERROR (test_shifted.c:10,129-154);
+    here it is a runtime command."""
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.models import generators as G
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig, SolverConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    # f32-only hardware: a gated tol the f32 true-residual floor meets
+    tol = 1e-5 if (on_tpu or args.dtype == "float32") else 1e-10
+    dtype = _dtype(args.dtype if args.dtype != "float64" or not on_tpu
+                   else "float32")
+    _maybe_enable_x64("float32" if on_tpu else args.dtype,
+                      args.platform)
+    results = []
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            ok, detail = fn()
+        except Exception as e:  # noqa: BLE001 — report, keep testing
+            ok, detail = False, f"{type(e).__name__}: {e}"
+        results.append((name, ok, detail, time.perf_counter() - t0))
+        print(f"{'PASS' if ok else 'FAIL':4} {name:42} "
+              f"{results[-1][3]:6.1f}s  {detail}")
+
+    def solve_ok(method, n=2048, gen="banded", cfg_kw=None, **kw):
+        def fn():
+            from mpi_bicgstab_tpu.api import solve
+            csr = (G.skew_banded(n) if gen == "skew" else
+                   G.banded_random(n, [1, -1, 13, -13], seed=0))
+            prob = build_problem(csr, dtype=dtype, multiple=1024)
+            cfg = SolverConfig(tol=tol, max_iter=4000, dtype=dtype,
+                               **(cfg_kw or {}))
+            r = solve(prob.A, prob.b, method=method, cfg=cfg, **kw)
+            x = prob.unpermute(np.asarray(
+                r.x.hi if hasattr(r.x, "hi") else r.x, np.float64))
+            err = float(np.abs(x[: csr.nrows] - 1.0).max())
+            return bool(r.converged), (f"true={float(r.true_relres):.1e}"
+                                       f" |x-1|={err:.1e}")
+        return fn
+
+    for m in ("bicgstab", "ca_bicgstab", "pipe_bicgstab",
+              "pipe_bicgstab_rr"):
+        check(f"solve/{m}", solve_ok(m))
+    check("solve/bicgstab_l2 (skew spectrum)",
+          solve_ok("bicgstab_l2", gen="skew"))
+    check("solve/bicgstab+cheby4",
+          _selftest_cheby(dtype, tol))
+    check("precision/df32 tight tolerance",
+          _selftest_df32(on_tpu))
+
+    def spmv_layout(fmt, gen):
+        def fn():
+            from mpi_bicgstab_tpu.ops.layout import build_operator, spmv
+            csr = gen()
+            op = build_operator(csr, format=fmt, dtype=dtype)
+            x_h = np.random.default_rng(0).standard_normal(csr.nrows)
+            if dtype == "df32":
+                from mpi_bicgstab_tpu.ops.precision import df_from_f64
+                x_dev = df_from_f64(x_h)
+            else:
+                x_dev = jnp.asarray(x_h, dtype)
+            y = spmv(op, x_dev)
+            y = np.asarray(y.hi if hasattr(y, "hi") else y, np.float64)
+            ref = csr.matvec(x_h)
+            rel = float(np.abs(y[: csr.nrows] - ref).max()
+                        / np.abs(ref).max())
+            return rel < 1e-4, f"layout={type(op).__name__} rel={rel:.1e}"
+        return fn
+
+    check("layout/dia", spmv_layout(
+        "dia", lambda: G.banded_random(2048, [1, -1, 9, -9], seed=0)))
+    check("layout/window", spmv_layout(
+        "window", lambda: G.clustered_random(2048)))
+    check("layout/butterfly", spmv_layout(
+        "butterfly",
+        lambda: G.random_diag_dominant(2048, nnz_per_row=6, seed=0)))
+    check("layout/ell", spmv_layout(
+        "ell",
+        lambda: G.random_diag_dominant(1024, nnz_per_row=6, seed=1)))
+
+    def shifted():
+        from mpi_bicgstab_tpu.api import solve_shifted
+        csr = G.banded_random(2048, [1, -1, 13, -13], seed=0)
+        sigma = np.array([0.0, 0.01, 0.05, 0.2])
+        prob = build_problem(csr, dtype=dtype, multiple=1024,
+                             sigma_seed=float(sigma[2]))
+        cfg = ShiftedConfig(tol=tol, max_iter=4000, dtype=dtype)
+        r = solve_shifted(prob.A, prob.b, sigma, seed=2,
+                          method="shifted_lopbicg_switching", cfg=cfg)
+        return bool(np.asarray(r.stop_flags).all()), (
+            f"iters={int(r.n_iter)} seed_true="
+            f"{float(r.true_relres):.1e}")
+
+    check("shifted/switching (4 shifts)", shifted)
+
+    if args.devices > 1:
+        def dist():
+            from mpi_bicgstab_tpu.parallel.driver import solve_distributed
+            from mpi_bicgstab_tpu.parallel.partition import partition_csr
+            csr = G.banded_random(2048, [1, -1, 13, -13], seed=0)
+            part = partition_csr(csr, args.devices,
+                                 dtype="df32" if dtype == "df32"
+                                 else np.dtype(dtype))
+            b = csr.matvec(np.ones(csr.nrows))
+            cfg = SolverConfig(tol=tol, max_iter=4000, dtype=dtype)
+            r = solve_distributed(part, b, method="bicgstab", cfg=cfg)
+            return bool(r.converged), f"devices={args.devices}"
+        check(f"distributed/bicgstab x{args.devices}", dist)
+
+    n_fail = sum(1 for _, ok, _, _ in results if not ok)
+    print(f"\n{len(results) - n_fail}/{len(results)} passed "
+          f"(backend={jax.default_backend()}, dtype={args.dtype})")
+    return 2 if n_fail else 0
+
+
+def _selftest_cheby(dtype, tol):
+    def fn():
+        import jax.numpy as jnp  # noqa: F401
+        from mpi_bicgstab_tpu.api import solve
+        from mpi_bicgstab_tpu.models import generators as G
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        from mpi_bicgstab_tpu.ops.cheby import ChebyPrecond, estimate_bounds
+        from mpi_bicgstab_tpu.utils.config import SolverConfig
+        csr = G.transport_hard(4096)
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
+        lo, hi = estimate_bounds(csr)
+        cfg = SolverConfig(tol=max(tol, 1e-5), max_iter=4000,
+                           dtype=dtype)
+        r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg,
+                  precond=ChebyPrecond(degree=4, lo=lo, hi=hi))
+        return bool(r.converged), f"iters={int(r.n_iter)}"
+    return fn
+
+
+def _selftest_df32(on_tpu):
+    def fn():
+        import jax.numpy as jnp  # noqa: F401
+        from mpi_bicgstab_tpu.api import solve
+        from mpi_bicgstab_tpu.models import generators as G
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        from mpi_bicgstab_tpu.utils.config import SolverConfig
+        _maybe_enable_x64("df32", None)
+        csr = G.banded_random(2048, [1, -1, 13, -13], seed=0)
+        prob = build_problem(csr, dtype="df32", multiple=1024)
+        cfg = SolverConfig(tol=1e-11, max_iter=4000)
+        r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+        return bool(r.converged), f"true={float(r.true_relres):.1e}"
+    return fn
+
+
 def cmd_bench(args):
     from mpi_bicgstab_tpu.benchmarks.runner import run_bench
     return run_bench(args)
@@ -852,6 +1017,20 @@ def build_parser():
     p = sub.add_parser("info", help="device census (main.c:22-60)")
     p.add_argument("--platform", default=None)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "selftest",
+        help="validate the install/backend: every solver family, "
+             "layout, and precision on a small system, checked "
+             "against ground truth; exit 0 = all pass (on TPU this "
+             "exercises the compiled Mosaic kernels)")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--dtype", choices=["float32", "float64", "df32"],
+                   default="float32")
+    p.add_argument("--devices", type=int, default=1,
+                   help=">1 adds a distributed-solve check (needs that "
+                        "many devices, e.g. the virtual CPU mesh)")
+    p.set_defaults(fn=cmd_selftest)
 
     p = sub.add_parser("profile",
                        help="per-phase section timings (the reference's "

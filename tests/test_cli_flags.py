@@ -71,3 +71,16 @@ def test_cli_forbidden_combos(tmp_path):
     with pytest.raises(SystemExit):
         main(["solve", "--matrix", "transport-hard:4096", "--rhs-batch",
               str(f), "--repeat", "3"])
+
+
+def test_cli_selftest_passes():
+    """`selftest` (the install/backend validator) must be green on the
+    virtual CPU mesh — it is the user-facing smoke sweep over every
+    solver family, layout, and precision."""
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["selftest", "--devices", "2"])
+    text = out.getvalue()
+    assert rc == 0
+    assert "FAIL" not in text
+    assert "distributed/bicgstab x2" in text
