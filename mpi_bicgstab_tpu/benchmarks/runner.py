@@ -68,7 +68,9 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
                                                       put_vector)
         from mpi_bicgstab_tpu.parallel.mesh import ROWS, make_row_mesh
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
-        part = partition_csr(csr, devices, dtype=np.dtype(dtype))
+        part = partition_csr(csr, devices,
+                             dtype=dtype if dtype == "df32"
+                             else np.dtype(dtype))
         mesh = make_row_mesh(devices)
         part_d = put_partitioned(part, mesh)
         x0 = put_vector(rng.standard_normal(part.n_global), part, mesh,
@@ -154,7 +156,9 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
     if devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
-        part = partition_csr(csr, devices, dtype=np.dtype(dtype))
+        part = partition_csr(csr, devices,
+                             dtype=dtype if dtype == "df32"
+                             else np.dtype(dtype))
 
         def make_chain(K):
             cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype)
@@ -294,7 +298,9 @@ def bench_overlap(csr, dtype, devices=1, method="pipe_bicgstab",
     if devices > 1:
         from mpi_bicgstab_tpu.parallel.driver import solve_distributed
         from mpi_bicgstab_tpu.parallel.partition import partition_csr
-        part = partition_csr(csr, devices, dtype=np.dtype(dtype))
+        part = partition_csr(csr, devices,
+                             dtype=dtype if dtype == "df32"
+                             else np.dtype(dtype))
 
         def make(serialize):
             def make_chain(K):
@@ -360,16 +366,26 @@ def bench_scaling(csr, dtype, max_devices=8, method="pipe_bicgstab",
         t1 = t if t1 is None else t1
         out[f"speedup_d{d}"] = t1 / t
     # honesty label (round-2 VERDICT weak #7): a virtual CPU mesh
-    # demonstrates the distribution mechanics, not ICI bandwidth
-    out["scaling_fabric"] = (
-        "tpu-ici" if jax.default_backend() == "tpu" and avail > 1
-        else f"{jax.default_backend()}-virtual-mesh")
+    # demonstrates the distribution mechanics, not ICI bandwidth — and
+    # a 1-point sweep measured no fabric at all, whatever the backend
+    if max(sizes) <= 1:
+        out["scaling_fabric"] = "single-device (no fabric exercised)"
+    elif jax.default_backend() == "tpu":
+        out["scaling_fabric"] = "tpu-ici"
+    else:
+        out["scaling_fabric"] = f"{jax.default_backend()}-virtual-mesh"
     return out
 
 
 def run_bench(args):
     """CLI `bench` entry; prints a JSON line per requested benchmark."""
+    import os
+
     import jax
+    if getattr(args, "layout_cache", None):
+        # the bench helpers build operators internally; the env default
+        # (read by build_operator/partition_csr) reaches all of them
+        os.environ["MBT_LAYOUT_CACHE"] = args.layout_cache
     # same x64 policy as the solve CLI: f64 needs it everywhere; df32
     # needs it on NON-TPU backends (ops/precision computes DF through
     # native f64 there — XLA:CPU's LLVM FMA-contracts the f32 EFTs),

@@ -810,8 +810,7 @@ def cmd_selftest(args):
           solve_ok("bicgstab_l2", gen="skew"))
     check("solve/bicgstab+cheby4",
           _selftest_cheby(dtype, tol))
-    check("precision/df32 tight tolerance",
-          _selftest_df32(on_tpu))
+    check("precision/df32 tight tolerance", _selftest_df32)
 
     def spmv_layout(fmt, gen):
         def fn():
@@ -897,20 +896,20 @@ def _selftest_cheby(dtype, tol):
     return fn
 
 
-def _selftest_df32(on_tpu):
-    def fn():
-        import jax.numpy as jnp  # noqa: F401
-        from mpi_bicgstab_tpu.api import solve
-        from mpi_bicgstab_tpu.models import generators as G
-        from mpi_bicgstab_tpu.models.problem import build_problem
-        from mpi_bicgstab_tpu.utils.config import SolverConfig
-        _maybe_enable_x64("df32", None)
-        csr = G.banded_random(2048, [1, -1, 13, -13], seed=0)
-        prob = build_problem(csr, dtype="df32", multiple=1024)
-        cfg = SolverConfig(tol=1e-11, max_iter=4000)
-        r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
-        return bool(r.converged), f"true={float(r.true_relres):.1e}"
-    return fn
+def _selftest_df32():
+    from mpi_bicgstab_tpu.api import solve
+    from mpi_bicgstab_tpu.models import generators as G
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+    _maybe_enable_x64("df32", None)
+    csr = G.banded_random(2048, [1, -1, 13, -13], seed=0)
+    prob = build_problem(csr, dtype="df32", multiple=1024)
+    # dtype="df32" canonicalizes to float32 in the config — the gate
+    # every fused df32 Mosaic kernel dispatches on (a default-f64 cfg
+    # would silently run the XLA fallback on TPU)
+    cfg = SolverConfig(tol=1e-11, max_iter=4000, dtype="df32")
+    r = solve(prob.A, prob.b, method="bicgstab", cfg=cfg)
+    return bool(r.converged), f"true={float(r.true_relres):.1e}"
 
 
 def cmd_bench(args):
@@ -1075,6 +1074,12 @@ def build_parser():
                    help="for --what shifted with --devices > 1: shard "
                         "the ladder over a second mesh axis of G "
                         "devices (rows x sigma grid; parallel/sigma.py)")
+    p.add_argument("--layout-cache", default=None, metavar="DIR",
+                   help="persistent layout cache for the benched "
+                        "operators (repeat bench runs skip the host "
+                        "build; measured sections are unaffected — "
+                        "layout construction is never inside a timed "
+                        "chain)")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_bench)
     return ap

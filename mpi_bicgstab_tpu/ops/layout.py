@@ -76,7 +76,13 @@ def build_operator(csr, format: str = "auto", dtype=None,
     if format not in ("auto", "dia", "ell", "hybrid", "window",
                       "butterfly"):
         raise ValueError(f"unknown format {format!r}")
-    if cache_dir is not None:
+    if cache_dir is None:
+        # MBT_LAYOUT_CACHE provides a process-wide default so paths
+        # that don't thread the parameter (bench helpers, scripts)
+        # still benefit; '0'/'off' disables
+        import os
+        cache_dir = os.environ.get("MBT_LAYOUT_CACHE") or "off"
+    if cache_dir.lower() not in ("0", "off"):
         from mpi_bicgstab_tpu.utils import opcache
         dtype_tag = "df32" if dtype == "df32" else str(np.dtype(
             dtype if dtype is not None else csr.val.dtype))
@@ -89,7 +95,7 @@ def build_operator(csr, format: str = "auto", dtype=None,
         op = build_operator(csr, format=format, dtype=dtype,
                             max_diags=max_diags,
                             dia_min_fill=dia_min_fill,
-                            ell_width=ell_width)
+                            ell_width=ell_width, cache_dir="off")
         opcache.save_operator(cache_dir, key, op)
         return op
     if format == "ell":

@@ -252,7 +252,11 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
     keyed by matrix content + every option here."""
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("matrix must be square")
-    if cache_dir is not None:
+    if cache_dir is None:
+        # MBT_LAYOUT_CACHE = process-wide default ('0'/'off' disables)
+        import os
+        cache_dir = os.environ.get("MBT_LAYOUT_CACHE") or "off"
+    if cache_dir.lower() not in ("0", "off"):
         from mpi_bicgstab_tpu.utils import opcache
         dtype_tag = "df32" if dtype == "df32" else str(np.dtype(
             dtype if dtype is not None else csr.val.dtype))
@@ -265,7 +269,7 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
             return part
         part = partition_csr(csr, n_devices, dtype=dtype, width=width,
                              format=format, max_diags=max_diags,
-                             dia_min_fill=dia_min_fill)
+                             dia_min_fill=dia_min_fill, cache_dir="off")
         opcache.save_operator(cache_dir, key, part)
         return part
     df_mode = dtype == "df32"

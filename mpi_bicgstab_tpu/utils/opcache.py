@@ -137,16 +137,26 @@ def _walk_load(node, arrays, registry):
     return node
 
 
-def save_operator(cache_dir: str, key: str, op) -> str:
-    os.makedirs(cache_dir, exist_ok=True)
-    arrays: dict[str, np.ndarray] = {}
-    meta = _walk_save(op, "op", arrays, _registry())
-    path = os.path.join(cache_dir, f"layout_{key}.npz")
-    # atomic publish: a crashed/parallel writer never leaves a torn file
-    tmp = os.path.join(cache_dir, f".tmp_{key}_{os.getpid()}.npz")
-    np.savez(tmp, __meta__=np.asarray(json.dumps(meta)), **arrays)
-    os.replace(tmp, path)
-    return path
+def save_operator(cache_dir: str, key: str, op) -> str | None:
+    """Best-effort: a failed save (read-only dir, disk full, an
+    operator class the serializer doesn't know) must never kill a
+    solve whose operator ALREADY built — warn and run uncached."""
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        arrays: dict[str, np.ndarray] = {}
+        meta = _walk_save(op, "op", arrays, _registry())
+        path = os.path.join(cache_dir, f"layout_{key}.npz")
+        # atomic publish: a crashed/parallel writer never leaves a
+        # torn file
+        tmp = os.path.join(cache_dir, f".tmp_{key}_{os.getpid()}.npz")
+        np.savez(tmp, __meta__=np.asarray(json.dumps(meta)), **arrays)
+        os.replace(tmp, path)
+        return path
+    except Exception as e:  # noqa: BLE001
+        import warnings
+        warnings.warn(f"layout cache write failed ({e}); "
+                      f"continuing uncached", stacklevel=2)
+        return None
 
 
 def load_operator(cache_dir: str, key: str):

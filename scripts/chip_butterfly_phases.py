@@ -20,26 +20,21 @@ Usage:  python scripts/chip_butterfly_phases.py [n_rows] [--interpret]
         (default n_rows=200704; --interpret = tiny CPU smoke test)
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def _slope(fn, K1, K2, reps=5):
-    c1, c2 = fn(K1), fn(K2)
-    float(c1())
-    float(c2())
-    slopes = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(c1())
-        t1 = time.perf_counter()
-        float(c2())
-        t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (K2 - K1))
-    pos = [s for s in slopes if s > 0]
-    return float(np.median(pos if pos else slopes))
+from mpi_bicgstab_tpu.benchmarks.runner import _slope_time  # noqa: E402
+
+
+def _slope(make_chain, K1, K2):
+    """One methodology everywhere: runner._slope_time (interleaved
+    two-chain median-of-positive-slopes; tests/test_bench.py pins it)."""
+    return _slope_time(make_chain, K1=K1, K2=K2)
 
 
 def main():

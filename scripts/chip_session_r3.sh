@@ -10,22 +10,22 @@
 set -u
 cd "$(dirname "$0")/.."
 
-echo "=== 1/5 full bench of record ==="
+echo "=== 1/6 full bench of record ==="
 timeout 7200 python bench.py > /tmp/r3chip_bench.json \
     2>/tmp/r3chip_bench.err
 tail -1 /tmp/r3chip_bench.json
 
-echo "=== 2/5 compiled-kernel chip CI (trajectory gates) ==="
+echo "=== 2/6 compiled-kernel chip CI (trajectory gates) ==="
 MBT_TEST_PLATFORM=tpu timeout 3600 python -m pytest \
     tests/test_chip_kernels.py -q 2>&1 | tail -5 \
     | tee /tmp/r3chip_tests.log
 
-echo "=== 3/5 fused method matrix (slope-timed, 1.6M) ==="
+echo "=== 3/6 fused method matrix (slope-timed, 1.6M) ==="
 timeout 5400 python scripts/chip_fused_bench.py \
     > /tmp/r3chip_fused.json 2>/tmp/r3chip_fused.err
 tail -1 /tmp/r3chip_fused.json
 
-echo "=== 4/5 fused Chebyshev chain A/B (f32 + df32, 1.6M banded) ==="
+echo "=== 4/6 fused Chebyshev chain A/B (f32 + df32, 1.6M banded) ==="
 timeout 1800 python -m mpi_bicgstab_tpu bench \
     --matrix banded:1602112 --what cheby --iters 12 \
     2>/dev/null | tee /tmp/r3chip_cheby_chain_f32.json
@@ -33,7 +33,7 @@ timeout 1800 python -m mpi_bicgstab_tpu bench \
     --matrix banded:1602112 --what cheby --dtype df32 --iters 12 \
     2>/dev/null | tee /tmp/r3chip_cheby_chain_df32.json
 
-echo "=== 5/5 uniform-random butterfly SpMV (200k then 1.6M) ==="
+echo "=== 5/6 uniform-random butterfly SpMV (200k then 1.6M) ==="
 timeout 3600 python - <<'EOF' 2>/dev/null | tee /tmp/r3chip_butterfly.json
 import json
 from mpi_bicgstab_tpu.benchmarks.runner import bench_spmv
