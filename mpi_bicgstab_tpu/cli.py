@@ -871,6 +871,36 @@ def cmd_selftest(args):
             return bool(r.converged), f"devices={args.devices}"
         check(f"distributed/bicgstab x{args.devices}", dist)
 
+    if args.devices >= 4 and args.devices % 2 == 0:
+        def sigma_grid():
+            """2-D (rows x sigma) grid must reproduce the 1-D
+            trajectory bit-for-bit (parallel/sigma.py contract)."""
+            from mpi_bicgstab_tpu.parallel.driver import (
+                solve_shifted_distributed)
+            from mpi_bicgstab_tpu.parallel.partition import partition_csr
+            csr = G.banded_random(1024, [1, -1, 9, -9], seed=0)
+            sigma = np.array([0.0, 0.01, 0.05, 0.2])
+            b = (csr.matvec(np.ones(csr.nrows))
+                 + float(sigma[2]) * np.ones(csr.nrows))
+            cfg = ShiftedConfig(tol=tol, max_iter=2000, dtype=dtype)
+            rows = args.devices // 2
+            part = partition_csr(csr, rows,
+                                 dtype="df32" if dtype == "df32"
+                                 else np.dtype(dtype))
+            r1 = solve_shifted_distributed(
+                part, b, sigma, seed=2,
+                method="shifted_lopbicg_switching", cfg=cfg)
+            r2 = solve_shifted_distributed(
+                part, b, sigma, seed=2,
+                method="shifted_lopbicg_switching", cfg=cfg,
+                sigma_devices=2)
+            same = (int(r1.n_iter) == int(r2.n_iter)
+                    and float(r1.final_relres) == float(r2.final_relres))
+            return same, (f"iters {int(r1.n_iter)}=={int(r2.n_iter)}, "
+                          f"relres equal={same}")
+        check(f"distributed/sigma-grid {args.devices // 2}x2",
+              sigma_grid)
+
     n_fail = sum(1 for _, ok, _, _ in results if not ok)
     print(f"\n{len(results) - n_fail}/{len(results)} passed "
           f"(backend={jax.default_backend()}, dtype={args.dtype})")

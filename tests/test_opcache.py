@@ -115,3 +115,15 @@ def test_corrupt_entry_falls_back_to_rebuild(tmp_path):
     assert type(op2) is type(op)
     np.testing.assert_array_equal(np.asarray(op2.vals),
                                   np.asarray(op.vals))
+
+
+def test_env_default_cache_dir(tmp_path, monkeypatch):
+    """MBT_LAYOUT_CACHE provides a process-wide default so code paths
+    that don't thread cache_dir (bench helpers, scripts) still cache."""
+    monkeypatch.setenv("MBT_LAYOUT_CACHE", str(tmp_path))
+    csr = banded_random(512, [1, -1, 7, -7], seed=0)
+    build_operator(csr, format="dia", dtype=np.float32)
+    assert len(list(tmp_path.glob("layout_*.npz"))) == 1
+    # explicit '0' disables even with the env set
+    build_operator(csr, format="ell", dtype=np.float32, cache_dir="0")
+    assert len(list(tmp_path.glob("layout_*.npz"))) == 1
