@@ -28,7 +28,8 @@ def _load_matrix(spec: str, dtype):
     from mpi_bicgstab_tpu.ops.sparse import load_csr
 
     t0 = time.perf_counter()
-    if ":" in spec and not spec.lower().endswith((".mtx", ".mtx.gz")):
+    if ":" in spec and not spec.lower().endswith((".mtx", ".mtx.gz",
+                                                  ".npz")):
         kind, _, arg = spec.partition(":")
         n = int(arg)
         if kind == "poisson2d":
@@ -942,6 +943,17 @@ def _selftest_df32():
     return bool(r.converged), f"true={float(r.true_relres):.1e}"
 
 
+def cmd_convert(args):
+    from mpi_bicgstab_tpu.ops.sparse import save_csr
+    csr, io_time = _load_matrix(args.src, np.float64)
+    t0 = time.perf_counter()
+    save_csr(args.dst, csr)
+    print(f"{args.src} ({csr.nrows} rows, {csr.nnz} nnz, parsed in "
+          f"{io_time:.2f}s) -> {args.dst} "
+          f"(written in {time.perf_counter() - t0:.2f}s)")
+    return 0
+
+
 def cmd_bench(args):
     from mpi_bicgstab_tpu.benchmarks.runner import run_bench
     return run_bench(args)
@@ -1046,6 +1058,14 @@ def build_parser():
     p = sub.add_parser("info", help="device census (main.c:22-60)")
     p.add_argument("--platform", default=None)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "convert",
+        help="convert a Matrix Market file (or generator spec) to the "
+             "binary CSR container (.npz) for near-instant loads")
+    p.add_argument("src", help=".mtx/.mtx.gz path or generator spec")
+    p.add_argument("dst", help="output .npz path")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser(
         "selftest",

@@ -140,9 +140,43 @@ def csr_from_scipy(sp) -> CSRMatrix:
 
 
 def load_csr(path_or_file, dtype=np.float64, sum_duplicates: bool = False) -> CSRMatrix:
-    """.mtx -> CSR (reference csr_load_matrix, matrix.c:234-242)."""
+    """.mtx / .mtx.gz / .npz -> CSR (reference csr_load_matrix,
+    matrix.c:234-242). The .npz route is this framework's binary
+    format (save_csr): parsing 24M nnz of Matrix Market text costs
+    seconds even with the native parser; a converted file memory-maps
+    three arrays."""
+    if isinstance(path_or_file, str) and path_or_file.endswith(".npz"):
+        return load_csr_npz(path_or_file, dtype=dtype)
     from mpi_bicgstab_tpu.io.mmio import read_matrix_market
 
     rows, cols, vals, shape = read_matrix_market(path_or_file, dtype=dtype)
     return coo_to_csr(COOMatrix(rows, cols, vals, shape),
                       sum_duplicates=sum_duplicates)
+
+
+def save_csr(path: str, csr: CSRMatrix) -> None:
+    """Binary CSR container (npz: ptr/col/val/shape). A one-time
+    `python -m mpi_bicgstab_tpu convert A.mtx A.npz` makes every later
+    load near-instant — the reference instead re-parses the whole
+    text file on every rank of every run (matrix.c:315-393)."""
+    if not path.endswith(".npz"):
+        raise ValueError(f"binary CSR path must end in .npz: {path!r}")
+    np.savez(path, ptr=csr.ptr, col=csr.col, val=csr.val,
+             shape=np.asarray(csr.shape, np.int64))
+
+
+def load_csr_npz(path: str, dtype=np.float64) -> CSRMatrix:
+    with np.load(path, allow_pickle=False) as z:
+        try:
+            ptr, col = z["ptr"], z["col"]
+            val, shape = z["val"], z["shape"]
+        except KeyError as e:
+            raise ValueError(
+                f"{path}: not a CSR container (missing {e}); expected "
+                f"an archive written by save_csr") from e
+    csr = CSRMatrix(ptr.astype(np.int64), col.astype(np.int64),
+                    val.astype(dtype, copy=False),
+                    (int(shape[0]), int(shape[1])))
+    if csr.ptr.size != csr.shape[0] + 1 or int(csr.ptr[-1]) != csr.nnz:
+        raise ValueError(f"{path}: inconsistent CSR arrays")
+    return csr

@@ -134,3 +134,26 @@ def test_generators_are_diag_dominant():
         diag = np.abs(np.diag(d))
         off = np.abs(d).sum(axis=1) - diag
         assert (diag > off).all()
+
+
+def test_binary_csr_roundtrip(tmp_path):
+    """save_csr/.npz load: bit-identical CSR, and load_csr routes on
+    the extension (the CLI `convert` workflow)."""
+    import numpy as np
+    from mpi_bicgstab_tpu.models.generators import banded_random
+    from mpi_bicgstab_tpu.ops.sparse import load_csr, save_csr
+    csr = banded_random(256, [1, -1, 5, -5], seed=0)
+    p = str(tmp_path / "a.npz")
+    save_csr(p, csr)
+    back = load_csr(p)
+    np.testing.assert_array_equal(back.ptr, csr.ptr)
+    np.testing.assert_array_equal(back.col, csr.col)
+    np.testing.assert_array_equal(back.val, csr.val)
+    assert back.shape == csr.shape
+    import pytest
+    with pytest.raises(ValueError, match="\\.npz"):
+        save_csr(str(tmp_path / "a.mtx"), csr)
+    bad = tmp_path / "junk.npz"
+    np.savez(str(bad), foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not a CSR container"):
+        load_csr(str(bad))
