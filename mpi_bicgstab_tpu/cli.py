@@ -121,6 +121,11 @@ def _maybe_enable_x64(dtype_name, platform):
         # silently disabled every df32 Pallas fast path (the round-2
         # CLI df32 runs all fell back to XLA because of this line).
         jax.config.update("jax_enable_x64", True)
+    # every solving command funnels through here AFTER the platform
+    # choice is final — the right moment for the TPU-only persistent
+    # compile cache (10-250 s per config through the relay)
+    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
+    enable_compile_cache()
 
 
 def _common(p):
@@ -761,8 +766,6 @@ def cmd_selftest(args):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
-    enable_compile_cache()
     import jax.numpy as jnp
 
     from mpi_bicgstab_tpu.models import generators as G
@@ -1137,11 +1140,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    # persistent XLA compilation cache: repeat CLI invocations skip the
-    # compile (10-250 s per config through the TPU relay); opt out with
-    # MBT_COMPILE_CACHE=0
-    from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
-    enable_compile_cache()
     return args.fn(args)
 
 

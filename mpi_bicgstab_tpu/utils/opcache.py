@@ -40,13 +40,23 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     '0'/'off' disables). Complements the layout cache: repeat
     invocations skip XLA/Mosaic recompilation, which costs 10-250 s per
     distinct solver config on relay-tunneled TPU backends. Returns the
-    directory in use, or None when disabled/unsupported."""
+    directory in use, or None when disabled/unsupported.
+
+    TPU-only: on XLA:CPU the persistent cache stores AOT machine code
+    whose feature list the loader re-checks on every load, spraying
+    'could lead to SIGILL' warnings (observed with the +prefer-no-*
+    pseudo-features even on the SAME machine) — and CPU compiles are
+    cheap anyway. NOTE: checking the backend initializes it, so call
+    this only after the platform choice (jax_platforms / --platform)
+    is final."""
     p = path or os.environ.get("MBT_COMPILE_CACHE") or os.path.join(
         os.path.expanduser("~"), ".cache", "mpi_bicgstab_tpu", "xla")
     if p.lower() in ("0", "off"):
         return None
     try:
         import jax
+        if jax.default_backend() != "tpu":
+            return None
         jax.config.update("jax_compilation_cache_dir", p)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           1.0)
