@@ -88,8 +88,15 @@ def main():
                      "— relay down); no measurement taken"}))
         return
 
+    import os
     from mpi_bicgstab_tpu.utils.opcache import enable_compile_cache
     enable_compile_cache()   # skip repeat XLA/Mosaic compiles (relay!)
+    # layout builds (butterfly routing ~27 s at 1.6M) are host-side
+    # setup OUTSIDE every timed section — caching them across runs is
+    # free honesty-wise and makes unattended sessions much faster
+    os.environ.setdefault("MBT_LAYOUT_CACHE", os.path.join(
+        os.path.expanduser("~"), ".cache", "mpi_bicgstab_tpu",
+        "layouts"))
 
     import jax
     # CPU smoke runs: the df32 sections need x64 for exact DF ops
