@@ -139,6 +139,21 @@ def csr_from_scipy(sp) -> CSRMatrix:
                      m.data, m.shape)
 
 
+def csr_from_torch(t) -> CSRMatrix:
+    """Adopt a torch sparse tensor (CSR/COO/any layout with
+    .to_sparse_csr) — a migration convenience for torch-ecosystem
+    users; values come across as float64 via numpy."""
+    t = t.detach().cpu()
+    if not hasattr(t, "crow_indices") or t.layout.__repr__() != \
+            "torch.sparse_csr":
+        t = t.to_sparse_csr()
+    return CSRMatrix(
+        np.asarray(t.crow_indices(), np.int64),
+        np.asarray(t.col_indices(), np.int64),
+        np.asarray(t.values(), np.float64),
+        tuple(t.shape))
+
+
 def load_csr(path_or_file, dtype=np.float64, sum_duplicates: bool = False) -> CSRMatrix:
     """.mtx / .mtx.gz / .npz -> CSR (reference csr_load_matrix,
     matrix.c:234-242). The .npz route is this framework's binary

@@ -157,3 +157,16 @@ def test_binary_csr_roundtrip(tmp_path):
     np.savez(str(bad), foo=np.zeros(3))
     with pytest.raises(ValueError, match="not a CSR container"):
         load_csr(str(bad))
+
+
+def test_csr_from_torch_matches_dense():
+    import numpy as np
+    torch = pytest.importorskip("torch")
+    from mpi_bicgstab_tpu.ops.sparse import csr_from_torch
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((7, 5))
+    d[d < 0.4] = 0.0
+    for t in (torch.tensor(d).to_sparse_csr(),
+              torch.tensor(d).to_sparse()):        # CSR and COO layouts
+        csr = csr_from_torch(t)
+        np.testing.assert_allclose(csr.to_dense(), d, rtol=0, atol=0)
