@@ -16,7 +16,9 @@ timeout 7200 python bench.py > /tmp/r3chip_bench.json \
 tail -1 /tmp/r3chip_bench.json
 
 echo "=== 2/6 compiled-kernel chip CI (trajectory gates) ==="
-MBT_TEST_PLATFORM=tpu timeout 3600 python -m pytest \
+# MBT_X64=0 is required: the chip tests skip themselves under x64
+# (Mosaic lane-shift fence) and conftest enables x64 by default.
+MBT_TEST_PLATFORM=tpu MBT_X64=0 timeout 3600 python -m pytest \
     tests/test_chip_kernels.py -q 2>&1 | tail -5 \
     | tee /tmp/r3chip_tests.log
 
