@@ -227,7 +227,9 @@ def _restarted(solve_fn, cfg, res):
     ORIGINAL r0."""
     import numpy as np
 
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import SolveResult, exact_iters
+    if exact_iters(cfg):
+        return res    # tol=0 bench contract: no restart segments either
     scale = 1.0                       # segment r0 norm in outer units
     total_iter = int(res.n_iter)
     hist = [np.asarray(res.history)[: total_iter]] \

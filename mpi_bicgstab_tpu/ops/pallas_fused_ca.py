@@ -220,7 +220,7 @@ def ca_bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     from jax import lax
 
     from mpi_bicgstab_tpu.ops.dia import dia_spmv
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 
     n0 = b.shape[0]
     blk = _TR * _LANES
@@ -250,6 +250,8 @@ def ca_bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
 
     def cond(c):
         (k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:216
 
     def body(c):

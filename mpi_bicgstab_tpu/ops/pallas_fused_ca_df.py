@@ -269,7 +269,7 @@ def ca_bicgstab_fused_df(A: DiaMatrix, b, x0, cfg, interpret=False):
     from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
     from mpi_bicgstab_tpu.ops.precision import (DF, df_dot, df_zeros,
                                                 vvalue)
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 
     n0 = b.hi.shape[0]
     blk = _TR * _LANES
@@ -300,6 +300,8 @@ def ca_bicgstab_fused_df(A: DiaMatrix, b, x0, cfg, interpret=False):
 
     def cond(c):
         (k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (vvalue(dot_r) > vvalue(dot_zero) * tol2) & (k < max_iter)
 
     def body(c):

@@ -286,7 +286,7 @@ def pipe_bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     Vectors are padded to the 8192-row grid internally (padded vals
     are absent -> zero rows, so trajectories match the unpadded ones)."""
     from mpi_bicgstab_tpu.ops.dia import dia_spmv
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 
     n0 = b.shape[0]
     n = _round_up(n0, 8192)
@@ -318,6 +318,8 @@ def pipe_bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)
 
     def body(c):
@@ -397,6 +399,8 @@ def pipe_bicgstab_rr_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)
 
     def fused_body(c):

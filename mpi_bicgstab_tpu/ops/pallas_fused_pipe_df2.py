@@ -318,7 +318,7 @@ def pipe_bicgstab_fused_df_full(A: DiaMatrix, b, x0, cfg,
     from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
     from mpi_bicgstab_tpu.ops.precision import (DF, df_dot, df_zeros,
                                                 vvalue)
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 
     n0 = b.hi.shape[0]
     blk = _TR * _LANES
@@ -350,6 +350,8 @@ def pipe_bicgstab_fused_df_full(A: DiaMatrix, b, x0, cfg,
     def cond(c):
         (k, x, r, w, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (vvalue(dot_r) > vvalue(dot_zero) * tol2) & (k < max_iter)
 
     def body(c):
@@ -437,6 +439,8 @@ def pipe_bicgstab_rr_fused_df_full(A: DiaMatrix, b, x0, cfg,
     def cond(c):
         (k, x, r, w, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (vvalue(dot_r) > vvalue(dot_zero) * tol2) & (k < max_iter)
 
     def fused_body(c):

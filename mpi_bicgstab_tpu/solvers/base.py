@@ -80,3 +80,19 @@ class ShiftedResult:
     final_seed: jax.Array
     shift_relres: jax.Array
     true_relres: jax.Array
+
+
+def exact_iters(cfg) -> bool:
+    """True when cfg.tol == 0.0 — the BENCHMARK contract: run EXACTLY
+    max_iter iterations with no residual-based exit.
+
+    Why this must be explicit (round-3 bench fix): the solvers' loop
+    condition is `dot_r > tol^2 * dot_zero`, which with tol = 0 reads
+    `dot_r > 0`. Once an easy system converges past the f32 floor the
+    recurrences break down and dot_r becomes NaN (or exactly 0.0), and
+    `NaN > 0` is False — the loop exits EARLY at a data-dependent
+    iteration, silently truncating tol=0 slope timings (measured: the
+    classic chain at max_iter=120 exited at ~24, making the two-point
+    slope pure noise — an impossible 19 us/iter landed in the bench
+    JSON). Decided at trace time: cfg.tol is static under jit."""
+    return float(getattr(cfg, "tol", 1.0)) == 0.0

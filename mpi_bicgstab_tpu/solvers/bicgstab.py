@@ -36,7 +36,7 @@ from jax import lax
 
 from mpi_bicgstab_tpu.ops.precision import (df_zeros_like, is_df, vfma,
                                             vvalue as _value)
-from mpi_bicgstab_tpu.solvers.base import SolveResult
+from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 from mpi_bicgstab_tpu.utils.config import SolverConfig
 
 
@@ -136,6 +136,8 @@ def bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
 
     def cond(c):
         k, x, r, p, rTr, dot_r, hist = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:86
 
     def body(c):
@@ -189,6 +191,8 @@ def ca_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
 
     def cond(c):
         k, x, r, w, p, s, z, alpha, beta, omega, rTr, dot_r, hist = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:216
 
     def body(c):
@@ -294,6 +298,8 @@ def _pipe_bicgstab_fused_bodies(spmv, comm, b, x0,
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (vvalue(dot_r) > vvalue(dot_zero) * tol2) & (k < max_iter)
 
     def body(c):
@@ -363,6 +369,8 @@ def pipe_bicgstab(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:351
 
     def body(c):
@@ -430,6 +438,8 @@ def pipe_bicgstab_rr(spmv, comm, b, x0, cfg: SolverConfig) -> SolveResult:
     def cond(c):
         (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
          hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)   # solver.c:493
 
     def body(c):

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mpi_bicgstab_tpu.ops.precision import vfma, vones, vvalue, vzeros
-from mpi_bicgstab_tpu.solvers.base import SolveResult
+from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 from mpi_bicgstab_tpu.solvers.bicgstab import (_finish,
                                                _maybe_print_residual,
                                                _scalar_zero)
@@ -75,6 +75,8 @@ def bicgstab_l(spmv, comm, b, x0, cfg: SolverConfig,
 
     def cond(c):
         k, x, R, U, rho0, alpha, omega, dot_r, hist = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (dot_r > dot_zero * tol2) & (k < max_iter)
 
     def body(c):

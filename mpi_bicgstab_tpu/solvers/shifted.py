@@ -46,7 +46,7 @@ from mpi_bicgstab_tpu.ops.precision import (vfma,  # noqa: F401
                                             is_df, vabs,
                                             vbroadcast_rows, vones, vvalue,
                                             vwhere, vzeros)
-from mpi_bicgstab_tpu.solvers.base import ShiftedResult
+from mpi_bicgstab_tpu.solvers.base import exact_iters, ShiftedResult
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
 
@@ -144,6 +144,8 @@ def shifted_bicgstab(spmv, comm, b, sigma, cfg: ShiftedConfig,
     def cond(c):
         (k, x_set, p_set, r, alpha, beta, omega, tau, xi_old, xi_curr,
          rTr, dot_r, max_xi, hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (max_xi * max_xi * dot_r > tol2 * dot_zero) & (k < max_iter)
 
     def body(c):
@@ -250,6 +252,8 @@ def shifted_lopbicgstab(spmv, comm, b, sigma, seed: int,
     def cond(c):
         (k, x_set, p_set, r, alpha, beta, omega, eta, zeta, pi_old,
          pi_new, rTr, dot_r, max_zp, hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (max_zp * max_zp * dot_r > tol2 * dot_zero) & (k < max_iter)
 
     def body(c):
@@ -373,6 +377,8 @@ def shifted_pipe_lopbicgstab(spmv, comm, b, sigma, seed: int,
     def cond(c):
         (k, x_set, p_set, r, w, t, s, z, v, a_s, a_old, b_s, w_s, eta,
          zeta, pi_old, pi_new, rTr, dot_r, max_zp, hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
         return (max_zp * max_zp * dot_r > tol2 * dot_zero) & (k < max_iter)
 
     def body(c):

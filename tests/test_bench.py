@@ -57,3 +57,59 @@ def test_bench_shifted_iteration_runs(csr):
     assert r["time_per_iter_s"] > 0
     assert r["sigma_len"] == 32
     assert "sigma_devices" not in r   # only reported when sharded
+
+
+def test_tol0_runs_exactly_max_iter_every_method():
+    """The tol=0 BENCH CONTRACT (solvers/base.exact_iters): exactly
+    max_iter iterations execute, no residual/NaN-breakdown early exit.
+
+    Regression for a real bench poisoning: on an easy matrix the
+    classic recurrences break down (dot_r -> NaN) a few iterations
+    past convergence, and `NaN > 0` is False — so the tol=0 chain
+    exited at a data-dependent ~24 iterations regardless of max_iter
+    and the two-point slope recorded an impossible 19 us/iter on chip
+    (BENCH round 3). The easy well-conditioned fixture here is the
+    point: it converges in <10 iterations, so without the contract
+    these 60-iteration runs would truncate."""
+    import jax.numpy as jnp
+
+    from mpi_bicgstab_tpu.api import solve, solve_batched
+    from mpi_bicgstab_tpu.models.generators import transport_like
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+    csr = transport_like(6144)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=1024)
+    for method in ("bicgstab", "ca_bicgstab", "pipe_bicgstab",
+                   "pipe_bicgstab_rr", "bicgstab_l2"):
+        cfg = SolverConfig(tol=0.0, max_iter=60, dtype=jnp.float32)
+        r = solve(prob.A, prob.b, method=method, cfg=cfg)
+        assert int(r.n_iter) == 60, (method, int(r.n_iter))
+    # batched lanes must not freeze early either
+    B = np.stack([np.asarray(prob.b)] * 3)
+    rb = solve_batched(prob.A, B, method="bicgstab",
+                       cfg=SolverConfig(tol=0.0, max_iter=60,
+                                        dtype=jnp.float32))
+    assert [int(k) for k in np.asarray(rb.n_iter)] == [60, 60, 60]
+
+
+def test_tol0_shifted_runs_exactly_max_iter():
+    import numpy as _np
+
+    from mpi_bicgstab_tpu.api import solve_shifted
+    from mpi_bicgstab_tpu.models.generators import transport_like
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig
+
+    csr = transport_like(4096)
+    import jax.numpy as jnp
+    prob = build_problem(csr, dtype=jnp.float32, multiple=1024)
+    sigma = (_np.arange(8) + 1) * (0.01 / 8)
+    for method in ("shifted_bicgstab", "shifted_lopbicgstab",
+                   "shifted_lopbicg_switching"):
+        cfg = ShiftedConfig(tol=0.0, max_iter=24, dtype=jnp.float32)
+        r = solve_shifted(prob.A, prob.b, sigma, seed=3, method=method,
+                          cfg=cfg)
+        # switching reports k-1 (reference off-by-one, quirk #7)
+        n = int(_np.asarray(r.n_iter))
+        assert n in (24, 23), (method, n)
