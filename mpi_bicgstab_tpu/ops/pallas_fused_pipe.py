@@ -367,7 +367,7 @@ def pipe_bicgstab_rr_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     w <- A r, solver.c:498-500,522-526) with an identical carry — the
     fused speed applies to every non-replacement step."""
     from mpi_bicgstab_tpu.ops.dia import dia_spmv
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 
     n0 = b.shape[0]
     n = _round_up(n0, 8192)

@@ -406,7 +406,7 @@ def pipe_bicgstab_rr_fused_df_full(A: DiaMatrix, b, x0, cfg,
     from mpi_bicgstab_tpu.ops.dia import dia_spmv_df
     from mpi_bicgstab_tpu.ops.precision import (DF, df_dot, df_zeros,
                                                 vfma, vvalue)
-    from mpi_bicgstab_tpu.solvers.base import SolveResult
+    from mpi_bicgstab_tpu.solvers.base import exact_iters, SolveResult
 
     n0 = b.hi.shape[0]
     blk = _TR * _LANES

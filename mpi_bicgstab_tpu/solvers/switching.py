@@ -49,7 +49,7 @@ from mpi_bicgstab_tpu.ops.precision import (vabs, vbroadcast_rows, vcat,
                                             vfma, vones, vvalue, vwhere,
                                             vzeros)
 from mpi_bicgstab_tpu.parallel.sigma import as_shift_comm
-from mpi_bicgstab_tpu.solvers.base import ShiftedResult
+from mpi_bicgstab_tpu.solvers.base import ShiftedResult, exact_iters
 from mpi_bicgstab_tpu.solvers.shifted import _as_sigma
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
 
@@ -148,8 +148,12 @@ def shifted_lopbicg(spmv, comm, b, sigma, seed: int,
         # per-shift convergence (:184-203)
         abs_zp = jnp.where(not_seed, vvalue(vabs(1.0 / (zeta * pi_new))),
                            1.0)
-        stop = stop | (~stop & (abs_zp * abs_zp * vvalue(dot_r)
-                                <= tol2 * vvalue(dot_zero)))
+        if not exact_iters(cfg):   # tol=0 bench contract: never stop a
+            # shift — underflow to exactly 0.0 past the f32 floor would
+            # otherwise flip every flag and exit at a data-dependent k
+            # (base.exact_iters; same guard as the classic solvers).
+            stop = stop | (~stop & (abs_zp * abs_zp * vvalue(dot_r)
+                                    <= tol2 * vvalue(dot_zero)))
         hist = hist.at[k].set(vvalue(dot_r))
         return (k + 1, x_set, p_set, r_new, alpha, beta, eta, zeta,
                 pi_new, stop, rTr_new, dot_r, hist)
@@ -358,6 +362,10 @@ def _switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig, carry,
                            vvalue(vabs(1.0 / (zeta * pi_arc[k]))), 1.0)
         newly = ~stop & (abs_zp * abs_zp * vvalue(dot_r)
                          <= tol2 * vvalue(dot_zero))
+        if exact_iters(cfg):   # tol=0 bench contract: no per-shift stop,
+            # no seed switch — run exactly to the iteration bound even if
+            # dot_r underflows to 0.0 (base.exact_iters).
+            newly = jnp.zeros_like(newly)
         stop = stop | newly
         remaining = ~stop
         ms = jnp.argmax(jnp.where(remaining & not_seed, abs_zp,

@@ -56,6 +56,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from mpi_bicgstab_tpu.solvers.base import exact_iters
 from mpi_bicgstab_tpu.solvers.shifted import _as_sigma
 from mpi_bicgstab_tpu.solvers.switching import _switch_dot_zero
 from mpi_bicgstab_tpu.utils.config import ShiftedConfig
@@ -204,6 +205,10 @@ def blocked_switching_loop(spmv, comm, b, sigma, cfg: ShiftedConfig,
         abs_zp = jnp.where(not_seed,
                            jnp.abs(1.0 / (zeta * pi_arc[k])), 1.0)
         newly = ~stop & (abs_zp * abs_zp * dot_r <= tol2 * dot_zero)
+        if exact_iters(cfg):   # tol=0 bench contract: no per-shift stop,
+            # no seed switch — run exactly to the bound even on underflow
+            # to 0.0 (base.exact_iters; mirrors switching.py).
+            newly = jnp.zeros_like(newly)
         stop = stop | newly
         remaining = ~stop
         ms = jnp.argmax(jnp.where(remaining & not_seed, abs_zp,

@@ -113,3 +113,42 @@ def test_tol0_shifted_runs_exactly_max_iter():
         # switching reports k-1 (reference off-by-one, quirk #7)
         n = int(_np.asarray(r.n_iter))
         assert n in (24, 23), (method, n)
+
+
+def test_tol0_survives_exact_zero_residual():
+    """The exact-zero breakdown lane the guard exists for: on an identity
+    system every solver hits r = 0 after one step and dot_r underflows to
+    exactly 0.0 — without the exact_iters gate the per-shift stop flags
+    (and classic loop conds) would all flip and the loop would exit at a
+    data-dependent iteration (ADVICE r3 medium)."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from mpi_bicgstab_tpu.api import solve, solve_shifted
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    from mpi_bicgstab_tpu.ops.sparse import CSRMatrix
+    from mpi_bicgstab_tpu.utils.config import ShiftedConfig, SolverConfig
+
+    n = 1024
+    csr = CSRMatrix(_np.arange(n + 1, dtype=_np.int64),
+                    _np.arange(n, dtype=_np.int64),
+                    _np.ones(n, dtype=_np.float32), (n, n))
+    prob = build_problem(csr, dtype=jnp.float32, multiple=1024)
+    eye, b = prob.A, prob.b
+    r = solve(eye, b, method="bicgstab",
+              cfg=SolverConfig(tol=0.0, max_iter=50, dtype=jnp.float32))
+    assert int(r.n_iter) == 50
+
+    sigma = (_np.arange(4) + 1) * 0.01
+    for method in ("shifted_lopbicg", "shifted_lopbicg_switching"):
+        cfg = ShiftedConfig(tol=0.0, max_iter=50, dtype=jnp.float32)
+        rs = solve_shifted(eye, b, sigma, seed=1, method=method, cfg=cfg)
+        ns = int(_np.asarray(rs.n_iter))
+        assert ns in (50, 49), (method, ns)
+    # blocked-MXU switching twin takes the same contract
+    cfg = ShiftedConfig(tol=0.0, max_iter=50, dtype=jnp.float32,
+                        shift_block=8)
+    rs = solve_shifted(eye, b, sigma, seed=1,
+                       method="shifted_lopbicg_switching", cfg=cfg)
+    ns = int(_np.asarray(rs.n_iter))
+    assert ns in (50, 49), ("blocked", ns)

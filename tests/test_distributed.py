@@ -269,3 +269,36 @@ def test_restart_rescues_gate_failure_distributed():
     assert bool(res.converged)
     assert float(res.true_relres) <= 1e-13
     assert np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max() < 1e-11
+
+
+@pytest.mark.parametrize("method", ["bicgstab", "ca_bicgstab"])
+def test_f32_halo_fused_classic_distributed(method, monkeypatch):
+    """The f32 whole-iteration fused kernels must reach the mesh
+    (round-3 VERDICT weak #6): solvers/fused_dist runs the
+    pallas_fused_classic/ca kernels per shard with ppermuted band-edge
+    halos in the pad rows. Interpret-mode kernels on a 2-shard CPU mesh
+    vs the XLA distributed build of the same method."""
+    csr = banded_random(16000, [1, -1, 12, -12], seed=5)
+    part = partition_csr(csr, 2, dtype=np.float32, align=8192)
+    assert part.n_loc % 8192 == 0 and part.dia_mode == "halo"
+    assert not (part.has_ell or part.has_window or part.has_bfly)
+    b = csr.matvec(np.ones(csr.nrows))
+    mesh = make_row_mesh(2)
+    monkeypatch.setenv("MBT_FUSED_DIST", "1")
+    res_on = solve_distributed(part, b, method=method,
+                               cfg=SolverConfig(tol=1e-6, max_iter=60,
+                                                dtype=np.float32),
+                               mesh=mesh)
+    monkeypatch.setenv("MBT_FUSED_DIST", "0")
+    # max_iter differs to defeat the jit cache (the env gate is read at
+    # trace time and is not part of the jit key)
+    res_off = solve_distributed(part, b, method=method,
+                                cfg=SolverConfig(tol=1e-6, max_iter=61,
+                                                 dtype=np.float32),
+                                mesh=mesh)
+    assert bool(res_on.converged)
+    assert abs(int(res_on.n_iter) - int(res_off.n_iter)) <= 2
+    x_on = np.asarray(res_on.x)[: csr.nrows]
+    x_off = np.asarray(res_off.x)[: csr.nrows]
+    assert np.abs(x_on - 1.0).max() < 1e-3
+    np.testing.assert_allclose(x_on, x_off, atol=1e-3)
