@@ -177,15 +177,12 @@ def main():
         spmv_u = bench_spmv(csr_u, dtype, devices=1, iters=iters)
     except Exception:  # noqa: BLE001
         spmv_u = {"spmv_nnz_per_s": float("nan"), "spmv_layout": None}
-    # df32 at 200k: the df32 layout is a SECOND routing build of the
-    # same matrix, so the smaller size keeps total bench time bounded
-    # (rates are size-stable above ~100k; the f32 headline-scale entry
-    # above carries the at-scale claim)
+    # df32 at the SAME headline scale as f32 (round-3 VERDICT weak #7:
+    # f32 rates are NOT size-stable here, so the at-scale df32 number
+    # must be measured, not inferred from 200k). The second routing
+    # build is host-side and layout-cached.
     try:
-        csr_u_df = (csr_u if small
-                    else random_diag_dominant(200_704, nnz_per_row=8,
-                                              seed=0))
-        spmv_u_df = bench_spmv(csr_u_df, "df32", devices=1,
+        spmv_u_df = bench_spmv(csr_u, "df32", devices=1,
                                iters=max(iters // 2, 20))
     except Exception:  # noqa: BLE001
         spmv_u_df = {"spmv_nnz_per_s": float("nan")}
@@ -329,13 +326,16 @@ def main():
         "uniform_spmv_nnz_per_s": round(spmv_u["spmv_nnz_per_s"], 1),
         "uniform_df32_spmv_nnz_per_s": round(
             spmv_u_df["spmv_nnz_per_s"], 1),
-        "uniform_df32_n": 200_704,
+        "uniform_df32_n": n_u,
         "uniform_layout": spmv_u.get("spmv_layout"),
         "uniform_n": n_u,
         "switching_time_per_iter_s_sigma512": round(
             sw["time_per_iter_s"], 6),
         f"switching_df32_time_per_iter_s_sigma{sl_df}": round(
             sw_df["time_per_iter_s"], 6),
+        # the df32 flagship rides the HARD-regime matrix at 200k rows
+        # (labeled like uniform_df32_n — round-3 VERDICT small fix)
+        "switching_df32_n": 50_176 if small else 200_704,
         "batched8_time_per_iter_s": round(it_b8["time_per_iter_s"], 6),
         # >1 means the batch amortizes the vals stream; 8.0 would be
         # a perfectly-amortized batch (8 solves for the cost of one)

@@ -1,0 +1,114 @@
+"""Batched classic BiCGStab over k right-hand sides with the band
+values streamed once per SpMV for the whole batch
+(ops/pallas_batched_spmv.batched_dia_spmv).
+
+Replaces vmap(bicgstab) on the dispatch path when available: vmap
+re-reads the DIA vals per lane (k x 96 MB per SpMV at Transport
+scale), which is why the round-3 bench measured only 1.31x per-RHS
+speedup against the claimed "k solves for ~one" (VERDICT r3 weak #4).
+
+Semantics mirror jax.vmap(bicgstab): every lane's state updates are
+masked by its own active flag once converged (vmap's batched
+while_loop lowering does exactly this select), per-lane n_iter /
+converged / histories come back batched, and the loop runs until the
+last lane stops (reference loop structure solver.c:86-127 per lane).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from mpi_bicgstab_tpu.ops.dia import DiaMatrix
+from mpi_bicgstab_tpu.solvers.base import SolveResult, exact_iters
+from mpi_bicgstab_tpu.utils.config import SolverConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def bicgstab_batched_fused(A: DiaMatrix, B, X0, cfg: SolverConfig,
+                           interpret: bool = False) -> SolveResult:
+    """B, X0: [k, n] f32. Returns a SolveResult with leading batch
+    axis on every field (the api.solve_batched contract)."""
+    from mpi_bicgstab_tpu.ops.pallas_batched_spmv import batched_dia_spmv
+
+    k, n0 = B.shape
+    n = _round_up(n0, 8192)
+    vals = A.vals
+    if n != n0:
+        vals = jnp.pad(vals, ((0, 0), (0, n - n0)))
+        B = jnp.pad(B, ((0, 0), (0, n - n0)))
+        X0 = jnp.pad(X0, ((0, 0), (0, n - n0)))
+    offsets = A.offsets
+
+    def spmv(Xs):
+        return batched_dia_spmv(vals, Xs, offsets, interpret=interpret)
+
+    dtype = B.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=1)            # per-lane [k]
+
+    R0 = B - spmv(X0)                            # solver.c:74-75
+    R_hat = R0                                   # solver.c:76
+    rTr0 = dot(R0, R0)                           # solver.c:78-80
+    dot_zero = rTr0
+    hist0 = jnp.full((k, max_iter), jnp.nan, dtype)
+
+    def act(dot_r):
+        return dot_r > dot_zero * tol2           # per-lane active
+
+    def cond(c):
+        it, X, R, P, rTr, dot_r, n_it, hist = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return it < max_iter  # max_iter iters (base.py)
+        return jnp.any(act(dot_r)) & (it < max_iter)   # solver.c:86
+
+    def body(c):
+        it, X, R, P, rTr, dot_r, n_it, hist = c
+        if exact_iters(cfg):
+            a = jnp.ones((k,), bool)
+        else:
+            a = act(dot_r)
+        av = a[:, None]
+        S = spmv(P)                                     # solver.c:88
+        rTs = dot(R_hat, S)                             # solver.c:89-91
+        alpha = (rTr / rTs)[:, None]                    # solver.c:93
+        Q = R - alpha * S                               # solver.c:94
+        Y = spmv(Q)                                     # solver.c:96
+        qTy, yTy = dot(Q, Y), dot(Y, Y)                 # solver.c:97-102
+        omega = (qTy / yTy)[:, None]                    # solver.c:104
+        X2 = X + alpha * P + omega * Q                  # solver.c:105-106
+        R2 = Q - omega * Y                              # solver.c:107
+        dot_new = dot(R2, R2)
+        rTr_new = dot(R_hat, R2)                        # solver.c:108-114
+        beta = (alpha.squeeze(1) / omega.squeeze(1)
+                * (rTr_new / rTr))[:, None]             # solver.c:116
+        P2 = R2 + beta * (P - omega * S)                # solver.c:117-119
+        # converged lanes coast (vmap's masked-carry semantics)
+        X = jnp.where(av, X2, X)
+        R = jnp.where(av, R2, R)
+        P = jnp.where(av, P2, P)
+        rTr = jnp.where(a, rTr_new, rTr)
+        dot_r2 = jnp.where(a, dot_new, dot_r)
+        n_it = jnp.where(a, n_it + 1, n_it)
+        hist = hist.at[:, it].set(jnp.where(a, dot_new, jnp.nan))
+        return (it + 1, X, R, P, rTr, dot_r2, n_it, hist)
+
+    out = lax.while_loop(cond, body, (
+        jnp.int32(0), X0, R0, R0, rTr0, rTr0,
+        jnp.zeros((k,), jnp.int32), hist0))
+    _, X, _R, _P, _rTr, dot_r, n_it, hist = out
+    relres = jnp.sqrt(dot_r / dot_zero)
+    R_true = B - spmv(X)
+    true_relres = jnp.sqrt(dot(R_true, R_true) / dot_zero)
+    tol = jnp.sqrt(tol2)
+    return SolveResult(
+        x=X[:, :n0], n_iter=n_it, final_relres=relres,
+        history=jnp.sqrt(hist / dot_zero[:, None]),
+        converged=(dot_r <= dot_zero * tol2)
+        & (true_relres <= 100.0 * tol),
+        true_relres=true_relres)

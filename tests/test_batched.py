@@ -154,3 +154,39 @@ def test_batched_lane_restarts_distributed():
         cfg=SolverConfig(tol=1e-15, max_iter=1000))
     assert np.asarray(r1.converged).all()
     assert np.abs(np.asarray(r1.x)[1][: csr.nrows] - 2.0).max() < 1e-11
+
+
+def test_batched_fused_matches_vmap(monkeypatch):
+    """The vals-stream-amortized batched solver
+    (solvers/batched_fused.bicgstab_batched_fused via the
+    api dispatch, kernel in interpret mode on CPU) must reproduce the
+    vmap build's per-lane results: converged flags, n_iter within
+    rounding slack, and solutions."""
+    import jax.numpy as jnp
+
+    csr = banded_random(8192, [1, -1, 12, -12], seed=7)
+    prob32 = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    b1 = np.asarray(prob32.b)
+    rng = np.random.default_rng(0)
+    B = np.stack([b1, b1 * 0.5,
+                  csr.matvec(rng.standard_normal(csr.nrows))]
+                 ).astype(np.float32)
+    cfg = SolverConfig(tol=1e-5, max_iter=80, dtype=jnp.float32,
+                       restarts=0)
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "1")
+    r_f = solve_batched(prob32.A, B, method="bicgstab", cfg=cfg)
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "0")
+    cfg2 = SolverConfig(tol=1e-5, max_iter=81, dtype=jnp.float32,
+                        restarts=0)   # defeat the jit cache (env gate)
+    r_v = solve_batched(prob32.A, B, method="bicgstab", cfg=cfg2)
+    assert np.asarray(r_f.converged).all()
+    assert np.asarray(r_v.converged).all()
+    ni_f, ni_v = np.asarray(r_f.n_iter), np.asarray(r_v.n_iter)
+    assert (np.abs(ni_f - ni_v) <= 2).all(), (ni_f, ni_v)
+    np.testing.assert_allclose(np.asarray(r_f.x), np.asarray(r_v.x),
+                               atol=2e-3)
+    # tol=0 bench contract holds for the fused batch too
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "1")
+    cfg0 = SolverConfig(tol=0.0, max_iter=30, dtype=jnp.float32)
+    r0 = solve_batched(prob32.A, B, method="bicgstab", cfg=cfg0)
+    assert [int(v) for v in np.asarray(r0.n_iter)] == [30, 30, 30]
