@@ -30,8 +30,18 @@ def _round_up(x: int, m: int) -> int:
 def bicgstab_batched_fused(A: DiaMatrix, B, X0, cfg: SolverConfig,
                            interpret: bool = False) -> SolveResult:
     """B, X0: [k, n] f32. Returns a SolveResult with leading batch
-    axis on every field (the api.solve_batched contract)."""
+    axis on every field (the api.solve_batched contract).
+
+    When the fully-fused batched phases fit VMEM
+    (ops/pallas_fused_batched) the iteration runs as THREE kernels over
+    all lanes (updates + dots + in-kernel SpMV, vals once per phase);
+    otherwise the SpMV-only amortized loop below runs (XLA body +
+    ops/pallas_batched_spmv)."""
+    from mpi_bicgstab_tpu.ops import pallas_fused_batched as PFB
     from mpi_bicgstab_tpu.ops.pallas_batched_spmv import batched_dia_spmv
+    if PFB.available(A, B.dtype, B.shape[0]):
+        return _bicgstab_batched_fully_fused(A, B, X0, cfg,
+                                             interpret=interpret)
 
     k, n0 = B.shape
     n = _round_up(n0, 8192)
@@ -102,6 +112,105 @@ def bicgstab_batched_fused(A: DiaMatrix, B, X0, cfg: SolverConfig,
         jnp.int32(0), X0, R0, R0, rTr0, rTr0,
         jnp.zeros((k,), jnp.int32), hist0))
     _, X, _R, _P, _rTr, dot_r, n_it, hist = out
+    relres = jnp.sqrt(dot_r / dot_zero)
+    R_true = B - spmv(X)
+    true_relres = jnp.sqrt(dot(R_true, R_true) / dot_zero)
+    tol = jnp.sqrt(tol2)
+    return SolveResult(
+        x=X[:, :n0], n_iter=n_it, final_relres=relres,
+        history=jnp.sqrt(hist / dot_zero[:, None]),
+        converged=(dot_r <= dot_zero * tol2)
+        & (true_relres <= 100.0 * tol),
+        true_relres=true_relres)
+
+
+def _bicgstab_batched_fully_fused(A: DiaMatrix, B, X0,
+                                  cfg: SolverConfig,
+                                  interpret: bool = False) -> SolveResult:
+    """Three fused Pallas phases per iteration over all k lanes
+    (ops/pallas_fused_batched): the p-update is deferred to the next
+    iteration's K1 exactly like the single-lane fused build
+    (ops/pallas_fused_classic.bicgstab_fused, solver.c:117-119), and
+    per-lane freezing happens in-register via the active scalar."""
+    from mpi_bicgstab_tpu.ops.pallas_batched_spmv import batched_dia_spmv
+    from mpi_bicgstab_tpu.ops.pallas_fused_batched import (fused_k1b,
+                                                           fused_k2b,
+                                                           fused_k3b)
+
+    k, n0 = B.shape
+    n = _round_up(n0, 8192)
+    vals = A.vals
+    if n != n0:
+        vals = jnp.pad(vals, ((0, 0), (0, n - n0)))
+        B = jnp.pad(B, ((0, 0), (0, n - n0)))
+        X0 = jnp.pad(X0, ((0, 0), (0, n - n0)))
+    offsets = A.offsets
+
+    def spmv(Xs):
+        return batched_dia_spmv(vals, Xs, offsets, interpret=interpret)
+
+    dtype = B.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=1)
+
+    R0 = B - spmv(X0)                            # solver.c:74-75
+    R_hat = R0                                   # solver.c:76
+    rTr0 = dot(R0, R0)                           # solver.c:78-80
+    dot_zero = rTr0
+    hist0 = jnp.full((k, max_iter), jnp.nan, dtype)
+    Zk = jnp.zeros((k,), dtype)
+    ZV = jnp.zeros_like(B)
+
+    def cond(c):
+        (it, X, R, P, S, beta, omega, rTr, dot_r, n_it, hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return it < max_iter  # max_iter iters (base.py)
+        return jnp.any(dot_r > dot_zero * tol2) & (it < max_iter)
+
+    def body(c):
+        (it, X, R, P, S, beta, omega, rTr, dot_r, n_it, hist) = c
+        if exact_iters(cfg):
+            a = jnp.ones((k,), dtype)
+        else:
+            a = (dot_r > dot_zero * tol2).astype(dtype)
+        ab0 = a > 0.5
+        sc1 = jnp.stack([beta, omega, a], axis=1).reshape(-1)
+        P2, S2, rhTs = fused_k1b(vals, R, P, S, R_hat, sc1, offsets,
+                                 interpret=interpret)   # solver.c:88-91
+        # frozen lanes' recurrences can be inf/NaN; the kernels mask
+        # writes ARITHMETICALLY (a*new + (1-a)*old), and 0*NaN = NaN —
+        # so every per-lane scalar entering a kernel must be finite
+        alpha = jnp.where(ab0, rTr / rhTs, 0.0)         # solver.c:93
+        sc2 = jnp.stack([alpha, Zk], axis=1).reshape(-1)
+        Q, Y, qTy, yTy = fused_k2b(vals, R, S2, sc2, offsets,
+                                   interpret=interpret)  # solver.c:94-102
+        omega2 = jnp.where(ab0, qTy / yTy, 0.0)         # solver.c:104
+        sc3 = jnp.stack([alpha, omega2, a], axis=1).reshape(-1)
+        X2, R2, dot_new, rTr_new = fused_k3b(
+            X, P2, Q, Y, R_hat, sc3,
+            interpret=interpret)                        # solver.c:105-114
+        ab = ab0
+        beta2 = jnp.where(ab, (alpha / omega2) * (rTr_new / rTr),
+                          0.0)                          # solver.c:116
+        # frozen lanes: K1/K3 wrote old vectors back in-register; the
+        # scalar recurrences freeze here (vmap's masked carry)
+        R = jnp.where(ab[:, None], R2, R)
+        beta = jnp.where(ab, beta2, beta)
+        omega = jnp.where(ab, omega2, omega)
+        rTr = jnp.where(ab, rTr_new, rTr)
+        dot_r2 = jnp.where(ab, dot_new, dot_r)
+        n_it = jnp.where(ab, n_it + 1, n_it)
+        hist = hist.at[:, it].set(jnp.where(ab, dot_new, jnp.nan))
+        return (it + 1, X2, R, P2, S2, beta, omega, rTr, dot_r2,
+                n_it, hist)
+
+    out = lax.while_loop(cond, body, (
+        jnp.int32(0), X0, R0, ZV, ZV, Zk, Zk, rTr0, rTr0,
+        jnp.zeros((k,), jnp.int32), hist0))
+    X, dot_r, n_it, hist = out[1], out[8], out[9], out[10]
     relres = jnp.sqrt(dot_r / dot_zero)
     R_true = B - spmv(X)
     true_relres = jnp.sqrt(dot(R_true, R_true) / dot_zero)

@@ -49,6 +49,7 @@ def main():
     sec = _slope_time(make_read, K1=40, K2=480, reps=5)
     out["read_s_per_pass"] = round(sec, 6)
     out["read_GBps"] = round(vals.size * 4 / sec / 1e9, 1)
+    print(json.dumps(out), flush=True)
 
     # read+write: y = vals * c (96 MB read + 96 MB write per pass)
     def make_rw(K):
@@ -64,12 +65,14 @@ def main():
     sec = _slope_time(make_rw, K1=40, K2=480, reps=5)
     out["rw_s_per_pass"] = round(sec, 6)
     out["rw_GBps"] = round(2 * vals.size * 4 / sec / 1e9, 1)
+    print(json.dumps(out), flush=True)
 
     # (b) batched-8 SpMV kernel alone
     from mpi_bicgstab_tpu.ops.pallas_batched_spmv import batched_dia_spmv
     k = 8
-    n_pad = -(-n // 8192) * 8192
-    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n)))
+    n_op = vals.shape[1]           # operator's own padded width
+    n_pad = -(-n_op // 8192) * 8192
+    vals_p = jnp.pad(vals, ((0, 0), (0, n_pad - n_op)))
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.standard_normal((k, n_pad)), jnp.float32)
 
@@ -90,10 +93,11 @@ def main():
     # traffic model: vals once + k x (x windows + y)
     bytes_model = vals.size * 4 + k * 2 * n_pad * 4
     out["batched8_spmv_implied_GBps"] = round(bytes_model / sec / 1e9, 1)
+    print(json.dumps(out), flush=True)
 
     # single-lane comparison: the plain DIA kernel at the same shape
     from mpi_bicgstab_tpu.ops.layout import spmv as generic_spmv
-    x1 = X[0, :n]
+    x1 = X[0, :A.n_rows]
 
     def make_s(K):
         @jax.jit

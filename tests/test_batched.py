@@ -190,3 +190,50 @@ def test_batched_fused_matches_vmap(monkeypatch):
     cfg0 = SolverConfig(tol=0.0, max_iter=30, dtype=jnp.float32)
     r0 = solve_batched(prob32.A, B, method="bicgstab", cfg=cfg0)
     assert [int(v) for v in np.asarray(r0.n_iter)] == [30, 30, 30]
+
+
+def test_batched_fully_fused_matches_vmap(monkeypatch):
+    """The fully-fused batched phases (ops/pallas_fused_batched via
+    solvers/batched_fused, interpret mode on CPU) must also reproduce
+    the vmap build: converged flags, per-lane n_iter (including a lane
+    that converges EARLY and freezes in-register), and solutions."""
+    import jax.numpy as jnp
+
+    csr = banded_random(8192, [1, -1, 12, -12], seed=7)
+    prob32 = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    b1 = np.asarray(prob32.b)
+    rng = np.random.default_rng(1)
+    # lane 2's RHS is (nearly) a dominant eigenvector image, so its
+    # Krylov iteration converges in ~1-2 steps and the lane freezes
+    # while lanes 0/1 keep running — exercising the in-register masking
+    v = rng.standard_normal(csr.nrows)
+    for _ in range(40):
+        v = csr.matvec(v)
+        v /= np.linalg.norm(v)
+    B = np.stack([csr.matvec(rng.standard_normal(csr.nrows)), b1,
+                  csr.matvec(v)]).astype(np.float32)
+    X0 = np.zeros_like(B)
+    cfg = SolverConfig(tol=1e-5, max_iter=80, dtype=jnp.float32,
+                       restarts=0)
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "1")
+    monkeypatch.setenv("MBT_FUSED_BATCHED", "1")
+    r_f = solve_batched(prob32.A, B, x0=X0, method="bicgstab", cfg=cfg)
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "0")
+    monkeypatch.setenv("MBT_FUSED_BATCHED", "0")
+    cfg2 = SolverConfig(tol=1e-5, max_iter=81, dtype=jnp.float32,
+                        restarts=0)   # defeat the jit cache (env gate)
+    r_v = solve_batched(prob32.A, B, x0=X0, method="bicgstab", cfg=cfg2)
+    assert np.asarray(r_f.converged).all()
+    assert np.asarray(r_v.converged).all()
+    ni_f, ni_v = np.asarray(r_f.n_iter), np.asarray(r_v.n_iter)
+    assert (np.abs(ni_f - ni_v) <= 2).all(), (ni_f, ni_v)
+    # the near-solution lane must actually have frozen early
+    assert ni_f[2] < ni_f[1], (ni_f, ni_v)
+    np.testing.assert_allclose(np.asarray(r_f.x), np.asarray(r_v.x),
+                               atol=2e-3)
+    # tol=0 contract
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "1")
+    monkeypatch.setenv("MBT_FUSED_BATCHED", "1")
+    cfg0 = SolverConfig(tol=0.0, max_iter=30, dtype=jnp.float32)
+    r0 = solve_batched(prob32.A, B, method="bicgstab", cfg=cfg0)
+    assert [int(v) for v in np.asarray(r0.n_iter)] == [30, 30, 30]
