@@ -34,6 +34,28 @@ from mpi_bicgstab_tpu.ops.butterfly import _B, _LANES, _SUB, ButterflyMatrix
 _TB = 16     # windows per grid step (grid-overhead lesson)
 
 
+def _tb_windows(P: int) -> int:
+    """Windows per grid step for K1/K2. Measured on the v5e at 1.6M
+    (scripts/r4_gather_probe*.py): the K2 kernel runs 655 us at TB=16
+    but 289-298 us at TB=128-256 — per-step overhead (DMA issue +
+    revisiting) dominates small blocks. P is a multiple of 1024, so
+    256 always divides it; the ladder keeps tiny interpret-mode test
+    grids working."""
+    for tb in (256, 128, 64, 32):
+        if P % tb == 0:
+            return tb
+    return _TB
+
+
+def _tb_rows(NR: int) -> int:
+    """Row-tiles per K3 grid step: largest divisor of NR (K3 is
+    gather-op bound, but TB=40 still measured ~8% over TB=16)."""
+    for tb in (64, 48, 40, 32, 24):
+        if NR % tb == 0:
+            return tb
+    return _TB
+
+
 def _vmem_ok(bf: ButterflyMatrix, df: bool) -> bool:
     """K1 holds the ENTIRE padded iterate VMEM-resident (x2 streams in
     DF). Large single-device matrices and distributed rectangular
@@ -80,19 +102,20 @@ def _k1_kernel(src_ref, x_hbm, ss_ref, li_ref, u1_ref, xv, sem, *, TB):
 def _k1(k1_src, k1_sub, k1_lane, x2d, interpret=False):
     P = k1_sub.shape[0]
     R = x2d.shape[0]
-    tile = lambda: pl.BlockSpec((_TB, _SUB, _LANES),  # noqa: E731
+    TB = _tb_windows(P)
+    tile = lambda: pl.BlockSpec((TB, _SUB, _LANES),  # noqa: E731
                                 lambda s, src: (s, 0, 0),
                                 memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(P // _TB,),
+        grid=(P // TB,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), tile(), tile()],
         out_specs=tile(),
         scratch_shapes=[pltpu.VMEM((R, _LANES), x2d.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
     return pl.pallas_call(
-        partial(_k1_kernel, TB=_TB),
+        partial(_k1_kernel, TB=TB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, _SUB, _LANES), x2d.dtype),
         interpret=interpret,
@@ -115,12 +138,13 @@ def _k2_kernel(m_ref, ss_ref, li_ref, o_ref, *, TB):
 @partial(jax.jit, static_argnames=("interpret",))
 def _k2(mid, k2_sub, k2_lane, interpret=False):
     P = mid.shape[0]
-    tile = lambda: pl.BlockSpec((_TB, _SUB, _LANES),  # noqa: E731
+    TB = _tb_windows(P)
+    tile = lambda: pl.BlockSpec((TB, _SUB, _LANES),  # noqa: E731
                                 lambda s: (s, 0, 0),
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_k2_kernel, TB=_TB),
-        grid=(P // _TB,),
+        partial(_k2_kernel, TB=TB),
+        grid=(P // TB,),
         in_specs=[tile(), tile(), tile()],
         out_specs=tile(),
         out_shape=jax.ShapeDtypeStruct((P, _SUB, _LANES), mid.dtype),
@@ -159,18 +183,19 @@ def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
     W8, n_pad = k3_vals.shape
     C = W8 // _SUB
     NR = n_pad // _LANES
+    TB = _tb_rows(NR)
     r4 = lambda a: a.reshape(C, _SUB, NR, _LANES)  # noqa: E731
-    tile = lambda: pl.BlockSpec((C, _SUB, _TB, _LANES),  # noqa: E731
+    tile = lambda: pl.BlockSpec((C, _SUB, TB, _LANES),  # noqa: E731
                                 lambda s: (0, 0, s, 0),
                                 memory_space=pltpu.VMEM)
     y = pl.pallas_call(
-        partial(_k3_kernel, C=C, F=F, TB=_TB),
-        grid=(NR // _TB,),
-        in_specs=[pl.BlockSpec((_TB * _SUB * F, _LANES),
+        partial(_k3_kernel, C=C, F=F, TB=TB),
+        grid=(NR // TB,),
+        in_specs=[pl.BlockSpec((TB * _SUB * F, _LANES),
                                lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
                   tile(), tile(), tile()],
-        out_specs=pl.BlockSpec((_TB, _LANES), lambda s: (s, 0),
+        out_specs=pl.BlockSpec((TB, _LANES), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NR, _LANES), k3_vals.dtype),
         interpret=interpret,
@@ -269,20 +294,21 @@ def _k3_df(zh, zl, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
     W8, n_pad = k3_vals.hi.shape
     C = W8 // _SUB
     NR = n_pad // _LANES
+    TB = _tb_rows(NR)
     r4 = lambda a: a.reshape(C, _SUB, NR, _LANES)  # noqa: E731
-    tile = lambda: pl.BlockSpec((C, _SUB, _TB, _LANES),  # noqa: E731
+    tile = lambda: pl.BlockSpec((C, _SUB, TB, _LANES),  # noqa: E731
                                 lambda s: (0, 0, s, 0),
                                 memory_space=pltpu.VMEM)
-    zspec = lambda: pl.BlockSpec((_TB * _SUB * F, _LANES),  # noqa: E731
+    zspec = lambda: pl.BlockSpec((TB * _SUB * F, _LANES),  # noqa: E731
                                  lambda s: (s, 0),
                                  memory_space=pltpu.VMEM)
     yh, yl = pl.pallas_call(
-        partial(_k3_df_kernel, C=C, F=F, TB=_TB),
-        grid=(NR // _TB,),
+        partial(_k3_df_kernel, C=C, F=F, TB=TB),
+        grid=(NR // TB,),
         in_specs=[zspec(), zspec(), tile(), tile(), tile(), tile()],
-        out_specs=(pl.BlockSpec((_TB, _LANES), lambda s: (s, 0),
+        out_specs=(pl.BlockSpec((TB, _LANES), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_TB, _LANES), lambda s: (s, 0),
+                   pl.BlockSpec((TB, _LANES), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((NR, _LANES), jnp.float32),
                    jax.ShapeDtypeStruct((NR, _LANES), jnp.float32)),

@@ -60,11 +60,14 @@ def main():
 
     out = {"n": n, "nnz": nnz, "layout": type(A).__name__}
     # --- check 1: long chains, several K pairs ---
+    # implied model: vals-only HBM traffic (4 B/nnz) — the iterate and
+    # result are VMEM-resident loop-carried buffers (see bench.py
+    # _bytes_per_nnz_dia and docs/RESULTS_TPU.md roofline section)
     for k1, k2 in ((20, 120), (40, 480), (80, 960)):
         sec = _slope_time(make_chain, K1=k1, K2=k2, reps=5)
         out[f"slope_{k1}_{k2}_nnz_per_s"] = round(nnz / sec, 1)
         out[f"slope_{k1}_{k2}_implied_GBps"] = round(
-            nnz / sec * (4 + 8 / 15) / 1e9, 1)
+            nnz / sec * 4.0 / 1e9, 1)
 
     # --- check 2: profiler trace of the chain region ---
     K = 480
@@ -81,28 +84,31 @@ def main():
         out["trace_total_s"] = round(dur_ns / 1e9, 6)
         out["trace_nnz_per_s"] = round(nnz / sec_iter, 1)
         out["trace_implied_GBps"] = round(
-            nnz / sec_iter * (4 + 8 / 15) / 1e9, 1)
+            nnz / sec_iter * 4.0 / 1e9, 1)
     print(json.dumps(out), flush=True)
 
 
 def _longest_xla_op_ns(trace_dir):
-    """Largest single duration among device trace events — with one
-    jit(chain) call in the trace window this is the program itself."""
-    try:
-        from tensorflow.core.profiler.protobuf import trace_events_pb2  # noqa
-    except Exception:
-        trace_events_pb2 = None
+    """Largest single duration among DEVICE-side trace events — with
+    one jit(chain) call in the trace window this is the XLA-module
+    event of the program itself. Host-thread events (python frames,
+    np.asarray waits) must be excluded: they include the relay's
+    ~35 ms sync and over-read the duration by >50% (observed round 4:
+    94.6 ms host event vs 58.9 ms jit_chain device event)."""
     best = 0
     for path in glob.glob(os.path.join(
             trace_dir, "**", "*.trace.json.gz"), recursive=True):
         with gzip.open(path, "rt") as f:
             data = json.load(f)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X" and "dur" in ev:
-                name = str(ev.get("name", ""))
-                pid_name = name.lower()
-                if "fori" in pid_name or "chain" in pid_name or True:
-                    best = max(best, int(ev["dur"] * 1000))  # us -> ns
+        evs = data.get("traceEvents", [])
+        device_pids = {
+            ev["pid"] for ev in evs
+            if ev.get("ph") == "M" and ev.get("name") == "process_name"
+            and "device:" in str(ev.get("args", {}).get("name", ""))}
+        for ev in evs:
+            if (ev.get("ph") == "X" and "dur" in ev
+                    and ev.get("pid") in device_pids):
+                best = max(best, int(ev["dur"] * 1000))  # us -> ns
     return best
 
 
