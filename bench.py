@@ -27,7 +27,9 @@ import time
 
 import numpy as np
 
-HBM_MEASURED_GBPS = 694.0   # docs/RESULTS_TPU.md round 1 (fma15 chain)
+HBM_MEASURED_GBPS = 740.0   # pure-read 512 MB stream (r4_probe3; the
+# round-1 694 was an fma15 read+write chain — the wrong ceiling for
+# the read-dominated SpMV streams)
 HBM_SPEC_GBPS = 819.0       # v5e datasheet
 
 

@@ -34,17 +34,20 @@ def main():
     from mpi_bicgstab_tpu.benchmarks.runner import _slope_time
 
     out = {}
-    rng = np.random.default_rng(0)
     for label, mb in (("read96", 96), ("read512", 512)):
         elems = mb * 1024 * 1024 // 4
-        a = jnp.asarray(rng.standard_normal(elems // 1024 * 1024,
-                                            ).reshape(-1, 1024),
-                        jnp.float32)
+        # generated ON DEVICE and passed as an argument: a host-side
+        # closure constant this large gets embedded in the HLO and the
+        # relay rejects the upload (HTTP 413)
+        key = jax.random.PRNGKey(0)
+        a = jax.jit(lambda k: jax.random.normal(
+            k, (elems // 1024, 1024), jnp.float32))(key)
+        a.block_until_ready()
         nbytes = a.size * 4
 
         def make(K, a=a):
             @jax.jit
-            def run(s0):
+            def run(a, s0):
                 def body(i, s):
                     # depends on carry inside the |.|: not hoistable,
                     # not factorable — one full pass over `a` per iter
@@ -52,12 +55,12 @@ def main():
 
                 return lax.fori_loop(0, K, body, s0)
 
-            return lambda: run(jnp.float32(1.0))
+            return lambda: run(a, jnp.float32(1.0))
 
         sec = _slope_time(make, K1=20, K2=120, reps=5)
         out[f"{label}_s_per_pass"] = round(sec, 6)
         out[f"{label}_GBps"] = round(nbytes / sec / 1e9, 1)
-    print(json.dumps(out), flush=True)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
