@@ -107,15 +107,17 @@ def _pad_rows(vec, plr: int, phr: int, lo=None, hi=None):
     return out
 
 
-def _load_windows(i, CH, tr, srcs, wins, sems):
+def _load_windows(i, CH, tr, srcs, wins, sems, row_off=0):
     """At a chunk head, DMA each source's (chunk + halo) window into
     its VMEM scratch; grid steps run sequentially so the scratch
-    persists for the chunk's remaining tiles."""
+    persists for the chunk's remaining tiles. row_off shifts the
+    window start for PADDED-carry sources (data begins at row _TR
+    instead of plr — see bicgstab_fused's padded layout)."""
     wr = wins[0].shape[0]
 
     @pl.when(i % CH == 0)
     def _():
-        row0 = (i // CH) * (CH * tr)
+        row0 = (i // CH) * (CH * tr) + row_off
         dmas = [pltpu.make_async_copy(s.at[pl.ds(row0, wr), :], w, sem)
                 for s, w, sem in zip(srcs, wins, sems)]
         for d in dmas:
@@ -127,12 +129,12 @@ def _load_windows(i, CH, tr, srcs, wins, sems):
 def _k1_kernel(sc_ref, rp, pp, sp, vals_ref, rh_ref,
                p2_ref, s2_ref, dots_ref,
                rw, pw, sw, nw, sem_r, sem_p, sem_s,
-               *, offsets, plr, CH, tr):
+               *, offsets, plr, CH, tr, row_off=0):
     """p' = r + beta (p - omega s) over the window; s' = A p'."""
     i = pl.program_id(0)
     beta, omega = sc_ref[0], sc_ref[1]
     _load_windows(i, CH, tr, (rp, pp, sp), (rw, pw, sw),
-                  (sem_r, sem_p, sem_s))
+                  (sem_r, sem_p, sem_s), row_off=row_off)
 
     @pl.when(i % CH == 0)
     def _():
@@ -150,11 +152,12 @@ def _k1_kernel(sc_ref, rp, pp, sp, vals_ref, rh_ref,
 def _k2_kernel(sc_ref, rp, sp, vals_ref,
                q_ref, y_ref, dots_ref,
                rw, sw, qw, sem_r, sem_s,
-               *, offsets, plr, CH, tr):
+               *, offsets, plr, CH, tr, row_off=0):
     """q = r - alpha s' over the window; y = A q."""
     i = pl.program_id(0)
     alpha = sc_ref[0]
-    _load_windows(i, CH, tr, (rp, sp), (rw, sw), (sem_r, sem_s))
+    _load_windows(i, CH, tr, (rp, sp), (rw, sw), (sem_r, sem_s),
+                  row_off=row_off)
 
     @pl.when(i % CH == 0)
     def _():
@@ -181,7 +184,13 @@ def _k3_kernel(sc_ref, x_ref, p2_ref, q_ref, y_ref, rh_ref,
     dots_ref[...] = _dot_row([jnp.sum(r2 * r2), jnp.sum(rh * r2)])
 
 
-def _tile_spec(tr):
+def _tile_spec(tr, shift: int = 0):
+    """Tiled (tr, 128) blocks; shift=1 places block i at row-tile i+1
+    — the data region of a PADDED (_TR + nr + _TR, 128) array whose
+    first/last row-tiles are the (zero) halo margins."""
+    if shift:
+        return pl.BlockSpec((tr, _LANES), lambda i: (i + 1, 0),
+                            memory_space=pltpu.VMEM)
     return pl.BlockSpec((tr, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
@@ -191,113 +200,225 @@ def _dots_spec():
                         memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def pad_carry(vec, nr: int):
+    """[n] (or (nr,128)) -> (_TR + nr + _TR, 128) PADDED-carry layout:
+    one zero row-TILE of halo margin on each side (tile-aligned so
+    kernel out blocks can address the data region directly). The fused
+    loop carries vectors in this form across iterations — the
+    per-iteration _pad_rows copies (measured 0.29 ms/iter of the
+    0.71 ms single-chip fused-classic iteration, round 4) disappear;
+    fresh kernel outputs get their few halo-read margin rows re-zeroed
+    by _zero_margins (a ~5 KB in-place update, not a 51 MB pad pass).
+
+    Aliasing note: K1/K2 outputs must NOT alias their window-DMA'd
+    inputs — the chunk-head DMA of chunk c reads source rows that
+    overlap the block rows chunk c-1 already wrote (1-row overlap at
+    every chunk boundary), so aliasing races the DMA against the
+    output copy-out. K3 is purely tiled (block i reads exactly block
+    i), where aliasing IS safe and is used."""
+    out = jnp.zeros((_TR + nr + _TR, _LANES), jnp.float32)
+    return out.at[_TR:_TR + nr, :].set(vec.reshape(nr, _LANES))
+
+
+def _zero_margins(vp, plr: int, phr: int):
+    """Zero the margin rows a later kernel's window DMA actually reads
+    (plr rows below the data, phr + _SLACK above) — fresh pallas
+    outputs leave them uninitialized. In-place dynamic updates on the
+    loop-carried buffer."""
+    nr = vp.shape[0] - 2 * _TR
+    z_lo = jnp.zeros((plr, _LANES), jnp.float32)
+    z_hi = jnp.zeros((phr + _SLACK, _LANES), jnp.float32)
+    return vp.at[_TR - plr:_TR, :].set(z_lo).at[
+        _TR + nr:_TR + nr + phr + _SLACK, :].set(z_hi)
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret", "padded"))
 def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
-             interpret: bool = False, halos=None):
+             interpret: bool = False, halos=None,
+             padded: bool = False):
     """scalars = [beta, omega]. Returns (p2, s2, rhTs).
 
     halos: optional (r_lo, r_hi, p_lo, p_hi, s_lo, s_hi) neighbor
     band-edge values for the distributed halo-fused path (see
-    _pad_rows); rhTs is then the LOCAL partial to psum."""
-    n = r.shape[0]
-    nr = n // _LANES
+    _pad_rows); rhTs is then the LOCAL partial to psum.
+
+    padded: r/p/s/r_hat arrive in the pad_carry layout
+    ((_TR + nr + _TR, 128), zero margins) and p2/s2 are returned in the
+    SAME layout with the margins preserved via input_output_aliases
+    (p and s are donated) — no per-call pad/reshape traffic."""
+    if padded:
+        nr = r.shape[0] - 2 * _TR
+    else:
+        nr = r.shape[0] // _LANES
+    n = nr * _LANES
     tr = _TR
     G = nr // tr
     CH = _chunk_tiles(G)
     plr, phr = _halo_rows(offsets)
     wr = CH * tr + plr + phr + _SLACK
     W = len(offsets)
+    sh = 1 if padded else 0
+    rows_out = nr + (2 * _TR if padded else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((W, tr, _LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                _tile_spec(tr)]
+                _tile_spec(tr, sh)]
+    if padded:
+        srcs = (r, p, s, vals.reshape(W, nr, _LANES), r_hat)
+        row_off = _TR - plr
+        aliases = {}   # window-DMA'd inputs must not alias (race —
+        # see pad_carry); margins re-zeroed below
+    else:
+        srcs = (
+            _pad_rows(r, plr, phr,
+                      *(halos[0:2] if halos else (None, None))),
+            _pad_rows(p, plr, phr,
+                      *(halos[2:4] if halos else (None, None))),
+            _pad_rows(s, plr, phr,
+                      *(halos[4:6] if halos else (None, None))),
+            vals.reshape(W, nr, _LANES),
+            r_hat.reshape(nr, _LANES))
+        row_off = 0
+        aliases = {}
     outs = pl.pallas_call(
-        partial(_k1_kernel, offsets=offsets, plr=plr, CH=CH, tr=tr),
+        partial(_k1_kernel, offsets=offsets, plr=plr, CH=CH, tr=tr,
+                row_off=row_off),
         grid=(G,),
         in_specs=in_specs,
-        out_specs=(_tile_spec(tr), _tile_spec(tr), _dots_spec()),
-        out_shape=(jax.ShapeDtypeStruct((nr, _LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((nr, _LANES), jnp.float32),
+        out_specs=(_tile_spec(tr, sh), _tile_spec(tr, sh),
+                   _dots_spec()),
+        out_shape=(jax.ShapeDtypeStruct((rows_out, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows_out, _LANES), jnp.float32),
                    jax.ShapeDtypeStruct((G, _SUB, _LANES), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((wr, _LANES), jnp.float32)] * 4
         + [pltpu.SemaphoreType.DMA(())] * 3,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(scalars,
-      _pad_rows(r, plr, phr, *(halos[0:2] if halos else (None, None))),
-      _pad_rows(p, plr, phr, *(halos[2:4] if halos else (None, None))),
-      _pad_rows(s, plr, phr, *(halos[4:6] if halos else (None, None))),
-      vals.reshape(W, nr, _LANES),
-      r_hat.reshape(nr, _LANES))
+    )(scalars, *srcs)
     p2, s2, dots = outs
     dsum = dots[:, 0].sum(axis=0)
+    if padded:
+        return (_zero_margins(p2, plr, phr),
+                _zero_margins(s2, plr, phr), dsum[0])
     return p2.reshape(n), s2.reshape(n), dsum[0]
 
 
-@partial(jax.jit, static_argnames=("offsets", "interpret"))
+@partial(jax.jit, static_argnames=("offsets", "interpret", "padded"))
 def fused_k2(vals, r, s2, scalars, offsets: tuple,
-             interpret: bool = False, halos=None):
+             interpret: bool = False, halos=None,
+             padded: bool = False):
     """scalars = [alpha]. Returns (q, y, qTy, yTy).
 
     halos: optional (r_lo, r_hi, s2_lo, s2_hi) for the distributed
-    halo-fused path; the dots are then LOCAL partials to psum."""
-    n = r.shape[0]
-    nr = n // _LANES
+    halo-fused path; the dots are then LOCAL partials to psum.
+
+    padded: pad_carry layout in/out; r is donated to q (r is dead
+    after this call in the fused loop) so q inherits the zero margins.
+    y's margins are unwritten garbage — it is only ever read on data
+    tiles (K3) and never carried."""
+    if padded:
+        nr = r.shape[0] - 2 * _TR
+    else:
+        nr = r.shape[0] // _LANES
+    n = nr * _LANES
     tr = _TR
     G = nr // tr
     CH = _chunk_tiles(G)
     plr, phr = _halo_rows(offsets)
     wr = CH * tr + plr + phr + _SLACK
     W = len(offsets)
+    sh = 1 if padded else 0
+    rows_out = nr + (2 * _TR if padded else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((W, tr, _LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)]
+    if padded:
+        srcs = (r, s2, vals.reshape(W, nr, _LANES))
+        row_off = _TR - plr
+        aliases = {}   # no aliasing across window DMAs (see pad_carry)
+    else:
+        srcs = (
+            _pad_rows(r, plr, phr,
+                      *(halos[0:2] if halos else (None, None))),
+            _pad_rows(s2, plr, phr,
+                      *(halos[2:4] if halos else (None, None))),
+            vals.reshape(W, nr, _LANES))
+        row_off = 0
+        aliases = {}
     outs = pl.pallas_call(
-        partial(_k2_kernel, offsets=offsets, plr=plr, CH=CH, tr=tr),
+        partial(_k2_kernel, offsets=offsets, plr=plr, CH=CH, tr=tr,
+                row_off=row_off),
         grid=(G,),
         in_specs=in_specs,
-        out_specs=(_tile_spec(tr), _tile_spec(tr), _dots_spec()),
-        out_shape=(jax.ShapeDtypeStruct((nr, _LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((nr, _LANES), jnp.float32),
+        out_specs=(_tile_spec(tr, sh), _tile_spec(tr, sh),
+                   _dots_spec()),
+        out_shape=(jax.ShapeDtypeStruct((rows_out, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows_out, _LANES), jnp.float32),
                    jax.ShapeDtypeStruct((G, _SUB, _LANES), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((wr, _LANES), jnp.float32)] * 3
         + [pltpu.SemaphoreType.DMA(())] * 2,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(scalars,
-      _pad_rows(r, plr, phr, *(halos[0:2] if halos else (None, None))),
-      _pad_rows(s2, plr, phr, *(halos[2:4] if halos else (None, None))),
-      vals.reshape(W, nr, _LANES))
+    )(scalars, *srcs)
     q, y, dots = outs
     dsum = dots[:, 0].sum(axis=0)
+    if padded:
+        # q's margins stay garbage here: K3 (tiled) aliases q -> r2
+        # and r2's margins are re-zeroed there, before any halo read
+        return q, y, dsum[0], dsum[1]
     return q.reshape(n), y.reshape(n), dsum[0], dsum[1]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_k3(x, p2, q, y, r_hat, scalars, interpret: bool = False):
-    """scalars = [alpha, omega]. Returns (x2, r2, dot_r, rTr_new)."""
-    n = x.shape[0]
-    nr = n // _LANES
+@partial(jax.jit, static_argnames=("interpret", "padded"))
+def fused_k3(x, p2, q, y, r_hat, scalars, interpret: bool = False,
+             padded: bool = False):
+    """scalars = [alpha, omega]. Returns (x2, r2, dot_r, rTr_new).
+
+    padded: pad_carry layout; x is donated to x2 and q to r2 (both
+    dead after this call), so x2/r2 keep the zero margins — r2 is
+    halo-read by the next iteration's K1."""
+    if padded:
+        nr = x.shape[0] - 2 * _TR
+    else:
+        nr = x.shape[0] // _LANES
+    n = nr * _LANES
     tr = _TR
     G = nr // tr
+    sh = 1 if padded else 0
+    rows_out = nr + (2 * _TR if padded else 0)
+    if padded:
+        srcs = (x, p2, q, y, r_hat)
+        aliases = {1: 0, 3: 1}        # x -> x2, q -> r2
+    else:
+        srcs = (x.reshape(nr, _LANES), p2.reshape(nr, _LANES),
+                q.reshape(nr, _LANES), y.reshape(nr, _LANES),
+                r_hat.reshape(nr, _LANES))
+        aliases = {}
     outs = pl.pallas_call(
         _k3_kernel,
         grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [_tile_spec(tr)] * 5,
-        out_specs=(_tile_spec(tr), _tile_spec(tr), _dots_spec()),
-        out_shape=(jax.ShapeDtypeStruct((nr, _LANES), jnp.float32),
-                   jax.ShapeDtypeStruct((nr, _LANES), jnp.float32),
+        + [_tile_spec(tr, sh)] * 5,
+        out_specs=(_tile_spec(tr, sh), _tile_spec(tr, sh),
+                   _dots_spec()),
+        out_shape=(jax.ShapeDtypeStruct((rows_out, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows_out, _LANES), jnp.float32),
                    jax.ShapeDtypeStruct((G, _SUB, _LANES), jnp.float32)),
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(scalars, x.reshape(nr, _LANES), p2.reshape(nr, _LANES),
-      q.reshape(nr, _LANES), y.reshape(nr, _LANES),
-      r_hat.reshape(nr, _LANES))
+    )(scalars, *srcs)
     x2, r2, dots = outs
     dsum = dots[:, 0].sum(axis=0)
+    if padded:
+        # r2 is halo-read by the next iteration's K1 — the CALLER
+        # re-zeroes its margins (needs the operator's plr/phr); x2's
+        # margins are never read
+        return x2, r2, dsum[0], dsum[1]
     return x2.reshape(n), r2.reshape(n), dsum[0], dsum[1]
 
 
@@ -328,12 +449,21 @@ def bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     max_iter = cfg.max_iter
 
     r0 = b - dia_spmv(Ap, x0)               # solver.c:74-75
-    r_hat = r0                              # solver.c:76
     rTr0 = jnp.sum(r0 * r0)                 # solver.c:78-80
     dot_zero = rTr0
     zero = jnp.asarray(0.0, dtype)
-    zv = jnp.zeros_like(b)
     hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+    # PADDED-carry layout (pad_carry): every loop vector lives as a
+    # (_TR + nr + _TR, 128) array with zero row-tile margins; kernel
+    # aliasing keeps the margins, so the loop pays ZERO pad/reshape
+    # traffic per iteration (round-4 device trace: the old per-call
+    # _pad_rows + reshape copies cost 0.29 of 0.71 ms/iter here)
+    nr = n // _LANES
+    plr, phr = _halo_rows(offsets)
+    r0p = pad_carry(r0, nr)
+    r_hat = r0p                             # solver.c:76
+    x0p = pad_carry(x0, nr)
+    zvp = jnp.zeros_like(r0p)
 
     def cond(c):
         k, x, r, p, s, beta, omega, rTr, dot_r, hist = c
@@ -345,22 +475,26 @@ def bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
         k, x, r, p, s, beta, omega, rTr, dot_r, hist = c
         p2, s2, rhTs = fused_k1(vals, r, p, s, r_hat,
                                 jnp.stack([beta, omega]), offsets,
-                                interpret=interpret)
+                                interpret=interpret, padded=True)
         alpha = rTr / rhTs                              # solver.c:93
         q, y, qTy, yTy = fused_k2(vals, r, s2, jnp.stack([alpha]),
-                                  offsets, interpret=interpret)
+                                  offsets, interpret=interpret,
+                                  padded=True)
         omega2 = qTy / yTy                              # solver.c:104
         x2, r2, dot_new, rTr_new = fused_k3(
             x, p2, q, y, r_hat, jnp.stack([alpha, omega2]),
-            interpret=interpret)
+            interpret=interpret, padded=True)
+        r2 = _zero_margins(r2, plr, phr)   # halo-read by next K1
         beta2 = (alpha / omega2) * (rTr_new / rTr)      # solver.c:116
         hist = hist.at[k].set(dot_new)
         return (k + 1, x2, r2, p2, s2, beta2, omega2, rTr_new,
                 dot_new, hist)
 
     out = lax.while_loop(cond, body, (
-        jnp.int32(0), x0, r0, zv, zv, zero, zero, rTr0, rTr0, hist0))
-    k, x = out[0], out[1]
+        jnp.int32(0), x0p, r0p, zvp, zvp, zero, zero, rTr0, rTr0,
+        hist0))
+    k = out[0]
+    x = out[1][_TR:_TR + nr, :].reshape(n)
     dot_r, hist = out[8], out[9]
     relres = jnp.sqrt(dot_r / dot_zero)
     # true-residual gate on `converged` (solvers/base.SolveResult doc)

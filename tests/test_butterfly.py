@@ -255,3 +255,22 @@ def test_partition_auto_routes_uniform_to_butterfly():
     csr = random_diag_dominant(8192, nnz_per_row=6, seed=11)
     part = partition_csr(csr, 4, format="auto")
     assert part.has_bfly and not part.has_ell and not part.has_window
+
+
+def test_tb_selection_divides_grids():
+    """Round-4 kernel retune: K1/K2 take 256 windows per grid step and
+    K3 the largest divisor of NR (pallas_butterfly._tb_windows /
+    _tb_rows). The selected tile must always divide the grid extent —
+    a non-divisor silently drops the trailing windows (grid floor
+    division), which is the failure mode this pins."""
+    from mpi_bicgstab_tpu.ops.pallas_butterfly import (_tb_rows,
+                                                       _tb_windows)
+    # P is always a multiple of 1024 with G = P/1024 odd (butterfly.py)
+    for g in (1, 3, 25, 39):
+        P = 1024 * g
+        assert P % _tb_windows(P) == 0
+    # NR is a multiple of 16 (n_pad rounds to 2048 = 16*128)
+    for nr in (16, 32, 12520, 12528, 2048):
+        assert nr % _tb_rows(nr) == 0
+    assert _tb_windows(25600) == 256      # the 1.6M headline shape
+    assert _tb_rows(12520) == 40
