@@ -146,22 +146,24 @@ def dia_spmv_df(A: DiaMatrix, x) -> "DF":
     multiply-adds — the TPU-native stand-in for the reference's all-f64
     kernel (mult, matrix.c:498-516).
 
-    Deliberately the straight df_add(df_mul(...)) chain: it is pure
-    elementwise code that XLA fuses into ONE pass over the val streams,
-    making the kernel HBM-BOUND (measured 43.8 Gnnz/s at Transport
-    scale) — a round-2 rewrite that pre-split the iterate to save ~40%
-    of the flops materialized two extra full-length arrays and ran 2.5x
-    SLOWER (17.2 Gnnz/s). On this hardware the df32 SpMV's flops are
-    free; bytes are not."""
-    from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_mul,
-                                                df_zeros)
+    Accumulates with df_fma (~27 flops/term, one deferred compensation)
+    rather than df_add(df_mul(...)) (~45): the round-4 corrected roofline
+    showed this kernel VPU-BOUND, not HBM-bound — the old chain measured
+    48 Gnnz/s = 435 GB/s implied vs ~740 GB/s achievable, so flops were
+    the wall. df_fma is the same arithmetic the fused Pallas iterations
+    use in-kernel (pallas_fused_pipe_df2._spmv, error ~2^-48 relative
+    per term), keeping the two paths' rounding aligned. Still one fused
+    elementwise pass over the val streams — a round-2 rewrite that
+    pre-split the iterate materialized two extra full-length arrays and
+    ran 2.5x SLOWER (17.2 Gnnz/s); bytes still matter most after flops."""
+    from mpi_bicgstab_tpu.ops.precision import DF, df_fma, df_zeros
     lo, hi = A.pad
     xp = DF(jnp.pad(x.hi, (lo, hi)), jnp.pad(x.lo, (lo, hi)))
     acc = df_zeros((A.n_rows,), x.hi.dtype)
     for w, o in enumerate(A.offsets):
         seg = DF(jax.lax.slice_in_dim(xp.hi, lo + o, lo + o + A.n_rows),
                  jax.lax.slice_in_dim(xp.lo, lo + o, lo + o + A.n_rows))
-        acc = df_add(acc, df_mul(A.vals[w], seg))
+        acc = df_fma(acc, A.vals[w], seg)
     return acc
 
 

@@ -33,15 +33,17 @@ def ell_spmv(A: EllMatrix, x: jax.Array) -> jax.Array:
 def ell_spmv_df(A: EllMatrix, x) -> "DF":
     """Double-float y = A @ x over the gather-ELL layout: A.vals and x
     are DF pairs (ops/precision). Gathers act on hi/lo independently;
-    accumulation uses full DF multiply-adds. The COO tail segments the
+    accumulation uses df_fma multiply-adds (the same ~27-flop fused form
+    the solver bodies and dia_spmv_df use — the df_add(df_mul) chain is
+    VPU-bound, see dia.dia_spmv_df). The COO tail segments the
     product's hi/lo parts separately (the tail is zero-padded and rare,
     so the uncompensated lo sum is below DF resolution in practice)."""
-    from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_mul,
-                                                df_zeros)
+    from mpi_bicgstab_tpu.ops.precision import (DF, df_add, df_fma,
+                                                df_mul, df_zeros)
     acc = df_zeros((A.n_rows,), x.hi.dtype)
     for w in range(A.width):
         xg = DF(x.hi[A.cols[w]], x.lo[A.cols[w]])
-        acc = df_add(acc, df_mul(A.vals[w], xg))
+        acc = df_fma(acc, A.vals[w], xg)
     if A.tail_size:
         xg = DF(x.hi[A.tail_cols], x.lo[A.tail_cols])
         t = df_mul(A.tail_vals, xg)
