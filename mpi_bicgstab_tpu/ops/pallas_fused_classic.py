@@ -184,12 +184,24 @@ def _k3_kernel(sc_ref, x_ref, p2_ref, q_ref, y_ref, rh_ref,
     dots_ref[...] = _dot_row([jnp.sum(r2 * r2), jnp.sum(rh * r2)])
 
 
+def _margin_tiles(offsets) -> int:
+    """Margin size of the padded-carry layout in row-TILES: the band's
+    halo rows must fit inside the margin (plr below, phr + _SLACK
+    above). One tile (64 rows) covers the laptop-scale tests; the
+    1.6M transport profile's far diagonals reach ~±15k elements = 120
+    halo rows -> 2 tiles (the round-5 fix: the hardcoded 1-tile margin
+    broke `bicgstab` f32 at the headline scale)."""
+    plr, phr = _halo_rows(offsets)
+    need = max(plr, phr + _SLACK, 1)
+    return -(-need // _TR)
+
+
 def _tile_spec(tr, shift: int = 0):
-    """Tiled (tr, 128) blocks; shift=1 places block i at row-tile i+1
-    — the data region of a PADDED (_TR + nr + _TR, 128) array whose
-    first/last row-tiles are the (zero) halo margins."""
+    """Tiled (tr, 128) blocks; shift=m places block i at row-tile i+m
+    — the data region of a PADDED (m*_TR + nr + m*_TR, 128) array whose
+    first/last m row-tiles are the (zero) halo margins."""
     if shift:
-        return pl.BlockSpec((tr, _LANES), lambda i: (i + 1, 0),
+        return pl.BlockSpec((tr, _LANES), lambda i, _s=shift: (i + _s, 0),
                             memory_space=pltpu.VMEM)
     return pl.BlockSpec((tr, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -200,15 +212,16 @@ def _dots_spec():
                         memory_space=pltpu.VMEM)
 
 
-def pad_carry(vec, nr: int):
-    """[n] (or (nr,128)) -> (_TR + nr + _TR, 128) PADDED-carry layout:
-    one zero row-TILE of halo margin on each side (tile-aligned so
-    kernel out blocks can address the data region directly). The fused
-    loop carries vectors in this form across iterations — the
-    per-iteration _pad_rows copies (measured 0.29 ms/iter of the
-    0.71 ms single-chip fused-classic iteration, round 4) disappear;
-    fresh kernel outputs get their few halo-read margin rows re-zeroed
-    by _zero_margins (a ~5 KB in-place update, not a 51 MB pad pass).
+def pad_carry(vec, nr: int, mt: int = 1):
+    """[n] (or (nr,128)) -> (mt*_TR + nr + mt*_TR, 128) PADDED-carry
+    layout: mt zero row-TILES of halo margin on each side (tile-aligned
+    so kernel out blocks can address the data region directly; mt =
+    _margin_tiles(offsets)). The fused loop carries vectors in this
+    form across iterations — the per-iteration _pad_rows copies
+    (measured 0.29 ms/iter of the 0.71 ms single-chip fused-classic
+    iteration, round 4) disappear; fresh kernel outputs get their few
+    halo-read margin rows re-zeroed by _zero_margins (a ~KB-scale
+    in-place update, not a 51 MB pad pass).
 
     Aliasing note: K1/K2 outputs must NOT alias their window-DMA'd
     inputs — the chunk-head DMA of chunk c reads source rows that
@@ -216,20 +229,22 @@ def pad_carry(vec, nr: int):
     every chunk boundary), so aliasing races the DMA against the
     output copy-out. K3 is purely tiled (block i reads exactly block
     i), where aliasing IS safe and is used."""
-    out = jnp.zeros((_TR + nr + _TR, _LANES), jnp.float32)
-    return out.at[_TR:_TR + nr, :].set(vec.reshape(nr, _LANES))
+    m = mt * _TR
+    out = jnp.zeros((m + nr + m, _LANES), jnp.float32)
+    return out.at[m:m + nr, :].set(vec.reshape(nr, _LANES))
 
 
-def _zero_margins(vp, plr: int, phr: int):
+def _zero_margins(vp, plr: int, phr: int, mt: int = 1):
     """Zero the margin rows a later kernel's window DMA actually reads
     (plr rows below the data, phr + _SLACK above) — fresh pallas
     outputs leave them uninitialized. In-place dynamic updates on the
     loop-carried buffer."""
-    nr = vp.shape[0] - 2 * _TR
+    m = mt * _TR
+    nr = vp.shape[0] - 2 * m
     z_lo = jnp.zeros((plr, _LANES), jnp.float32)
     z_hi = jnp.zeros((phr + _SLACK, _LANES), jnp.float32)
-    return vp.at[_TR - plr:_TR, :].set(z_lo).at[
-        _TR + nr:_TR + nr + phr + _SLACK, :].set(z_hi)
+    return vp.at[m - plr:m, :].set(z_lo).at[
+        m + nr:m + nr + phr + _SLACK, :].set(z_hi)
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret", "padded"))
@@ -243,11 +258,13 @@ def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
     _pad_rows); rhTs is then the LOCAL partial to psum.
 
     padded: r/p/s/r_hat arrive in the pad_carry layout
-    ((_TR + nr + _TR, 128), zero margins) and p2/s2 are returned in the
-    SAME layout with the margins preserved via input_output_aliases
-    (p and s are donated) — no per-call pad/reshape traffic."""
+    ((mt*_TR + nr + mt*_TR, 128), zero margins, mt = _margin_tiles) and
+    p2/s2 are returned in the SAME layout with the margins preserved
+    via input_output_aliases (p and s are donated) — no per-call
+    pad/reshape traffic."""
+    mt = _margin_tiles(offsets)
     if padded:
-        nr = r.shape[0] - 2 * _TR
+        nr = r.shape[0] - 2 * mt * _TR
     else:
         nr = r.shape[0] // _LANES
     n = nr * _LANES
@@ -257,8 +274,8 @@ def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
     plr, phr = _halo_rows(offsets)
     wr = CH * tr + plr + phr + _SLACK
     W = len(offsets)
-    sh = 1 if padded else 0
-    rows_out = nr + (2 * _TR if padded else 0)
+    sh = mt if padded else 0
+    rows_out = nr + (2 * mt * _TR if padded else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -268,7 +285,7 @@ def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
                 _tile_spec(tr, sh)]
     if padded:
         srcs = (r, p, s, vals.reshape(W, nr, _LANES), r_hat)
-        row_off = _TR - plr
+        row_off = mt * _TR - plr
         aliases = {}   # window-DMA'd inputs must not alias (race —
         # see pad_carry); margins re-zeroed below
     else:
@@ -301,8 +318,8 @@ def fused_k1(vals, r, p, s, r_hat, scalars, offsets: tuple,
     p2, s2, dots = outs
     dsum = dots[:, 0].sum(axis=0)
     if padded:
-        return (_zero_margins(p2, plr, phr),
-                _zero_margins(s2, plr, phr), dsum[0])
+        return (_zero_margins(p2, plr, phr, mt),
+                _zero_margins(s2, plr, phr, mt), dsum[0])
     return p2.reshape(n), s2.reshape(n), dsum[0]
 
 
@@ -319,8 +336,9 @@ def fused_k2(vals, r, s2, scalars, offsets: tuple,
     after this call in the fused loop) so q inherits the zero margins.
     y's margins are unwritten garbage — it is only ever read on data
     tiles (K3) and never carried."""
+    mt = _margin_tiles(offsets)
     if padded:
-        nr = r.shape[0] - 2 * _TR
+        nr = r.shape[0] - 2 * mt * _TR
     else:
         nr = r.shape[0] // _LANES
     n = nr * _LANES
@@ -330,8 +348,8 @@ def fused_k2(vals, r, s2, scalars, offsets: tuple,
     plr, phr = _halo_rows(offsets)
     wr = CH * tr + plr + phr + _SLACK
     W = len(offsets)
-    sh = 1 if padded else 0
-    rows_out = nr + (2 * _TR if padded else 0)
+    sh = mt if padded else 0
+    rows_out = nr + (2 * mt * _TR if padded else 0)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -339,7 +357,7 @@ def fused_k2(vals, r, s2, scalars, offsets: tuple,
                              memory_space=pltpu.VMEM)]
     if padded:
         srcs = (r, s2, vals.reshape(W, nr, _LANES))
-        row_off = _TR - plr
+        row_off = mt * _TR - plr
         aliases = {}   # no aliasing across window DMAs (see pad_carry)
     else:
         srcs = (
@@ -374,23 +392,24 @@ def fused_k2(vals, r, s2, scalars, offsets: tuple,
     return q.reshape(n), y.reshape(n), dsum[0], dsum[1]
 
 
-@partial(jax.jit, static_argnames=("interpret", "padded"))
+@partial(jax.jit, static_argnames=("interpret", "padded", "mt"))
 def fused_k3(x, p2, q, y, r_hat, scalars, interpret: bool = False,
-             padded: bool = False):
+             padded: bool = False, mt: int = 1):
     """scalars = [alpha, omega]. Returns (x2, r2, dot_r, rTr_new).
 
-    padded: pad_carry layout; x is donated to x2 and q to r2 (both
-    dead after this call), so x2/r2 keep the zero margins — r2 is
-    halo-read by the next iteration's K1."""
+    padded: pad_carry layout (mt margin tiles, _margin_tiles(offsets));
+    x is donated to x2 and q to r2 (both dead after this call), so
+    x2/r2 keep the zero margins — r2 is halo-read by the next
+    iteration's K1."""
     if padded:
-        nr = x.shape[0] - 2 * _TR
+        nr = x.shape[0] - 2 * mt * _TR
     else:
         nr = x.shape[0] // _LANES
     n = nr * _LANES
     tr = _TR
     G = nr // tr
-    sh = 1 if padded else 0
-    rows_out = nr + (2 * _TR if padded else 0)
+    sh = mt if padded else 0
+    rows_out = nr + (2 * mt * _TR if padded else 0)
     if padded:
         srcs = (x, p2, q, y, r_hat)
         aliases = {1: 0, 3: 1}        # x -> x2, q -> r2
@@ -460,9 +479,10 @@ def bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
     # _pad_rows + reshape copies cost 0.29 of 0.71 ms/iter here)
     nr = n // _LANES
     plr, phr = _halo_rows(offsets)
-    r0p = pad_carry(r0, nr)
+    mt = _margin_tiles(offsets)
+    r0p = pad_carry(r0, nr, mt)
     r_hat = r0p                             # solver.c:76
-    x0p = pad_carry(x0, nr)
+    x0p = pad_carry(x0, nr, mt)
     zvp = jnp.zeros_like(r0p)
 
     def cond(c):
@@ -483,8 +503,8 @@ def bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
         omega2 = qTy / yTy                              # solver.c:104
         x2, r2, dot_new, rTr_new = fused_k3(
             x, p2, q, y, r_hat, jnp.stack([alpha, omega2]),
-            interpret=interpret, padded=True)
-        r2 = _zero_margins(r2, plr, phr)   # halo-read by next K1
+            interpret=interpret, padded=True, mt=mt)
+        r2 = _zero_margins(r2, plr, phr, mt)   # halo-read by next K1
         beta2 = (alpha / omega2) * (rTr_new / rTr)      # solver.c:116
         hist = hist.at[k].set(dot_new)
         return (k + 1, x2, r2, p2, s2, beta2, omega2, rTr_new,
@@ -494,7 +514,7 @@ def bicgstab_fused(A: DiaMatrix, b, x0, cfg, interpret=False):
         jnp.int32(0), x0p, r0p, zvp, zvp, zero, zero, rTr0, rTr0,
         hist0))
     k = out[0]
-    x = out[1][_TR:_TR + nr, :].reshape(n)
+    x = out[1][mt * _TR:mt * _TR + nr, :].reshape(n)
     dot_r, hist = out[8], out[9]
     relres = jnp.sqrt(dot_r / dot_zero)
     # true-residual gate on `converged` (solvers/base.SolveResult doc)

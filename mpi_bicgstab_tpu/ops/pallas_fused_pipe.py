@@ -112,21 +112,32 @@ def _dia_core(xp, rs, tr, plr, offsets, vals_ref):
 
 def _phase_a_kernel(sc_ref, zf_hbm, vals_ref, r_ref, p_ref, s_ref, w_ref,
                     z_ref, v2_ref, p2_ref, s2_ref, q_ref, y_ref,
-                    dots_ref, xp, sem, *, offsets, plr, nr, tr):
+                    dots_ref, xp, sem, *, offsets, plr, nr, tr,
+                    haloed=False):
     i = pl.program_id(0)
     alpha, beta, omega = sc_ref[0], sc_ref[1], sc_ref[2]
 
     @pl.when(i == 0)
     def _():
-        if plr:
-            xp[pl.ds(0, plr), :] = jnp.zeros((plr, _LANES), xp.dtype)
-        tail = xp.shape[0] - plr - nr
-        if tail:
-            xp[pl.ds(plr + nr, tail), :] = jnp.zeros((tail, _LANES),
-                                                     xp.dtype)
-        dma = pltpu.make_async_copy(zf_hbm, xp.at[pl.ds(plr, nr), :], sem)
-        dma.start()
-        dma.wait()
+        if haloed:
+            # distributed halo-fused path: zf_hbm arrives as the FULL
+            # (plr + nr + phr, 128) window with the margin rows already
+            # carrying the neighbor shards' band-edge values
+            # (solvers/fused_dist._pad_window) — one whole-window DMA
+            dma = pltpu.make_async_copy(zf_hbm, xp, sem)
+            dma.start()
+            dma.wait()
+        else:
+            if plr:
+                xp[pl.ds(0, plr), :] = jnp.zeros((plr, _LANES), xp.dtype)
+            tail = xp.shape[0] - plr - nr
+            if tail:
+                xp[pl.ds(plr + nr, tail), :] = jnp.zeros((tail, _LANES),
+                                                         xp.dtype)
+            dma = pltpu.make_async_copy(zf_hbm, xp.at[pl.ds(plr, nr), :],
+                                        sem)
+            dma.start()
+            dma.wait()
 
     rs = i * tr
     v2 = _dia_core(xp, rs, tr, plr, offsets, vals_ref)
@@ -151,21 +162,27 @@ def _phase_a_kernel(sc_ref, zf_hbm, vals_ref, r_ref, p_ref, s_ref, w_ref,
 def _phase_b_kernel(sc_ref, wf_hbm, vals_ref, x_ref, p2_ref, q_ref,
                     y_ref, rh_ref, s2_ref, z2_ref,
                     t2_ref, x2_ref, r2_ref, dots_ref,
-                    xp, sem, *, offsets, plr, nr, tr):
+                    xp, sem, *, offsets, plr, nr, tr, haloed=False):
     i = pl.program_id(0)
     alpha, omega = sc_ref[0], sc_ref[1]
 
     @pl.when(i == 0)
     def _():
-        if plr:
-            xp[pl.ds(0, plr), :] = jnp.zeros((plr, _LANES), xp.dtype)
-        tail = xp.shape[0] - plr - nr
-        if tail:
-            xp[pl.ds(plr + nr, tail), :] = jnp.zeros((tail, _LANES),
-                                                     xp.dtype)
-        dma = pltpu.make_async_copy(wf_hbm, xp.at[pl.ds(plr, nr), :], sem)
-        dma.start()
-        dma.wait()
+        if haloed:
+            dma = pltpu.make_async_copy(wf_hbm, xp, sem)
+            dma.start()
+            dma.wait()
+        else:
+            if plr:
+                xp[pl.ds(0, plr), :] = jnp.zeros((plr, _LANES), xp.dtype)
+            tail = xp.shape[0] - plr - nr
+            if tail:
+                xp[pl.ds(plr + nr, tail), :] = jnp.zeros((tail, _LANES),
+                                                         xp.dtype)
+            dma = pltpu.make_async_copy(wf_hbm, xp.at[pl.ds(plr, nr), :],
+                                        sem)
+            dma.start()
+            dma.wait()
 
     rs = i * tr
     t2 = _dia_core(xp, rs, tr, plr, offsets, vals_ref)
@@ -196,12 +213,33 @@ def _specs(nr, tr, W, n_stream):
     return in_specs, tile
 
 
+def _pad_window(vec, plr: int, phr: int, lo, hi):
+    """[n] + neighbor band edges -> the full (plr + nr + phr, 128)
+    window the kernel DMAs whole (distributed halo-fused path; the
+    margin rows carry what the reference's gathered vector supplies
+    beyond the local row range, matrix.c:432,440)."""
+    nr = vec.shape[0] // _LANES
+    out = jnp.zeros((plr + nr + phr, _LANES), vec.dtype)
+    out = out.at[plr:plr + nr, :].set(vec.reshape(nr, _LANES))
+    if plr:
+        out = out.at[:plr, :].set(lo.reshape(plr, _LANES))
+    if phr:
+        out = out.at[plr + nr:, :].set(hi.reshape(phr, _LANES))
+    return out
+
+
 @partial(jax.jit, static_argnames=("offsets", "block_rows", "interpret"))
 def fused_phase_a(vals, z_full, r, p, s, w, z_old, scalars,
                   offsets: tuple, block_rows: int = 8192,
-                  interpret: bool = False):
+                  interpret: bool = False, halos=None):
     """scalars = [alpha, beta, omega]. Returns (v2, p2, s2, q, y,
-    qTy, yTy)."""
+    qTy, yTy).
+
+    halos: optional (z_lo, z_hi) neighbor band-edge values of the SpMV
+    input for the distributed halo-fused path (solvers/fused_dist);
+    the elementwise updates and dot partials are purely local tiles,
+    so only the resident iterate window needs them. The dots are then
+    LOCAL partials to psum."""
     n = z_full.shape[0]
     W = len(offsets)
     nr = n // _LANES
@@ -209,8 +247,13 @@ def fused_phase_a(vals, z_full, r, p, s, w, z_old, scalars,
     plr, phr = _halo_rows(offsets)
     G = nr // tr
     in_specs, tile = _specs(nr, tr, W, 5)
+    if halos is not None:
+        z_in = _pad_window(z_full, plr, phr, *halos)
+    else:
+        z_in = z_full.reshape(nr, _LANES)
     outs = pl.pallas_call(
-        partial(_phase_a_kernel, offsets=offsets, plr=plr, nr=nr, tr=tr),
+        partial(_phase_a_kernel, offsets=offsets, plr=plr, nr=nr, tr=tr,
+                haloed=halos is not None),
         grid=(G,),
         in_specs=in_specs,
         out_specs=tuple([tile() for _ in range(5)]
@@ -225,7 +268,7 @@ def fused_phase_a(vals, z_full, r, p, s, w, z_old, scalars,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(scalars, z_full.reshape(nr, _LANES), vals.reshape(W, nr, _LANES),
+    )(scalars, z_in, vals.reshape(W, nr, _LANES),
       r.reshape(nr, _LANES), p.reshape(nr, _LANES),
       s.reshape(nr, _LANES), w.reshape(nr, _LANES),
       z_old.reshape(nr, _LANES))
@@ -239,9 +282,12 @@ def fused_phase_a(vals, z_full, r, p, s, w, z_old, scalars,
 @partial(jax.jit, static_argnames=("offsets", "block_rows", "interpret"))
 def fused_phase_b(vals, w_full, x, p2, q, y, r_hat, s2, z2, scalars,
                   offsets: tuple, block_rows: int = 8192,
-                  interpret: bool = False):
+                  interpret: bool = False, halos=None):
     """scalars = [alpha, omega]. Returns (t2, x2, r2, dot_r, rTr, rhTw,
-    rhTs, rhTz)."""
+    rhTs, rhTz).
+
+    halos: optional (w_lo, w_hi) neighbor band edges of the SpMV input
+    (distributed halo-fused path; see fused_phase_a)."""
     n = w_full.shape[0]
     W = len(offsets)
     nr = n // _LANES
@@ -249,8 +295,13 @@ def fused_phase_b(vals, w_full, x, p2, q, y, r_hat, s2, z2, scalars,
     plr, phr = _halo_rows(offsets)
     G = nr // tr
     in_specs, tile = _specs(nr, tr, W, 7)
+    if halos is not None:
+        w_in = _pad_window(w_full, plr, phr, *halos)
+    else:
+        w_in = w_full.reshape(nr, _LANES)
     outs = pl.pallas_call(
-        partial(_phase_b_kernel, offsets=offsets, plr=plr, nr=nr, tr=tr),
+        partial(_phase_b_kernel, offsets=offsets, plr=plr, nr=nr, tr=tr,
+                haloed=halos is not None),
         grid=(G,),
         in_specs=in_specs,
         out_specs=tuple([tile() for _ in range(3)]
@@ -265,7 +316,7 @@ def fused_phase_b(vals, w_full, x, p2, q, y, r_hat, s2, z2, scalars,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(scalars, w_full.reshape(nr, _LANES), vals.reshape(W, nr, _LANES),
+    )(scalars, w_in, vals.reshape(W, nr, _LANES),
       x.reshape(nr, _LANES), p2.reshape(nr, _LANES),
       q.reshape(nr, _LANES), y.reshape(nr, _LANES),
       r_hat.reshape(nr, _LANES), s2.reshape(nr, _LANES),

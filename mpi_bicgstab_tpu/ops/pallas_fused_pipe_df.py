@@ -1,9 +1,11 @@
 """df32 pipelined-BiCGStab with FUSED iteration bodies (VERDICT #5).
 
 The df32 pipe iteration measured ~4.1 ms vs ~0.78 ms f32: the two DIA
-SpMVs are HBM-bound (0.55 ms each, ops/dia.dia_spmv_df) but the
-BLAS-1/dot body pays XLA fusion boundaries between every double-float
-op chain. Here each phase's body runs as ONE Pallas kernel over
+SpMVs were VPU-bound at the old df_add(df_mul(...)) accumulation
+(~45 flops/term; the round-4 roofline correction showed 48 Gnnz/s =
+435 GB/s implied against a ~740 GB/s read ceiling — since rewritten
+to df_fma in ops/dia.dia_spmv_df), and the BLAS-1/dot body pays XLA
+fusion boundaries between every double-float op chain. Here each phase's body runs as ONE Pallas kernel over
 [tr,128] tiles — all updates and compensated dot partials in a single
 pass, the error-free transforms verified bit-exact in Mosaic — while
 the SpMVs stay on the XLA path:

@@ -61,7 +61,8 @@ def applicable(part, method: str, b_loc, cfg) -> bool:
     """Gate for the distributed halo-fused dispatch (called inside
     shard_map with the LOCAL rhs shard)."""
     from mpi_bicgstab_tpu.ops.precision import is_df
-    if method not in ("bicgstab", "ca_bicgstab"):
+    if method not in ("bicgstab", "ca_bicgstab", "pipe_bicgstab",
+                      "pipe_bicgstab_rr"):
         return False
     if getattr(cfg, "serialize_comm", False):
         return False       # the nooverlap A/B times the XLA path
@@ -76,12 +77,16 @@ def applicable(part, method: str, b_loc, cfg) -> bool:
     if part.n_loc % _BLK != 0:
         return False
     # per-shard VMEM budget check on the LOCAL operator shape
-    from mpi_bicgstab_tpu.ops import pallas_fused_ca, pallas_fused_classic
+    from mpi_bicgstab_tpu.ops import (pallas_fused_ca,
+                                      pallas_fused_classic,
+                                      pallas_fused_pipe)
     from mpi_bicgstab_tpu.ops.dia import DiaMatrix
     shard = DiaMatrix(jnp.zeros((len(part.dia_offsets), 0), jnp.float32),
                       part.dia_offsets, part.n_loc, part.n_loc)
-    mod = (pallas_fused_classic if method == "bicgstab"
-           else pallas_fused_ca)
+    mod = {"bicgstab": pallas_fused_classic,
+           "ca_bicgstab": pallas_fused_ca,
+           "pipe_bicgstab": pallas_fused_pipe,
+           "pipe_bicgstab_rr": pallas_fused_pipe}[method]
     return mod.format_ok(shard, jnp.float32)
 
 
@@ -247,15 +252,141 @@ def ca_bicgstab_fused_halo(vals_loc, offsets: tuple, comm,
     return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
+def pipe_bicgstab_fused_halo(vals_loc, offsets: tuple, comm,
+                             n_devices: int, spmv, b, x0,
+                             cfg: SolverConfig, rr: bool = False,
+                             interpret: bool = False) -> SolveResult:
+    """Pipelined BiCGStab (+ optional residual replacement), two
+    halo-fused Pallas phases per iteration per shard — the reference's
+    communication-HIDING flagship (solver.c:292-417; RR :433-576),
+    distributed (round-4 VERDICT missing #4).
+
+    Unlike classic/CA, both SpMV inputs (z', w') here are recurrence
+    results computed BEFORE their phase (solver.c:358-360, 374-375), so
+    the halo story is minimal: compute z'/w' locally in XLA, ppermute
+    just their band edges, and hand the fused single-device phase
+    kernels (ops/pallas_fused_pipe) a pre-filled window. Per-iteration
+    communication: 2 edge exchanges + 2 psum batches — one FEWER
+    rendezvous than classic (the pipelined rearrangement's point), and
+    XLA schedules each psum behind the next phase's kernel exactly as
+    the reference hand-places MPI_Wait (solver.c:363-385).
+
+    RR iterations (every cfg.krr, at most cfg.nrr times) re-anchor
+    r <- b - A x through the composed distributed `spmv` inside a
+    lax.cond, like the unfused loop (solvers/bicgstab.pipe_bicgstab_rr).
+    """
+    from mpi_bicgstab_tpu.ops.pallas_fused_pipe import (fused_phase_a,
+                                                        fused_phase_b)
+    from mpi_bicgstab_tpu.ops.pallas_spmv import _halo_rows
+    from mpi_bicgstab_tpu.solvers.bicgstab import _finish
+
+    dtype = b.dtype
+    tol2 = jnp.asarray(cfg.tol, dtype) ** 2
+    max_iter = cfg.max_iter
+    plr, phr = _halo_rows(offsets)
+
+    r0 = b - spmv(x0)                       # solver.c:318-319
+    r_hat = r0                              # solver.c:320
+    w0 = spmv(r0)                           # solver.c:323
+    t0 = spmv(w0)                           # solver.c:327
+    rTr0, rTw0 = comm.dots((r0, r0), (r0, w0))   # solver.c:321-331
+    alpha0 = rTr0 / rTw0                    # solver.c:333
+    dot_zero = rTr0
+    zero = jnp.asarray(0.0, dtype)
+    zv = jnp.zeros_like(b)
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype)
+
+    def cond(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
+        return (dot_r > dot_zero * tol2) & (k < max_iter)  # solver.c:351
+
+    def fused_body(c):
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        z2 = t + beta * (z - omega * v)             # solver.c:358-360
+        hz, = _edges(comm, n_devices, plr, phr, (z2,))
+        v2, p2, s2, q, y, qTy_l, yTy_l = fused_phase_a(
+            vals_loc, z2, r, p, s, w, z,
+            jnp.stack([alpha, beta, omega]), offsets,
+            interpret=interpret, halos=hz)
+        d2 = comm.allreduce(jnp.stack([qTy_l, yTy_l]))  # solver.c:363-367
+        omega2 = d2[0] / d2[1]                      # solver.c:369
+        w2 = y - omega2 * (t - alpha * v2)          # solver.c:374-375
+        hw, = _edges(comm, n_devices, plr, phr, (w2,))
+        t2, x2, r2, dn_l, rn_l, w_l, s_l, z_l = fused_phase_b(
+            vals_loc, w2, x, p2, q, y, r_hat, s2, z2,
+            jnp.stack([alpha, omega2]), offsets, interpret=interpret,
+            halos=hw)
+        d5 = comm.allreduce(jnp.stack([dn_l, rn_l, w_l, s_l, z_l]))
+        dot_new, rTr_new, rhTw, rhTs, rhTz = (d5[i] for i in range(5))
+        beta2 = (alpha / omega2) * (rTr_new / rTr)  # solver.c:387
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(dot_new)
+        return (k + 1, x2, r2, w2, t2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    def rr_body(c):
+        # residual replacement through the composed distributed spmv
+        # (reference solver.c:494-539 — 6 true SpMVs re-anchor every
+        # recurrence vector)
+        (k, x, r, w, t, p, s, z, v, alpha, beta, omega, rTr, dot_r,
+         hist) = c
+        p2 = r + beta * (p - omega * s)             # solver.c:494-496
+        s2 = spmv(p2)                               # solver.c:499
+        z2 = spmv(s2)                               # solver.c:500
+        q = r - alpha * s2                          # solver.c:510
+        y = w - alpha * z2                          # solver.c:511
+        qTy, yTy = comm.dots((q, y), (y, y))
+        v2 = spmv(z2)                               # solver.c:514
+        omega2 = qTy / yTy
+        x2 = x + alpha * p2 + omega2 * q            # solver.c:519-520
+        r2 = b - spmv(x2)                           # solver.c:523-525
+        w2 = spmv(r2)                               # solver.c:526
+        dot_new, rTr_new, rhTw, rhTs, rhTz = comm.dots(
+            (r2, r2), (r_hat, r2), (r_hat, w2), (r_hat, s2),
+            (r_hat, z2))
+        t2 = spmv(w2)                               # solver.c:539
+        beta2 = (alpha / omega2) * (rTr_new / rTr)
+        alpha2 = rTr_new / (rhTw + beta2 * (rhTs - omega2 * rhTz))
+        hist = hist.at[k].set(dot_new)
+        return (k + 1, x2, r2, w2, t2, p2, s2, z2, v2, alpha2, beta2,
+                omega2, rTr_new, dot_new, hist)
+
+    if rr:
+        krr, nrr = cfg.krr, cfg.nrr
+
+        def body(c):
+            k = c[0]
+            is_rr = (k % krr == 0) & (k > 0) & (k <= krr * nrr)
+            return lax.cond(is_rr, rr_body, fused_body, c)
+    else:
+        body = fused_body
+
+    out = lax.while_loop(cond, body, (
+        jnp.int32(0), x0, r0, w0, t0, zv, zv, zv, zv, alpha0, zero,
+        zero, rTr0, rTr0, hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[13], out[14]
+    return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
+
+
 def solve_fused_dist(part, mat_args, comm, method: str, spmv, b_loc,
                      x0_loc, cfg: SolverConfig) -> SolveResult:
     """Entry used by parallel.driver._go inside shard_map (after
     `applicable()` said yes): unpack the local DIA slab and run the
     halo-fused loop; `spmv` (the composed distributed SpMV) is used
-    only for init and the exit true-residual check."""
+    only for init, RR re-anchoring, and the exit true-residual check."""
     import jax
     dia_vals, _window, _bfly, _blocks, _rest = part.unpack(mat_args)
     interpret = jax.default_backend() == "cpu"
+    if method in ("pipe_bicgstab", "pipe_bicgstab_rr"):
+        return pipe_bicgstab_fused_halo(
+            dia_vals, part.dia_offsets, comm, part.n_devices, spmv,
+            b_loc, x0_loc, cfg, rr=(method == "pipe_bicgstab_rr"),
+            interpret=interpret)
     fn = (bicgstab_fused_halo if method == "bicgstab"
           else ca_bicgstab_fused_halo)
     return fn(dia_vals, part.dia_offsets, comm, part.n_devices, spmv,

