@@ -156,9 +156,17 @@ def _die_with_record(signum, frame):  # noqa: ARG001
     os._exit(0)
 
 
-def _median_spmv(csr, dtype, iters, reps=3):
+def _median_spmv(csr, dtype, iters, reps=3, prob=None):
+    """Median of `reps` slope measurements. The operator is built ONCE
+    and shared (prob=): per-call build_problem repeated the layout
+    analysis and a ~100 MB device_put through the TPU relay, which
+    dominated this section's wall time (round-5 measurement: 482 s for
+    three reps at 1.6M, nearly all of it host-side rebuild/transfer)."""
     from mpi_bicgstab_tpu.benchmarks.runner import bench_spmv
-    runs = [bench_spmv(csr, dtype, devices=1, iters=iters)
+    if prob is None:
+        from mpi_bicgstab_tpu.models.problem import build_problem
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
+    runs = [bench_spmv(csr, dtype, devices=1, iters=iters, prob=prob)
             for _ in range(reps)]
     runs.sort(key=lambda r: r["spmv_nnz_per_s"])
     return runs[len(runs) // 2]
@@ -237,9 +245,19 @@ def main():
 
     iters = 30 if small else 120   # longer chains damp relay noise
 
+    # one operator build per dtype, shared by every section that
+    # touches the transport matrix (see _median_spmv docstring)
+    from mpi_bicgstab_tpu.models.problem import build_problem
+    probs = {}
+
+    def _prob(dt):
+        if dt not in probs:
+            probs[dt] = build_problem(csr, dtype=dt, multiple=1024)
+        return probs[dt]
+
     # ---- priority 1: the headline metric -----------------------------
     def s_spmv():
-        spmv = _median_spmv(csr, dtype, iters)
+        spmv = _median_spmv(csr, dtype, iters, prob=_prob(dtype))
         bpn = _bytes_per_nnz_dia(15, False)
         return {
             "value": round(spmv["spmv_nnz_per_s"], 1),
@@ -257,7 +275,8 @@ def main():
     # arithmetic is all-f64 — matrix.c:498-516). Round-4's df_fma
     # rewrite is measured HERE, in the record, not only in a probe.
     def s_spmv_df():
-        spmv_df = _median_spmv(csr, "df32", max(iters // 2, 20))
+        spmv_df = _median_spmv(csr, "df32", max(iters // 2, 20),
+                               prob=_prob("df32"))
         return {
             "df32_spmv_nnz_per_s": round(spmv_df["spmv_nnz_per_s"], 1),
             "df32_spmv_implied_GBps": round(
@@ -269,28 +288,30 @@ def main():
     # ---- priority 3: per-iteration solver costs ----------------------
     def s_iter_classic():
         it = bench_iteration(csr, dtype, devices=1, method="bicgstab",
-                             iters=iters)
+                             iters=iters, prob=_prob(dtype))
         return {"bicgstab_time_per_iter_s": round(
             it["time_per_iter_s"], 6)}
     st.section("iter_classic_f32", 60, s_iter_classic)
 
     def s_iter_classic_df():
         it = bench_iteration(csr, "df32", devices=1, method="bicgstab",
-                             iters=30)
+                             iters=30, prob=_prob("df32"))
         return {"df32_bicgstab_time_per_iter_s": round(
             it["time_per_iter_s"], 6)}
     st.section("iter_classic_df32", 60, s_iter_classic_df)
 
     def s_iter_pipe():
         it = bench_iteration(csr, dtype, devices=1,
-                             method="pipe_bicgstab", iters=iters)
+                             method="pipe_bicgstab", iters=iters,
+                             prob=_prob(dtype))
         return {"pipe_bicgstab_time_per_iter_s": round(
             it["time_per_iter_s"], 6)}
     st.section("iter_pipe_f32", 60, s_iter_pipe)
 
     def s_iter_pipe_df():
         it = bench_iteration(csr, "df32", devices=1,
-                             method="pipe_bicgstab", iters=30)
+                             method="pipe_bicgstab", iters=30,
+                             prob=_prob("df32"))
         return {"df32_pipe_time_per_iter_s": round(
             it["time_per_iter_s"], 6)}
     st.section("iter_pipe_df32", 60, s_iter_pipe_df)
@@ -358,24 +379,35 @@ def main():
         n_u = 200_704 if small else 1_602_112
         csr_u = random_diag_dominant(n_u, nnz_per_row=8, seed=0)
         spmv_u = bench_spmv(csr_u, dtype, devices=1, iters=iters)
-        out = {"uniform_spmv_nnz_per_s": round(
+        return {"uniform_spmv_nnz_per_s": round(
             spmv_u["spmv_nnz_per_s"], 1),
             "uniform_layout": spmv_u.get("spmv_layout"),
             "uniform_n": n_u}
-        if st.time_left() > 120:
-            spmv_u_df = bench_spmv(csr_u, "df32", devices=1,
-                                   iters=max(iters // 2, 20))
-            out["uniform_df32_spmv_nnz_per_s"] = round(
-                spmv_u_df["spmv_nnz_per_s"], 1)
-            out["uniform_df32_n"] = n_u
-        return out
     st.section("uniform_spmv", 120, s_uniform)
+
+    # df32 butterfly at the SAME 1.6M scale, as its OWN section so a
+    # failure can't erase the f32 result (round-5: this sub-call used
+    # to 413 the relay compile via closure-embedded constants, and the
+    # XLA fallback it then took kernel-faulted the worker — both fixed,
+    # but the isolation stays)
+    def s_uniform_df():
+        from mpi_bicgstab_tpu.benchmarks.runner import bench_spmv
+        from mpi_bicgstab_tpu.models.generators import random_diag_dominant
+        n_u = 200_704 if small else 1_602_112
+        csr_u = random_diag_dominant(n_u, nnz_per_row=8, seed=0)
+        spmv_u_df = bench_spmv(csr_u, "df32", devices=1,
+                               iters=max(iters // 2, 20))
+        return {"uniform_df32_spmv_nnz_per_s": round(
+            spmv_u_df["spmv_nnz_per_s"], 1),
+            "uniform_df32_n": n_u}
+    st.section("uniform_df32_spmv", 90, s_uniform_df)
 
     # ---- priority 6: batched multi-RHS amortization -------------------
     def s_batched():
         it_b8 = bench_batched_iteration(csr, dtype, k=8,
                                         method="bicgstab",
-                                        iters=max(iters // 2, 20))
+                                        iters=max(iters // 2, 20),
+                                        prob=_prob(dtype))
         out = {"batched8_time_per_iter_s": round(
             it_b8["time_per_iter_s"], 6)}
         base = st.out.get("bicgstab_time_per_iter_s")

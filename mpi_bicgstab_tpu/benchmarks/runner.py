@@ -65,7 +65,12 @@ def _slope_time(make_chain, K1=10, K2=60, reps=5):
     return float(t2_total / (reps * K2))
 
 
-def bench_spmv(csr, dtype, devices=1, iters=60):
+def bench_spmv(csr, dtype, devices=1, iters=60, prob=None):
+    """prob: optional prebuilt models.problem.Problem for the
+    single-device path — building the operator (layout analysis +
+    device_put of ~100 MB through the TPU relay) dominates wall time
+    when repeated per call, so repeat callers (bench.py's median-of-3)
+    build once and share."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -111,36 +116,47 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
     else:
         from mpi_bicgstab_tpu.models.problem import build_problem
         from mpi_bicgstab_tpu.ops.layout import spmv as generic_spmv
-        prob = build_problem(csr, dtype=dtype, multiple=1024)
-        A = prob.A
+        if prob is None:
+            prob = build_problem(csr, dtype=dtype, multiple=1024)
+        # device-put ONCE and pass the operator as an explicit jit
+        # ARGUMENT: operators whose leaves are host numpy arrays
+        # (ButterflyMatrix keeps them host-side for the cache/
+        # serializer) would otherwise be EMBEDDED as HLO constants by a
+        # closure — ~290 MB of inline constants at 1.6M df32, which
+        # blew the TPU relay's remote-compile request limit (HTTP 413,
+        # the round-5 uniform-section failure). Closure capture of
+        # DEVICE arrays embeds them too under the remote compiler (the
+        # shipped module must be hermetic), so argument-passing is the
+        # only safe form here.
+        A = jax.device_put(prob.A)
         if dtype == "df32":
             from mpi_bicgstab_tpu.ops.precision import df_from_f64
             x0 = df_from_f64(rng.standard_normal(prob.n))
 
             def make_chain(K):
                 @jax.jit
-                def chain(v):
+                def chain(Aa, v):
                     def body(i, v):
-                        y = generic_spmv(A, v)
+                        y = generic_spmv(Aa, v)
                         return y * (1.0 / (1.0 + jnp.sum(jnp.abs(y.hi))))
 
                     out = lax.fori_loop(0, K, body, v)
                     return jnp.sum(out.hi)
 
-                return lambda: chain(x0)
+                return lambda: chain(A, x0)
         else:
             x0 = jnp.asarray(rng.standard_normal(prob.n), dtype=dtype)
 
             def make_chain(K):
                 @jax.jit
-                def chain(v):
+                def chain(Aa, v):
                     def body(i, v):
-                        y = generic_spmv(A, v)
+                        y = generic_spmv(Aa, v)
                         return y / (1.0 + jnp.sum(jnp.abs(y)))
 
                     return jnp.sum(lax.fori_loop(0, K, body, v))
 
-                return lambda: chain(x0)
+                return lambda: chain(A, x0)
 
     sec = _slope_time(make_chain, K1=max(2, iters // 6), K2=iters)
     # the operator was already built above for devices == 1; rebuilding
@@ -157,10 +173,12 @@ def bench_spmv(csr, dtype, devices=1, iters=60):
 
 
 def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
-                    iters=60):
+                    iters=60, prob=None):
     """Time per solver iteration: two runs with tol=0 (so exactly
     max_iter iterations execute) at different max_iter; the slope is the
-    avg time/iter the reference prints (solver.c:139)."""
+    avg time/iter the reference prints (solver.c:139).
+
+    prob: optional prebuilt Problem (single-device; see bench_spmv)."""
     from mpi_bicgstab_tpu.utils.config import SolverConfig
 
     b_host = csr.matvec(np.ones(csr.nrows))
@@ -180,7 +198,8 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
     else:
         from mpi_bicgstab_tpu.api import solve
         from mpi_bicgstab_tpu.models.problem import build_problem
-        prob = build_problem(csr, dtype=dtype, multiple=1024)
+        if prob is None:
+            prob = build_problem(csr, dtype=dtype, multiple=1024)
 
         def make_chain(K):
             cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype)
@@ -193,7 +212,7 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
 
 
 def bench_batched_iteration(csr, dtype, k=8, method="bicgstab",
-                            iters=60):
+                            iters=60, prob=None):
     """Time per BATCHED solver iteration (api.solve_batched, k RHS):
     same tol=0 slope trick as bench_iteration. The interesting ratio is
     k * time_per_iter(single) / time_per_iter(batched) — how much of
@@ -205,7 +224,8 @@ def bench_batched_iteration(csr, dtype, k=8, method="bicgstab",
     from mpi_bicgstab_tpu.utils.config import SolverConfig
 
     K1, K2 = max(2, iters // 6), iters
-    prob = build_problem(csr, dtype=dtype, multiple=1024)
+    if prob is None:
+        prob = build_problem(csr, dtype=dtype, multiple=1024)
     rng = np.random.default_rng(0)
     n = (prob.b.hi if hasattr(prob.b, "hi") else prob.b).shape[0]
     B_host = rng.standard_normal((k, n))

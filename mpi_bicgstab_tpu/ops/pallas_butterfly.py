@@ -57,13 +57,17 @@ def _tb_rows(NR: int) -> int:
 
 
 def _vmem_ok(bf: ButterflyMatrix, df: bool) -> bool:
-    """K1 holds the ENTIRE padded iterate VMEM-resident (x2 streams in
-    DF). Large single-device matrices and distributed rectangular
-    layouts (nc_pad = GLOBAL columns) can bust the ~13 MB budget the
-    sibling kernels enforce — fall back to the XLA path there instead
-    of failing Mosaic compilation mid-solve."""
-    resident = bf.nc_pad * 4 * (2 if df else 1)
-    return resident <= 10 * 1024 * 1024   # leave room for the streams
+    """K1 holds the padded iterate VMEM-resident ONE PLANE AT A TIME —
+    the DF pipeline routes the hi and lo streams through separate
+    _route_part kernel calls (6.4 MB resident each at 1.6M), so the
+    budget is per-plane for f32 and df32 alike. (The old 2x-df model
+    wrongly gated the Pallas path off at the 1.6M headline scale and
+    sent df32 solves down the XLA gather fallback, which kernel-faults
+    the TPU worker inside fori_loop chains there — round 5.) Large
+    distributed rectangular layouts (nc_pad = GLOBAL columns) still
+    fall back to XLA instead of failing Mosaic compilation mid-solve."""
+    del df  # per-plane residency: same budget for f32 and DF pairs
+    return bf.nc_pad * 4 <= 10 * 1024 * 1024
 
 
 def available(bf: ButterflyMatrix, dtype) -> bool:
