@@ -131,11 +131,18 @@ def _bicgstab_batched_fully_fused(A: DiaMatrix, B, X0,
     (ops/pallas_fused_batched): the p-update is deferred to the next
     iteration's K1 exactly like the single-lane fused build
     (ops/pallas_fused_classic.bicgstab_fused, solver.c:117-119), and
-    per-lane freezing happens in-register via the active scalar."""
+    per-lane freezing happens in-register via the active scalar.
+
+    R/P/S are carried in the padded layout (pad_carry_b) across the
+    whole loop — the round-4 build re-padded five [k, n] planes per
+    iteration, which a device trace priced at ~1.7 ms of the 4.1 ms
+    batched-8 iteration at 1.6M (scripts/r5_batched_trace.py)."""
     from mpi_bicgstab_tpu.ops.pallas_batched_spmv import batched_dia_spmv
-    from mpi_bicgstab_tpu.ops.pallas_fused_batched import (fused_k1b,
+    from mpi_bicgstab_tpu.ops.pallas_fused_batched import (_margin_tiles,
+                                                           fused_k1b,
                                                            fused_k2b,
-                                                           fused_k3b)
+                                                           fused_k3b,
+                                                           pad_carry_b)
 
     k, n0 = B.shape
     n = _round_up(n0, 8192)
@@ -145,6 +152,12 @@ def _bicgstab_batched_fully_fused(A: DiaMatrix, B, X0,
         B = jnp.pad(B, ((0, 0), (0, n - n0)))
         X0 = jnp.pad(X0, ((0, 0), (0, n - n0)))
     offsets = A.offsets
+    mt = _margin_tiles(offsets)
+    nr = n // 128
+    # pre-reshape the loop invariants ONCE: under TPU tiled layouts
+    # these are physical relayouts, and XLA was re-materializing them
+    # inside the while body every iteration (scripts/r5_batched_trace)
+    vals3 = vals.reshape(len(offsets), nr, 128)
 
     def spmv(Xs):
         return batched_dia_spmv(vals, Xs, offsets, interpret=interpret)
@@ -157,60 +170,65 @@ def _bicgstab_batched_fully_fused(A: DiaMatrix, B, X0,
         return jnp.sum(u * v, axis=1)
 
     R0 = B - spmv(X0)                            # solver.c:74-75
-    R_hat = R0                                   # solver.c:76
+    Rh3 = R0.reshape(k, nr, 128)                 # solver.c:76
     rTr0 = dot(R0, R0)                           # solver.c:78-80
     dot_zero = rTr0
     hist0 = jnp.full((k, max_iter), jnp.nan, dtype)
     Zk = jnp.zeros((k,), dtype)
-    ZV = jnp.zeros_like(B)
+    Rp0 = pad_carry_b(R0, nr, mt)
+    ZP = jnp.zeros_like(Rp0)
+    X0_3 = X0.reshape(k, nr, 128)
 
     def cond(c):
-        (it, X, R, P, S, beta, omega, rTr, dot_r, n_it, hist) = c
+        (it, X, Rp, Pp, Sp, beta, omega, rTr, dot_r, n_it, hist) = c
         if exact_iters(cfg):   # tol=0 bench contract: exactly
             return it < max_iter  # max_iter iters (base.py)
         return jnp.any(dot_r > dot_zero * tol2) & (it < max_iter)
 
     def body(c):
-        (it, X, R, P, S, beta, omega, rTr, dot_r, n_it, hist) = c
+        (it, X, Rp, Pp, Sp, beta, omega, rTr, dot_r, n_it, hist) = c
         if exact_iters(cfg):
             a = jnp.ones((k,), dtype)
         else:
             a = (dot_r > dot_zero * tol2).astype(dtype)
         ab0 = a > 0.5
         sc1 = jnp.stack([beta, omega, a], axis=1).reshape(-1)
-        P2, S2, rhTs = fused_k1b(vals, R, P, S, R_hat, sc1, offsets,
-                                 interpret=interpret)   # solver.c:88-91
+        P2p, S2p, rhTs = fused_k1b(vals3, Rp, Pp, Sp, Rh3, sc1,
+                                   offsets, mt,
+                                   interpret=interpret)  # solver.c:88-91
         # frozen lanes' recurrences can be inf/NaN; the kernels mask
         # writes ARITHMETICALLY (a*new + (1-a)*old), and 0*NaN = NaN —
         # so every per-lane scalar entering a kernel must be finite
         alpha = jnp.where(ab0, rTr / rhTs, 0.0)         # solver.c:93
         sc2 = jnp.stack([alpha, Zk], axis=1).reshape(-1)
-        Q, Y, qTy, yTy = fused_k2b(vals, R, S2, sc2, offsets,
+        Q, Y, qTy, yTy = fused_k2b(vals3, Rp, S2p, sc2, offsets, mt,
                                    interpret=interpret)  # solver.c:94-102
         omega2 = jnp.where(ab0, qTy / yTy, 0.0)         # solver.c:104
         sc3 = jnp.stack([alpha, omega2, a], axis=1).reshape(-1)
-        X2, R2, dot_new, rTr_new = fused_k3b(
-            X, P2, Q, Y, R_hat, sc3,
+        X2, R2p, dot_new, rTr_new = fused_k3b(
+            X, P2p, Q, Y, Rh3, sc3, offsets, mt,
             interpret=interpret)                        # solver.c:105-114
         ab = ab0
         beta2 = jnp.where(ab, (alpha / omega2) * (rTr_new / rTr),
                           0.0)                          # solver.c:116
-        # frozen lanes: K1/K3 wrote old vectors back in-register; the
-        # scalar recurrences freeze here (vmap's masked carry)
-        R = jnp.where(ab[:, None], R2, R)
+        # frozen lanes: every kernel wrote the old vectors back
+        # in-register (K3's r' = q = r exactly, since K2 ran their
+        # lanes with alpha = 0); only the scalar recurrences freeze
+        # here (vmap's masked carry)
         beta = jnp.where(ab, beta2, beta)
         omega = jnp.where(ab, omega2, omega)
         rTr = jnp.where(ab, rTr_new, rTr)
         dot_r2 = jnp.where(ab, dot_new, dot_r)
         n_it = jnp.where(ab, n_it + 1, n_it)
         hist = hist.at[:, it].set(jnp.where(ab, dot_new, jnp.nan))
-        return (it + 1, X2, R, P2, S2, beta, omega, rTr, dot_r2,
+        return (it + 1, X2, R2p, P2p, S2p, beta, omega, rTr, dot_r2,
                 n_it, hist)
 
     out = lax.while_loop(cond, body, (
-        jnp.int32(0), X0, R0, ZV, ZV, Zk, Zk, rTr0, rTr0,
+        jnp.int32(0), X0_3, Rp0, ZP, ZP, Zk, Zk, rTr0, rTr0,
         jnp.zeros((k,), jnp.int32), hist0))
-    X, dot_r, n_it, hist = out[1], out[8], out[9], out[10]
+    X = out[1].reshape(k, n)
+    dot_r, n_it, hist = out[8], out[9], out[10]
     relres = jnp.sqrt(dot_r / dot_zero)
     R_true = B - spmv(X)
     true_relres = jnp.sqrt(dot(R_true, R_true) / dot_zero)

@@ -237,3 +237,36 @@ def test_batched_fully_fused_matches_vmap(monkeypatch):
     cfg0 = SolverConfig(tol=0.0, max_iter=30, dtype=jnp.float32)
     r0 = solve_batched(prob32.A, B, method="bicgstab", cfg=cfg0)
     assert [int(v) for v in np.asarray(r0.n_iter)] == [30, 30, 30]
+
+
+def test_batched_fully_fused_multichunk_stash(monkeypatch):
+    """The in-place p/s carry of the fused batch (input_output_aliases
+    in ops/pallas_fused_batched.fused_k1b) relies on a VMEM stash to
+    un-race the window DMA's leading halo rows once the grid runs more
+    than one chunk. Laptop-scale problems get CH == G (single chunk),
+    so force CH=1 on a 4-chunk problem and check the trajectory still
+    matches the plain vmap build exactly."""
+    import jax.numpy as jnp
+
+    csr = banded_random(32768, [1, -1, 12, -12, 150, -150], seed=3)
+    prob32 = build_problem(csr, dtype=jnp.float32, multiple=8192)
+    rng = np.random.default_rng(5)
+    B = np.stack([np.asarray(prob32.b),
+                  csr.matvec(rng.standard_normal(csr.nrows))]
+                 ).astype(np.float32)
+    X0 = np.zeros_like(B)
+    cfg = SolverConfig(tol=1e-5, max_iter=120, dtype=jnp.float32,
+                       restarts=0)
+    monkeypatch.setenv("MBT_FUSED_BATCHED", "1")
+    monkeypatch.setenv("MBT_BATCHED_CH", "1")
+    r_f = solve_batched(prob32.A, B, x0=X0, method="bicgstab", cfg=cfg)
+    monkeypatch.delenv("MBT_BATCHED_CH")
+    monkeypatch.setenv("MBT_FUSED_BATCHED", "0")
+    monkeypatch.setenv("MBT_BATCHED_SPMV", "0")
+    cfg2 = SolverConfig(tol=1e-5, max_iter=121, dtype=jnp.float32,
+                        restarts=0)
+    r_v = solve_batched(prob32.A, B, x0=X0, method="bicgstab", cfg=cfg2)
+    ni_f, ni_v = np.asarray(r_f.n_iter), np.asarray(r_v.n_iter)
+    assert (np.abs(ni_f - ni_v) <= 2).all(), (ni_f, ni_v)
+    np.testing.assert_allclose(np.asarray(r_f.x), np.asarray(r_v.x),
+                               atol=2e-3)
