@@ -29,7 +29,13 @@ def main():
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-14
     max_iter = int(sys.argv[4]) if len(sys.argv) > 4 else 6000
     import jax
-    if dtype_name in ("df32", "float64"):
+    if dtype_name == "float64" or (
+            dtype_name == "df32" and jax.default_backend() != "tpu"):
+        # df32 on TPU runs with x64 OFF: the fused Pallas paths are
+        # gated off under x64 (Mosaic lane rolls), DF arithmetic needs
+        # no x64 there, and the round-5 refresh exists precisely to
+        # record the FUSED kernels' trajectories; on CPU x64 guards
+        # the EFTs against LLVM fast-math contraction (precision.py)
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from mpi_bicgstab_tpu.api import solve
