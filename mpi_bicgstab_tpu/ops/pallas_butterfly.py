@@ -160,23 +160,72 @@ def _k2(mid, k2_sub, k2_lane, interpret=False):
 # K3 — gather + multiply + accumulate from streamed dest windows
 # ---------------------------------------------------------------------------
 
-def _k3_kernel(z_ref, ss_ref, li_ref, v_ref, y_ref, *, C, F, TB):
+def _k3_kernel(z_ref, ss_ref, li_ref, v_ref, y_ref, *, C, F, TB,
+               variant="lane"):
     # Mosaic's sublane dynamic_gather needs MATCHED [8,128] shapes, so
-    # slabs process in chunks of 8; the F stacked windows resolve with
-    # a clip+select chain (same measured rate as a single window).
+    # slabs process in chunks of 8.
+    #
+    # Which of the F stacked windows an entry reads is a STATIC
+    # function of its OUTPUT lane: the router stores
+    # sub3 = (row % 128)//rb * 8 + slot//128 (butterfly.py "element
+    # final slot"), and window = (row % 128)//rb = out_lane // rb by
+    # construction for every layout the router can build. The round-4
+    # kernel resolved the window DYNAMICALLY from the ss values with a
+    # min/clip/where chain, which a round-5 variant sweep measured at
+    # ~610 us of the 1186 us K3 at 1.6M (MBT_K3_VARIANT traces,
+    # docs/RESULTS_TPU.md §Round 5); the "lane" default replaces it
+    # with per-window gathers selected by a broadcasted-iota lane
+    # mask — sublane/lane takes measured ~free next to the dynamic
+    # chain.
+    #
+    # Probe variants (MBT_K3_VARIANT): "select" is the old dynamic
+    # chain (correct, slow); "single" reads window 0 only (the F=1
+    # timing ceiling, numerically wrong for F>1); "masked" models a
+    # per-slab class-split router (wrong axis — kept for the probe
+    # record).
+    rbk = _LANES // F                       # output rows per window
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
+    sub_iota = None
+    if variant == "masked":
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
     for tb in range(TB):
         stacked = z_ref[pl.ds(tb * _SUB * F, _SUB * F), :]
         acc = jnp.zeros((_SUB, _LANES), v_ref.dtype)
         for c in range(C):
             ss = ss_ref[c, :, tb].astype(jnp.int32)      # [8, 128]
             li = li_ref[c, :, tb].astype(jnp.int32)
-            g = jnp.take_along_axis(
-                stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
-            for f in range(1, F):
-                part = jnp.take_along_axis(
-                    stacked[f * _SUB:(f + 1) * _SUB, :],
-                    jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
-                g = jnp.where(ss >= f * _SUB, part, g)
+            if variant == "lane":
+                ss7 = jnp.bitwise_and(ss, _SUB - 1)
+                xg = jnp.take_along_axis(
+                    jnp.take_along_axis(stacked[0:_SUB, :], ss7,
+                                        axis=0), li, axis=1)
+                for f in range(1, F):
+                    xf = jnp.take_along_axis(
+                        jnp.take_along_axis(
+                            stacked[f * _SUB:(f + 1) * _SUB, :], ss7,
+                            axis=0), li, axis=1)
+                    xg = jnp.where(lane_iota >= f * rbk, xf, xg)
+                acc = acc + v_ref[c, :, tb] * xg
+                continue
+            if variant == "single":
+                g = jnp.take_along_axis(
+                    stacked[0:_SUB, :],
+                    jnp.bitwise_and(ss, _SUB - 1), axis=0)
+            elif variant == "masked":
+                ss7 = jnp.bitwise_and(ss, _SUB - 1)
+                g = jnp.take_along_axis(stacked[0:_SUB, :], ss7, axis=0)
+                for f in range(1, F):
+                    part = jnp.take_along_axis(
+                        stacked[f * _SUB:(f + 1) * _SUB, :], ss7, axis=0)
+                    g = jnp.where(sub_iota >= (_SUB // F) * f, part, g)
+            else:
+                g = jnp.take_along_axis(
+                    stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
+                for f in range(1, F):
+                    part = jnp.take_along_axis(
+                        stacked[f * _SUB:(f + 1) * _SUB, :],
+                        jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
+                    g = jnp.where(ss >= f * _SUB, part, g)
             xg = jnp.take_along_axis(g, li, axis=1)
             acc = acc + v_ref[c, :, tb] * xg
         y_ref[tb] = jnp.sum(acc, axis=0)
@@ -192,8 +241,10 @@ def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
     tile = lambda: pl.BlockSpec((C, _SUB, TB, _LANES),  # noqa: E731
                                 lambda s: (0, 0, s, 0),
                                 memory_space=pltpu.VMEM)
+    import os
     y = pl.pallas_call(
-        partial(_k3_kernel, C=C, F=F, TB=TB),
+        partial(_k3_kernel, C=C, F=F, TB=TB,
+                variant=os.environ.get("MBT_K3_VARIANT", "lane")),
         grid=(NR // TB,),
         in_specs=[pl.BlockSpec((TB * _SUB * F, _LANES),
                                lambda s: (s, 0),
@@ -255,14 +306,21 @@ def available_df(bf: ButterflyMatrix, dtype) -> bool:
 
 
 def _gather_stacked(stacked, ss, li, F):
-    g = jnp.take_along_axis(
-        stacked[0:_SUB, :], jnp.minimum(ss, _SUB - 1), axis=0)
+    # window = out_lane // rb is STATIC in the output lane (same
+    # invariant as _k3_kernel's "lane" default; the old dynamic
+    # min/clip/where chain on ss cost ~610 us/spmv at 1.6M)
+    rbk = _LANES // F
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
+    ss7 = jnp.bitwise_and(ss, _SUB - 1)
+    xg = jnp.take_along_axis(
+        jnp.take_along_axis(stacked[0:_SUB, :], ss7, axis=0), li,
+        axis=1)
     for f in range(1, F):
-        part = jnp.take_along_axis(
-            stacked[f * _SUB:(f + 1) * _SUB, :],
-            jnp.clip(ss - f * _SUB, 0, _SUB - 1), axis=0)
-        g = jnp.where(ss >= f * _SUB, part, g)
-    return jnp.take_along_axis(g, li, axis=1)
+        xf = jnp.take_along_axis(
+            jnp.take_along_axis(stacked[f * _SUB:(f + 1) * _SUB, :],
+                                ss7, axis=0), li, axis=1)
+        xg = jnp.where(lane_iota >= f * rbk, xf, xg)
+    return xg
 
 
 def _k3_df_kernel(zh_ref, zl_ref, ss_ref, li_ref, vh_ref, vl_ref,
