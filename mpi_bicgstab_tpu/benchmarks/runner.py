@@ -118,45 +118,76 @@ def bench_spmv(csr, dtype, devices=1, iters=60, prob=None):
         from mpi_bicgstab_tpu.ops.layout import spmv as generic_spmv
         if prob is None:
             prob = build_problem(csr, dtype=dtype, multiple=1024)
-        # device-put ONCE and pass the operator as an explicit jit
-        # ARGUMENT: operators whose leaves are host numpy arrays
-        # (ButterflyMatrix keeps them host-side for the cache/
-        # serializer) would otherwise be EMBEDDED as HLO constants by a
-        # closure — ~290 MB of inline constants at 1.6M df32, which
-        # blew the TPU relay's remote-compile request limit (HTTP 413,
-        # the round-5 uniform-section failure). Closure capture of
-        # DEVICE arrays embeds them too under the remote compiler (the
-        # shipped module must be hermetic), so argument-passing is the
-        # only safe form here.
-        A = jax.device_put(prob.A)
+        # CLOSURE-embed the operator when it fits the relay's
+        # remote-compile request limit, ARGUMENT-pass only oversized
+        # ones. Both round-5 failure modes are real:
+        # - closure at ~290 MB (uniform df32 butterfly) blew the
+        #   relay's request cap (HTTP 413) — hence argument-passing;
+        # - but an ARGUMENT operator pays a physical relayout of its
+        #   internal reshapes ([W, n] -> [W, nr, 128] under TPU
+        #   tiling) that XLA re-materializes INSIDE the fori_loop
+        #   every iteration: the solo re-run measured the DIA chain at
+        #   22 Gnnz/s vs 190 closure-embedded (a constant-folded
+        #   reshape costs nothing). Same pathology as the batched-loop
+        #   fix in solvers/batched_fused.py.
+        A = prob.A
+        leaves = jax.tree_util.tree_leaves(A)
+        op_bytes = sum(getattr(a, "nbytes", 0) for a in leaves)
+        as_arg = op_bytes > 200 * 1024 * 1024
+        if as_arg:
+            A = jax.device_put(A)
         if dtype == "df32":
             from mpi_bicgstab_tpu.ops.precision import df_from_f64
             x0 = df_from_f64(rng.standard_normal(prob.n))
 
             def make_chain(K):
+                if as_arg:
+                    @jax.jit
+                    def chain(Aa, v):
+                        def body(i, v):
+                            y = generic_spmv(Aa, v)
+                            return y * (1.0 / (1.0
+                                               + jnp.sum(jnp.abs(y.hi))))
+
+                        out = lax.fori_loop(0, K, body, v)
+                        return jnp.sum(out.hi)
+
+                    return lambda: chain(A, x0)
+
                 @jax.jit
-                def chain(Aa, v):
+                def chain(v):
                     def body(i, v):
-                        y = generic_spmv(Aa, v)
+                        y = generic_spmv(A, v)
                         return y * (1.0 / (1.0 + jnp.sum(jnp.abs(y.hi))))
 
                     out = lax.fori_loop(0, K, body, v)
                     return jnp.sum(out.hi)
 
-                return lambda: chain(A, x0)
+                return lambda: chain(x0)
         else:
             x0 = jnp.asarray(rng.standard_normal(prob.n), dtype=dtype)
 
             def make_chain(K):
+                if as_arg:
+                    @jax.jit
+                    def chain(Aa, v):
+                        def body(i, v):
+                            y = generic_spmv(Aa, v)
+                            return y / (1.0 + jnp.sum(jnp.abs(y)))
+
+                        return jnp.sum(lax.fori_loop(0, K, body, v))
+
+                    return lambda: chain(A, x0)
+
                 @jax.jit
-                def chain(Aa, v):
+                def chain(v):
                     def body(i, v):
-                        y = generic_spmv(Aa, v)
+                        y = generic_spmv(A, v)
                         return y / (1.0 + jnp.sum(jnp.abs(y)))
 
                     return jnp.sum(lax.fori_loop(0, K, body, v))
 
-                return lambda: chain(A, x0)
+                return lambda: chain(x0)
 
     sec = _slope_time(make_chain, K1=max(2, iters // 6), K2=iters)
     # the operator was already built above for devices == 1; rebuilding

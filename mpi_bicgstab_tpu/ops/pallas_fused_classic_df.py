@@ -187,8 +187,12 @@ def _vspec(W, tr):
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def fused_k1_df(vals, r, p, s, r_hat, scalars, offsets: tuple,
-                interpret: bool = False):
-    """scalars = [b.hi, b.lo, o.hi, o.lo]. Returns (p2, s2, rhTs)."""
+                interpret: bool = False, halos=None):
+    """scalars = [b.hi, b.lo, o.hi, o.lo]. Returns (p2, s2, rhTs).
+
+    halos: optional (r_lo, r_hi, p_lo, p_hi, s_lo, s_hi) DF pairs of
+    neighbor band-edge values for the distributed halo-fused path
+    (solvers/fused_dist); rhTs is then the LOCAL partial to psum."""
     from mpi_bicgstab_tpu.ops.precision import DF
     n = r.hi.shape[0]
     nr = n // _LANES
@@ -199,8 +203,10 @@ def fused_k1_df(vals, r, p, s, r_hat, scalars, offsets: tuple,
     wr = CH * tr + plr + phr + _SLACK
     W = len(offsets)
     srcs = []
-    for v in (r, p, s):
-        h, l = _pad_rows(v, plr, phr)
+    for i, v in enumerate((r, p, s)):
+        hp = (halos[2 * i:2 * i + 2] if halos is not None
+              else (None, None))
+        h, l = _pad_rows(v, plr, phr, *hp)
         srcs += [h, l]
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [pl.BlockSpec(memory_space=pl.ANY)] * 6
@@ -228,8 +234,11 @@ def fused_k1_df(vals, r, p, s, r_hat, scalars, offsets: tuple,
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def fused_k2_df(vals, r, s2, scalars, offsets: tuple,
-                interpret: bool = False):
-    """scalars = [a.hi, a.lo]. Returns (q, y, qTy, yTy)."""
+                interpret: bool = False, halos=None):
+    """scalars = [a.hi, a.lo]. Returns (q, y, qTy, yTy).
+
+    halos: optional (r_lo, r_hi, s_lo, s_hi) DF pairs (see
+    fused_k1_df)."""
     from mpi_bicgstab_tpu.ops.precision import DF
     n = r.hi.shape[0]
     nr = n // _LANES
@@ -240,8 +249,10 @@ def fused_k2_df(vals, r, s2, scalars, offsets: tuple,
     wr = CH * tr + plr + phr + _SLACK
     W = len(offsets)
     srcs = []
-    for v in (r, s2):
-        h, l = _pad_rows(v, plr, phr)
+    for i, v in enumerate((r, s2)):
+        hp = (halos[2 * i:2 * i + 2] if halos is not None
+              else (None, None))
+        h, l = _pad_rows(v, plr, phr, *hp)
         srcs += [h, l]
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [pl.BlockSpec(memory_space=pl.ANY)] * 4

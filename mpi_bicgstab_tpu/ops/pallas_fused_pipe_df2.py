@@ -95,19 +95,31 @@ def available(A, dtype) -> bool:
     return format_ok(A, dtype)
 
 
-def _pad_rows(vec_df, plr: int, phr: int):
-    """[n] DF -> (plr + nr + phr + slack, 128) f32 pair with zero halo
-    rows (the window DMA source; zero rows make out-of-band reads inert
-    exactly like ops/pallas_fused_pipe.py's resident layout)."""
+def _pad_rows(vec_df, plr: int, phr: int, lo=None, hi=None):
+    """[n] DF -> (plr + nr + phr + slack, 128) f32 pair. The halo rows
+    are zeros by default (out-of-band reads inert, single device); in
+    the DISTRIBUTED halo-fused path lo/hi are DF pairs carrying the
+    neighbor shards' band-edge values (lo = previous shard's last
+    plr*128 elements, hi = next shard's first phr*128) — the df32
+    analogue of pallas_fused_pipe._pad_rows' distributed mode."""
     n = vec_df.hi.shape[0]
     nr = n // _LANES
     tot = plr + nr + phr + _SLACK
 
-    def one(a):
+    def one(a, lo_a, hi_a):
         out = jnp.zeros((tot, _LANES), jnp.float32)
-        return out.at[plr:plr + nr, :].set(a.reshape(nr, _LANES))
+        out = out.at[plr:plr + nr, :].set(a.reshape(nr, _LANES))
+        if lo_a is not None and plr:
+            out = out.at[:plr, :].set(lo_a.reshape(plr, _LANES))
+        if hi_a is not None and phr:
+            out = out.at[plr + nr:plr + nr + phr, :].set(
+                hi_a.reshape(phr, _LANES))
+        return out
 
-    return one(vec_df.hi), one(vec_df.lo)
+    return (one(vec_df.hi, None if lo is None else lo.hi,
+                None if hi is None else hi.hi),
+            one(vec_df.lo, None if lo is None else lo.lo,
+                None if hi is None else hi.lo))
 
 
 def _dia_core_df(win_h, win_l, base, tr, offsets, vh_ref, vl_ref):

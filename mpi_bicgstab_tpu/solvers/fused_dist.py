@@ -68,19 +68,34 @@ def applicable(part, method: str, b_loc, cfg) -> bool:
         return False       # the nooverlap A/B times the XLA path
     if not dist_fused_enabled():
         return False
-    if is_df(b_loc) or b_loc.dtype != jnp.float32:
-        return False
     if not (part.has_dia and part.dia_mode == "halo"):
         return False
     if part.has_ell or part.has_window or part.has_bfly:
         return False
     if part.n_loc % _BLK != 0:
         return False
+    from mpi_bicgstab_tpu.ops.dia import DiaMatrix
+    if is_df(b_loc):
+        # df32 (round 5): classic only so far — the DF fused kernels
+        # (ops/pallas_fused_classic_df) gained halo windows; CA/pipe
+        # DF still take the unfused XLA mesh path
+        if method != "bicgstab":
+            return False
+        if b_loc.hi.dtype != jnp.float32:
+            return False
+        from mpi_bicgstab_tpu.ops import pallas_fused_classic_df
+        from mpi_bicgstab_tpu.ops.precision import DF
+        shard = DiaMatrix(
+            DF(jnp.zeros((len(part.dia_offsets), 0), jnp.float32),
+               jnp.zeros((len(part.dia_offsets), 0), jnp.float32)),
+            part.dia_offsets, part.n_loc, part.n_loc)
+        return pallas_fused_classic_df.format_ok(shard, jnp.float32)
+    if b_loc.dtype != jnp.float32:
+        return False
     # per-shard VMEM budget check on the LOCAL operator shape
     from mpi_bicgstab_tpu.ops import (pallas_fused_ca,
                                       pallas_fused_classic,
                                       pallas_fused_pipe)
-    from mpi_bicgstab_tpu.ops.dia import DiaMatrix
     shard = DiaMatrix(jnp.zeros((len(part.dia_offsets), 0), jnp.float32),
                       part.dia_offsets, part.n_loc, part.n_loc)
     mod = {"bicgstab": pallas_fused_classic,
@@ -373,6 +388,95 @@ def pipe_bicgstab_fused_halo(vals_loc, offsets: tuple, comm,
     return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
 
 
+def _edges_df(comm, n_devices: int, plr: int, phr: int, vecs_df):
+    """DF band-edge exchange: _edges on the hi and lo planes, zipped
+    back into DF (lo_edge, hi_edge) pairs per vector."""
+    from mpi_bicgstab_tpu.ops.precision import DF
+    planes = []
+    for v in vecs_df:
+        planes += [v.hi, v.lo]
+    flat = _edges(comm, n_devices, plr, phr, planes)
+    out = []
+    for i in range(len(vecs_df)):
+        (lo_h, hi_h), (lo_l, hi_l) = flat[2 * i], flat[2 * i + 1]
+        out.append((DF(lo_h, lo_l), DF(hi_h, hi_l)))
+    return out
+
+
+def bicgstab_fused_df_halo(vals_loc, offsets: tuple, comm,
+                           n_devices: int, spmv, b, x0,
+                           cfg: SolverConfig,
+                           interpret: bool = False) -> SolveResult:
+    """df32 classic BiCGStab, three halo-fused DF Pallas passes per
+    iteration per shard — f64-class precision at the reference's
+    distributed structure (the reference is all-f64 over MPI,
+    solver.c:35-146 + matrix.c:428-441). Single-device twin:
+    ops/pallas_fused_classic_df.bicgstab_fused_df; halo plumbing as in
+    bicgstab_fused_halo with hi/lo planes exchanged pairwise."""
+    from mpi_bicgstab_tpu.ops.pallas_fused_classic_df import (
+        fused_k1_df, fused_k2_df, fused_k3_df)
+    from mpi_bicgstab_tpu.ops.pallas_spmv import _halo_rows
+    from mpi_bicgstab_tpu.ops.precision import DF, df_zeros, vvalue
+    from mpi_bicgstab_tpu.solvers.bicgstab import _finish
+
+    tol2 = jnp.asarray(cfg.tol, jnp.float32) ** 2
+    max_iter = cfg.max_iter
+    plr, phr = _halo_rows(offsets)
+    n = b.hi.shape[0]
+
+    r0 = b - spmv(x0)                       # solver.c:74-75
+    r_hat = r0                              # solver.c:76
+    rTr0 = comm.dot(r0, r0)                 # solver.c:78-80
+    dot_zero = rTr0
+    zero_s = df_zeros(())
+    zv = df_zeros((n,))
+    hist0 = jnp.full((max_iter,), jnp.nan, jnp.float32)
+
+    def _red2(a, b2):
+        d = comm.allreduce(DF(jnp.stack([a.hi, b2.hi]),
+                              jnp.stack([a.lo, b2.lo])))
+        return DF(d.hi[0], d.lo[0]), DF(d.hi[1], d.lo[1])
+
+    def cond(c):
+        k, x, r, p, s, beta, omega, rTr, dot_r, hist = c
+        if exact_iters(cfg):   # tol=0 bench contract: exactly
+            return k < max_iter  # max_iter iters (base.py)
+        return (vvalue(dot_r) > vvalue(dot_zero) * tol2) \
+            & (k < max_iter)                            # solver.c:86
+
+    def body(c):
+        k, x, r, p, s, beta, omega, rTr, dot_r, hist = c
+        h = _edges_df(comm, n_devices, plr, phr, (r, p, s))
+        p2, s2, rhTs_l = fused_k1_df(
+            vals_loc, r, p, s, r_hat,
+            jnp.stack([beta.hi, beta.lo, omega.hi, omega.lo]),
+            offsets, interpret=interpret, halos=_flat(h))
+        rhTs = comm.allreduce(rhTs_l)               # solver.c:89-91
+        alpha = rTr / rhTs                          # solver.c:93
+        h2 = _edges_df(comm, n_devices, plr, phr, (r, s2))
+        q, y, qTy_l, yTy_l = fused_k2_df(
+            vals_loc, r, s2, jnp.stack([alpha.hi, alpha.lo]), offsets,
+            interpret=interpret, halos=_flat(h2))
+        qTy, yTy = _red2(qTy_l, yTy_l)              # solver.c:97-102
+        omega2 = qTy / yTy                          # solver.c:104
+        x2, r2, dn_l, rn_l = fused_k3_df(
+            x, p2, q, y, r_hat,
+            jnp.stack([alpha.hi, alpha.lo, omega2.hi, omega2.lo]),
+            interpret=interpret)
+        dot_new, rTr_new = _red2(dn_l, rn_l)        # solver.c:108-114
+        beta2 = (alpha / omega2) * (rTr_new / rTr)  # solver.c:116
+        hist = hist.at[k].set(vvalue(dot_new))
+        return (k + 1, x2, r2, p2, s2, beta2, omega2, rTr_new,
+                dot_new, hist)
+
+    out = lax.while_loop(cond, body, (
+        jnp.int32(0), x0, r0, zv, zv, zero_s, zero_s, rTr0, rTr0,
+        hist0))
+    k, x = out[0], out[1]
+    dot_r, hist = out[8], out[9]
+    return _finish(x, k, dot_r, dot_zero, tol2, hist, spmv, comm, b)
+
+
 def solve_fused_dist(part, mat_args, comm, method: str, spmv, b_loc,
                      x0_loc, cfg: SolverConfig) -> SolveResult:
     """Entry used by parallel.driver._go inside shard_map (after
@@ -380,8 +484,14 @@ def solve_fused_dist(part, mat_args, comm, method: str, spmv, b_loc,
     halo-fused loop; `spmv` (the composed distributed SpMV) is used
     only for init, RR re-anchoring, and the exit true-residual check."""
     import jax
+
+    from mpi_bicgstab_tpu.ops.precision import is_df
     dia_vals, _window, _bfly, _blocks, _rest = part.unpack(mat_args)
     interpret = jax.default_backend() == "cpu"
+    if is_df(b_loc):
+        return bicgstab_fused_df_halo(
+            dia_vals, part.dia_offsets, comm, part.n_devices, spmv,
+            b_loc, x0_loc, cfg, interpret=interpret)
     if method in ("pipe_bicgstab", "pipe_bicgstab_rr"):
         return pipe_bicgstab_fused_halo(
             dia_vals, part.dia_offsets, comm, part.n_devices, spmv,

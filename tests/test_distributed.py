@@ -340,3 +340,39 @@ def test_f32_halo_fused_pipe_distributed(method, monkeypatch):
     x_off = np.asarray(res_off.x)[: csr.nrows]
     assert np.abs(x_on - 1.0).max() < 1e-3
     np.testing.assert_allclose(x_on, x_off, atol=1e-3)
+
+
+def test_df32_halo_fused_classic_distributed(monkeypatch):
+    """The halo-fused distributed path at f64-class precision (round
+    5): solvers/fused_dist.bicgstab_fused_df_halo runs the DF fused
+    classic kernels (ops/pallas_fused_classic_df) per shard with the
+    hi/lo planes' band edges ppermuted into the pad rows. Interpret-
+    mode kernels on a 2-shard CPU mesh vs the XLA distributed df32
+    build of the same method."""
+    from mpi_bicgstab_tpu.ops.precision import df_to_f64
+    csr = banded_random(16384, [1, -1, 12, -12], seed=5)
+    part = partition_csr(csr, 2, dtype="df32", align=8192)
+    assert part.n_loc % 8192 == 0 and part.dia_mode == "halo"
+    b = csr.matvec(np.ones(csr.nrows))
+    mesh = make_row_mesh(2)
+    from mpi_bicgstab_tpu.solvers.fused_dist import applicable
+    from mpi_bicgstab_tpu.utils.config import SolverConfig as SC
+    monkeypatch.setenv("MBT_FUSED_DIST", "1")
+    cfg_on = SC(tol=1e-9, max_iter=80, dtype="df32")
+    from mpi_bicgstab_tpu.ops.precision import df_from_f64
+    assert applicable(part, "bicgstab",
+                      df_from_f64(np.zeros(part.n_loc)), cfg_on)
+    res_on = solve_distributed(part, b, method="bicgstab", cfg=cfg_on,
+                               mesh=mesh)
+    monkeypatch.setenv("MBT_FUSED_DIST", "0")
+    # max_iter differs to defeat the jit cache (the env gate is read at
+    # trace time and is not part of the jit key)
+    res_off = solve_distributed(part, b, method="bicgstab",
+                                cfg=SC(tol=1e-9, max_iter=81,
+                                       dtype="df32"), mesh=mesh)
+    assert bool(res_on.converged)
+    assert abs(int(res_on.n_iter) - int(res_off.n_iter)) <= 2
+    x_on = df_to_f64(res_on.x)[: csr.nrows]
+    x_off = df_to_f64(res_off.x)[: csr.nrows]
+    assert np.abs(x_on - 1.0).max() < 1e-7
+    np.testing.assert_allclose(x_on, x_off, atol=1e-9)
