@@ -227,14 +227,23 @@ def bench_iteration(csr, dtype, devices=1, method="pipe_bicgstab",
             return lambda: solve_distributed(part, b_host, method=method,
                                              cfg=cfg).final_relres
     else:
+        import jax
+
         from mpi_bicgstab_tpu.api import solve
         from mpi_bicgstab_tpu.models.problem import build_problem
         if prob is None:
             prob = build_problem(csr, dtype=dtype, multiple=1024)
+        # device-put ONCE: operators with host-numpy leaves (butterfly/
+        # window layouts keep them host-side for the cache) would
+        # otherwise re-transfer ~150 MB through the TPU relay tunnel on
+        # EVERY solve call — per-call jitter that swamped the slope
+        # (round-5: a 4.8 ms/iter butterfly solve measured "45 ms")
+        A_dev = jax.device_put(prob.A)
+        b_dev = jax.device_put(prob.b)
 
         def make_chain(K):
             cfg = SolverConfig(tol=0.0, max_iter=K, dtype=dtype)
-            return lambda: solve(prob.A, prob.b, method=method,
+            return lambda: solve(A_dev, b_dev, method=method,
                                  cfg=cfg).final_relres
 
     sec = _slope_time(make_chain, K1=K1, K2=K2, reps=3)

@@ -74,10 +74,14 @@ class ButterflyMatrix:
     k1_lane: np.ndarray       # [P, 8, 128] int8 — x-window lane
     k2_sub: np.ndarray        # [P, 8, 128] int8 — input-slot sublane
     k2_lane: np.ndarray       # [P, 8, 128] int8 — input-slot lane
-    k3_sub: np.ndarray        # [W, n_pad] int8 — STACKED sublane
-                              #   = (row % 128)//rb * 8 + slot//128
-    k3_lane: np.ndarray       # [W, n_pad] int8 — slot % 128
-    k3_vals: np.ndarray       # [W, n_pad] dtype (or DF pair)
+    k3_sub: np.ndarray        # [W//8, 8, NR, 128] int8 — STACKED
+                              #   sublane = (row % 128)//rb * 8
+                              #   + slot//128 (kernel-ready 4D: the
+                              #   [W, n_pad] form reshaped r4-style so
+                              #   jit-ARGUMENT operators pay no per-
+                              #   iteration relayout — round 5)
+    k3_lane: np.ndarray       # [W//8, 8, NR, 128] int8 — slot % 128
+    k3_vals: np.ndarray       # [W//8, 8, NR, 128] dtype (or DF pair)
     tail_rows: np.ndarray     # [L, cap] int32 (padding: row 0, val 0)
     tail_cols: np.ndarray     # [L, cap] int32
     tail_vals: np.ndarray     # [L, cap] dtype (or DF pair)
@@ -101,8 +105,9 @@ class ButterflyMatrix:
 
     @property
     def width(self) -> int:
-        return self.k3_vals.shape[0] if not hasattr(self.k3_vals, "hi") \
-            else self.k3_vals.hi.shape[0]
+        v = self.k3_vals if not hasattr(self.k3_vals, "hi") \
+            else self.k3_vals.hi
+        return v.shape[0] * v.shape[1]
 
     @property
     def tail_count(self) -> int:
@@ -498,6 +503,15 @@ def build_butterfly(csr, dtype=None, seed: int = 0, rounds: int = 80,
         from mpi_bicgstab_tpu.ops.precision import df_split_f64_host, DF
         k3_vals = DF(*df_split_f64_host(k3_vals))
         tail_vals = DF(*df_split_f64_host(tail_vals))
+
+    # kernel-ready 4D K3 tables (byte-identical reshape of [W, n_pad])
+    def _r4(a):
+        if hasattr(a, "hi"):
+            from mpi_bicgstab_tpu.ops.precision import DF as _DF
+            return _DF(_r4(a.hi), _r4(a.lo))
+        return a.reshape(W // _SUB, _SUB, n_pad // _LANES, _LANES)
+
+    k3_sub, k3_lane, k3_vals = _r4(k3_sub), _r4(k3_lane), _r4(k3_vals)
 
     return ButterflyMatrix(
         k1_src=k1_src, k1_sub=k1_sub, k1_lane=k1_lane, k2_sub=k2_sub,

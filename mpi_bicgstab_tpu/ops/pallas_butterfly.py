@@ -233,11 +233,12 @@ def _k3_kernel(z_ref, ss_ref, li_ref, v_ref, y_ref, *, C, F, TB,
 
 @partial(jax.jit, static_argnames=("F", "interpret"))
 def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
-    W8, n_pad = k3_vals.shape
-    C = W8 // _SUB
-    NR = n_pad // _LANES
+    # tables arrive kernel-ready [C, 8, NR, 128] (ButterflyMatrix
+    # round-5 storage: reshaping [W, n_pad] here re-materialized a
+    # ~150 MB relayout inside every solver iteration once operators
+    # became jit arguments)
+    C, _, NR, _ = k3_vals.shape
     TB = _tb_rows(NR)
-    r4 = lambda a: a.reshape(C, _SUB, NR, _LANES)  # noqa: E731
     tile = lambda: pl.BlockSpec((C, _SUB, TB, _LANES),  # noqa: E731
                                 lambda s: (0, 0, s, 0),
                                 memory_space=pltpu.VMEM)
@@ -254,7 +255,7 @@ def _k3(z2d, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NR, _LANES), k3_vals.dtype),
         interpret=interpret,
-    )(z2d, r4(k3_sub), r4(k3_lane), r4(k3_vals))
+    )(z2d, k3_sub, k3_lane, k3_vals)
     return y.reshape(NR * _LANES)
 
 
@@ -353,11 +354,9 @@ def _k3_df_kernel(zh_ref, zl_ref, ss_ref, li_ref, vh_ref, vl_ref,
 
 @partial(jax.jit, static_argnames=("F", "interpret"))
 def _k3_df(zh, zl, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
-    W8, n_pad = k3_vals.hi.shape
-    C = W8 // _SUB
-    NR = n_pad // _LANES
+    # tables arrive kernel-ready [C, 8, NR, 128] (see _k3)
+    C, _, NR, _ = k3_vals.hi.shape
     TB = _tb_rows(NR)
-    r4 = lambda a: a.reshape(C, _SUB, NR, _LANES)  # noqa: E731
     tile = lambda: pl.BlockSpec((C, _SUB, TB, _LANES),  # noqa: E731
                                 lambda s: (0, 0, s, 0),
                                 memory_space=pltpu.VMEM)
@@ -375,7 +374,7 @@ def _k3_df(zh, zl, k3_sub, k3_lane, k3_vals, F: int, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((NR, _LANES), jnp.float32),
                    jax.ShapeDtypeStruct((NR, _LANES), jnp.float32)),
         interpret=interpret,
-    )(zh, zl, r4(k3_sub), r4(k3_lane), r4(k3_vals.hi), r4(k3_vals.lo))
+    )(zh, zl, k3_sub, k3_lane, k3_vals.hi, k3_vals.lo)
     return yh.reshape(NR * _LANES), yl.reshape(NR * _LANES)
 
 

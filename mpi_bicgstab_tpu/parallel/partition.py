@@ -142,8 +142,9 @@ class PartitionedMatrix:
         if self.has_bfly:
             s1 = P(rows_axis, None)                    # k1_src
             s4 = P(rows_axis, None, None, None)        # [dev,P,8,128]
-            s3 = P(rows_axis, None, None)              # k3 / tails
-            out.extend([s1, s4, s4, s4, s4, s3, s3, s3, s3, s3, s3])
+            s5 = P(rows_axis, None, None, None, None)  # k3 4D tables
+            s3 = P(rows_axis, None, None)              # tails
+            out.extend([s1, s4, s4, s4, s4, s5, s5, s5, s3, s3, s3])
         if self.has_ell:
             out.extend([slab_spec, slab_spec, vec_spec, vec_spec, vec_spec,
                         slab_spec, slab_spec, vec_spec, vec_spec, vec_spec])
@@ -468,10 +469,13 @@ def partition_csr(csr: CSRMatrix, n_devices: int, dtype=None,
             t_cap = max(b.tail_rows.shape[1] for b in bfs)
 
             def padWb(a):
+                # K3 tables are [W//8, 8, NR, 128] (round-5 storage):
+                # the W pad happens on the leading CHUNK axis (every
+                # shard's W is a multiple of 8)
                 if is_df(a):
                     return DF(padWb(a.hi), padWb(a.lo))
                 a = np.asarray(a)
-                return np.pad(a, [(0, W_b - a.shape[0])]
+                return np.pad(a, [(0, W_b // 8 - a.shape[0])]
                               + [(0, 0)] * (a.ndim - 1))
 
             def padTb(a):

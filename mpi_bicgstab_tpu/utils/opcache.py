@@ -28,7 +28,7 @@ import numpy as np
 
 # bump when any layout builder's OUTPUT format changes (fields,
 # padding rules, routing algorithm) — invalidates old cache entries
-LAYOUT_VERSION = 2   # r4: WindowEllMatrix.tail_counts meta field
+LAYOUT_VERSION = 3   # r5: ButterflyMatrix K3 tables kernel-ready 4D
 
 _ARRAY_KIND_JAX = "jax"
 _ARRAY_KIND_NP = "np"
